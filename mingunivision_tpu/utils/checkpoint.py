@@ -1,0 +1,93 @@
+"""Checkpoint I/O.
+
+Two formats:
+  1. Reference HF checkpoints: safetensors shards (+ index json) holding the
+     torch state dict — loaded lazily as numpy and converted via utils/convert.py
+     (replaces HF from_pretrained, SURVEY §5 "checkpoint/resume").
+  2. Native format: Orbax save/restore of our param pytrees (fast TPU-sharded
+     restore for serving).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# safetensors (HF torch checkpoints)
+# ---------------------------------------------------------------------------
+
+
+def load_safetensors_dir(path: str, dtype=None) -> Dict[str, np.ndarray]:
+    """Load every *.safetensors shard in `path` into one flat name->array dict."""
+    from safetensors import safe_open
+
+    out: Dict[str, np.ndarray] = {}
+    shards = sorted(f for f in os.listdir(path) if f.endswith(".safetensors"))
+    if not shards:
+        raise FileNotFoundError(f"no .safetensors shards under {path}")
+    for shard in shards:
+        with safe_open(os.path.join(path, shard), framework="np") as f:
+            for name in f.keys():
+                arr = f.get_tensor(name)
+                if arr.dtype.kind == "V":  # raw bf16 surfaces as void16 on old numpy
+                    import ml_dtypes
+
+                    arr = arr.view(ml_dtypes.bfloat16)
+                out[name] = arr if dtype is None else arr.astype(dtype)
+    return out
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load either safetensors shards or a torch .bin/.pt checkpoint as numpy."""
+    if os.path.isdir(path) and any(f.endswith(".safetensors") for f in os.listdir(path)):
+        return load_safetensors_dir(path)
+    import torch
+
+    if os.path.isdir(path):
+        cands = [f for f in os.listdir(path) if f.endswith((".bin", ".pt", ".pth"))]
+        if not cands:
+            raise FileNotFoundError(f"no checkpoint files under {path}")
+        sd: Dict[str, np.ndarray] = {}
+        for c in sorted(cands):
+            chunk = torch.load(os.path.join(path, c), map_location="cpu", weights_only=True)
+            if "model" in chunk and isinstance(chunk["model"], dict):
+                chunk = chunk["model"]  # MingTok raw-ckpt layout (modeling_mingtok.py:129-138)
+            sd.update({k: v.float().numpy() for k, v in chunk.items() if hasattr(v, "numpy")})
+        return sd
+    chunk = torch.load(path, map_location="cpu", weights_only=True)
+    if "model" in chunk and isinstance(chunk["model"], dict):
+        chunk = chunk["model"]
+    return {
+        k: v.float().numpy()
+        for k, v in chunk.items()
+        if hasattr(v, "numpy") and not k.startswith("target_backbone")
+    }
+
+
+# ---------------------------------------------------------------------------
+# Orbax (native pytree checkpoints)
+# ---------------------------------------------------------------------------
+
+
+def save_pytree(path: str, params) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, params)
+    ckptr.wait_until_finished()
+
+
+def restore_pytree(path: str, template=None):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    if template is not None:
+        return ckptr.restore(path, target=template)
+    return ckptr.restore(path)

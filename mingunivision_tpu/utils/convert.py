@@ -1,0 +1,205 @@
+"""Checkpoint conversion: torch/safetensors state dicts -> JAX param pytrees.
+
+Handles the reference layouts (SURVEY §7 hard-part #4): fused `query_key_value`
+splits, `w12` SwiGLU packing, per-layer expert stacking into single (E, ...) arrays
+and depth-stacking every layer for `lax.scan`.
+
+Works from any mapping of name -> numpy array (a torch ``state_dict`` converted
+with ``.numpy()``, or safetensors loaded with ``safetensors.numpy``).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import numpy as np
+
+from mingunivision_tpu.config import BailingMoeConfig, MingTokConfig, MingUniVisionConfig, RFHeadConfig
+
+
+def _np(x):
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().float().numpy()
+    return np.asarray(x)
+
+
+def _lin(sd: Mapping, prefix: str, bias: bool = True):
+    p = {"w": _np(sd[f"{prefix}.weight"]).T}
+    if bias and f"{prefix}.bias" in sd:
+        p["b"] = _np(sd[f"{prefix}.bias"])
+    return p
+
+
+def _norm(sd: Mapping, prefix: str):
+    return {"w": _np(sd[f"{prefix}.weight"]), "b": _np(sd[f"{prefix}.bias"])}
+
+
+def _stack(trees):
+    import jax
+
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *trees)
+
+
+# ---------------------------------------------------------------------------
+# MingTok
+# ---------------------------------------------------------------------------
+
+
+def _vit_block(sd: Mapping, prefix: str, ffn_layer: str):
+    blk = {
+        "norm1": _norm(sd, f"{prefix}.norm1"),
+        "attn": {
+            "qkv": _lin(sd, f"{prefix}.attn.qkv"),
+            "proj": _lin(sd, f"{prefix}.attn.proj"),
+        },
+        "norm2": _norm(sd, f"{prefix}.norm2"),
+    }
+    if ffn_layer in ("swiglufused", "swiglu"):
+        blk["mlp"] = {"w12": _lin(sd, f"{prefix}.mlp.w12"), "w3": _lin(sd, f"{prefix}.mlp.w3")}
+    else:
+        blk["mlp"] = {"fc1": _lin(sd, f"{prefix}.mlp.fc1"), "fc2": _lin(sd, f"{prefix}.mlp.fc2")}
+    return blk
+
+
+def _vit_blocks(sd: Mapping, root: str, depth: int, ffn_layer: str):
+    # reference wraps all blocks in one BlockChunk -> names `{root}.blocks.0.{i}.*`
+    # (vision_transformer.py:152-159); fall back to unchunked `{root}.blocks.{i}.*`.
+    chunked = f"{root}.blocks.0.0.norm1.weight" in sd
+    fmt = (root + ".blocks.0.{i}") if chunked else (root + ".blocks.{i}")
+    return _stack([_vit_block(sd, fmt.format(i=i), ffn_layer) for i in range(depth)])
+
+
+def mingtok_params_from_torch(sd: Mapping, cfg: MingTokConfig):
+    """Reference MingTok state_dict -> our param pytree."""
+    enc, sem, pix = cfg.encoder, cfg.semantic_decoder, cfg.pixel_decoder
+    conv_w = _np(sd["low_level_encoder.patch_embed.proj.weight"])  # (D, C, p, p)
+    D = conv_w.shape[0]
+    params = {
+        "encoder": {
+            "patch_embed": {
+                "w": conv_w.reshape(D, -1).T,  # (C*p*p, D) — matches extract_patches order
+                "b": _np(sd["low_level_encoder.patch_embed.proj.bias"]),
+            },
+            "cls_token": _np(sd["low_level_encoder.cls_token"]),
+            "pos_embed": _np(sd["low_level_encoder.pos_embed"]),
+            "blocks": _vit_blocks(sd, "low_level_encoder", enc.depth, enc.ffn_layer),
+            "out_norm": _norm(sd, "low_level_encoder.out_norm"),
+            "out_proj": _lin(sd, "low_level_encoder.out_proj"),
+        },
+        "semantic_decoder": {
+            "in_proj": _lin(sd, "semantic_decoder.in_proj"),
+            "blocks": _vit_blocks(sd, "semantic_decoder", sem.depth, sem.ffn_layer),
+            "norm": _norm(sd, "semantic_decoder.norm"),
+        },
+        "pixel_decoder": {
+            "blocks": _vit_blocks(sd, "pixel_decoder", pix.depth, pix.ffn_layer),
+            "norm": _norm(sd, "pixel_decoder.norm"),
+            "head": _lin(sd, "pixel_decoder.head"),
+        },
+        "sem_to_pix": _lin(sd, "sem_to_pix"),
+    }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Bailing-MoE LLM
+# ---------------------------------------------------------------------------
+
+
+def _moe_layer(sd: Mapping, prefix: str, cfg: BailingMoeConfig):
+    """One decoder layer -> layer pytree with experts stacked on a leading axis."""
+    experts_gate = np.stack(
+        [_np(sd[f"{prefix}.mlp.experts.{e}.gate_proj.weight"]).T for e in range(cfg.num_experts)]
+    )
+    experts_up = np.stack(
+        [_np(sd[f"{prefix}.mlp.experts.{e}.up_proj.weight"]).T for e in range(cfg.num_experts)]
+    )
+    experts_down = np.stack(
+        [_np(sd[f"{prefix}.mlp.experts.{e}.down_proj.weight"]).T for e in range(cfg.num_experts)]
+    )
+    layer = {
+        "input_layernorm": {"w": _np(sd[f"{prefix}.input_layernorm.weight"])},
+        "attention": {
+            "query_key_value": _lin(sd, f"{prefix}.attention.query_key_value"),
+            "dense": _lin(sd, f"{prefix}.attention.dense"),
+        },
+        "post_attention_layernorm": {"w": _np(sd[f"{prefix}.post_attention_layernorm.weight"])},
+        "mlp": {
+            "gate": {"w": _np(sd[f"{prefix}.mlp.gate.weight"]).T},  # (hidden, E)
+            "experts": {"gate_proj": experts_gate, "up_proj": experts_up, "down_proj": experts_down},
+            "shared_experts": {
+                "gate_proj": _lin(sd, f"{prefix}.mlp.shared_experts.gate_proj", bias=False),
+                "up_proj": _lin(sd, f"{prefix}.mlp.shared_experts.up_proj", bias=False),
+                "down_proj": _lin(sd, f"{prefix}.mlp.shared_experts.down_proj", bias=False),
+            },
+        },
+    }
+    if cfg.multi_gate:
+        layer["mlp"]["image_gate"] = {"w": _np(sd[f"{prefix}.mlp.image_gate.weight"]).T}
+        layer["mlp"]["audio_gate"] = {"w": _np(sd[f"{prefix}.mlp.audio_gate.weight"]).T}
+    return layer
+
+
+def bailing_moe_params_from_torch(sd: Mapping, cfg: BailingMoeConfig, root: str = "model"):
+    """Reference BailingMoeForCausalLM state_dict -> our param pytree.
+
+    Splits nothing: the fused query_key_value stays fused (our attention splits
+    heads at runtime, same as the reference modeling_bailing_moe.py:680-684).
+    """
+    layers = _stack([_moe_layer(sd, f"{root}.layers.{i}", cfg) for i in range(cfg.num_hidden_layers)])
+    params = {
+        "word_embeddings": {"w": _np(sd[f"{root}.word_embeddings.weight"])},
+        "layers": layers,
+        "norm": {"w": _np(sd[f"{root}.norm.weight"])},
+        "lm_head": _lin(sd, "lm_head", bias=False),
+    }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Rectified-flow head + vis_head + linear_proj
+# ---------------------------------------------------------------------------
+
+
+def rf_head_params_from_torch(sd: Mapping, cfg: RFHeadConfig, root: str = "diffloss.net"):
+    blocks = _stack(
+        [
+            {
+                "in_ln": _norm(sd, f"{root}.res_blocks.{i}.in_ln"),
+                "mlp": {
+                    "w12": _lin(sd, f"{root}.res_blocks.{i}.mlp.w12"),
+                    "w3": _lin(sd, f"{root}.res_blocks.{i}.mlp.w3"),
+                },
+                "adaLN": _lin(sd, f"{root}.res_blocks.{i}.adaLN_modulation.1"),
+            }
+            for i in range(cfg.depth)
+        ]
+    )
+    return {
+        "time_embed": {
+            "fc1": _lin(sd, f"{root}.time_embed.mlp.0"),
+            "fc2": _lin(sd, f"{root}.time_embed.mlp.2"),
+        },
+        "cond_embed": _lin(sd, f"{root}.cond_embed"),
+        "input_proj": _lin(sd, f"{root}.input_proj"),
+        "res_blocks": blocks,
+        "final_layer": {
+            "adaLN": _lin(sd, f"{root}.final_layer.adaLN_modulation.1"),
+            "linear": _lin(sd, f"{root}.final_layer.linear"),
+        },
+    }
+
+
+def vis_head_params_from_torch(sd: Mapping, root: str = "vis_head"):
+    # nn.Sequential(Linear, LayerNorm) — modeling_bailing_moe.py:1570-1573
+    return {"linear": _lin(sd, f"{root}.0"), "norm": _norm(sd, f"{root}.1")}
+
+
+def linear_proj_params_from_torch(sd: Mapping, mlp_depth: int, root: str = "linear_proj"):
+    # nn.Sequential(Linear, [GELU, Linear]*) — modeling_bailingmm.py:111-115
+    layers = []
+    idx = 0
+    for d in range(mlp_depth):
+        layers.append(_lin(sd, f"{root}.{idx}"))
+        idx += 2  # skip GELU
+    return {"layers": layers}
