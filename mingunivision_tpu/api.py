@@ -1,0 +1,152 @@
+"""Public inference API — the `MingUniVisionInfer` equivalent.
+
+Parity with reference mingunivision/mingunivisioninfer.py:28-120:
+  `MingUniVisionInfer(model_path).generate(messages, max_new_tokens,
+  output_image_prefix, for_edit)` — template -> process_vision_info -> processor
+  -> session.generate -> trim -> decode; generated images saved as
+  `{prefix}.png` with collision-avoiding suffixes.
+
+Construction paths:
+  - from a converted HF checkpoint directory (safetensors + tokenizer files)
+  - from explicit (params, config) for tests / programmatic use
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mingunivision_tpu.config import (
+    GenerationConfig,
+    ImageGenConfig,
+    MingUniVisionConfig,
+    RuntimeConfig,
+)
+from mingunivision_tpu.engine.session import MingUniVisionSession
+from mingunivision_tpu.processing.image_ops import save_image_with_suffix
+from mingunivision_tpu.processing.processor import BailingMMProcessor
+
+
+class MingUniVisionInfer:
+    def __init__(
+        self,
+        model_path: Optional[str] = None,
+        *,
+        params=None,
+        config: Optional[MingUniVisionConfig] = None,
+        runtime: Optional[RuntimeConfig] = None,
+        tokenizer=None,
+        processor: Optional[BailingMMProcessor] = None,
+        seed: int = 0,
+    ):
+        self.config = config or MingUniVisionConfig()
+        self.runtime = runtime or RuntimeConfig()
+        if params is None:
+            if model_path is None:
+                raise ValueError("need model_path or params")
+            params, tokenizer = self._load_checkpoint(model_path, tokenizer)
+        self.params = params
+        if processor is not None:
+            self.processor = processor
+        else:
+            if tokenizer is None:
+                raise ValueError("need a tokenizer or processor")
+            self.processor = BailingMMProcessor(tokenizer)
+        self.session = MingUniVisionSession(self.params, self.config, self.runtime, seed=seed)
+
+    # -- checkpoint loading ---------------------------------------------------
+
+    def _load_checkpoint(self, model_path: str, tokenizer):
+        from mingunivision_tpu.utils.checkpoint import load_torch_state_dict
+        from mingunivision_tpu.utils.convert import (
+            bailing_moe_params_from_torch,
+            linear_proj_params_from_torch,
+            mingtok_params_from_torch,
+            rf_head_params_from_torch,
+            vis_head_params_from_torch,
+        )
+
+        sd = load_torch_state_dict(model_path)
+        # the composed HF checkpoint prefixes: vision.* / model.* / linear_proj.*
+        def sub(prefix):
+            plen = len(prefix)
+            return {k[plen:]: v for k, v in sd.items() if k.startswith(prefix)}
+
+        params = {
+            "mingtok": mingtok_params_from_torch(sub("vision."), self.config.mingtok),
+            "llm": bailing_moe_params_from_torch(sub("model."), self.config.llm, root="model"),
+            "rf_head": rf_head_params_from_torch(sub("model."), self.config.rf_head, root="diffloss.net"),
+            "vis_head": vis_head_params_from_torch(sub("model."), root="vis_head"),
+            "linear_proj": linear_proj_params_from_torch(sd, self.config.mlp_depth, root="linear_proj"),
+        }
+        dtype = jnp.bfloat16 if self.runtime.param_dtype == "bfloat16" else jnp.float32
+        params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
+        if tokenizer is None:
+            try:
+                from transformers import AutoTokenizer
+
+                tokenizer = AutoTokenizer.from_pretrained(model_path, trust_remote_code=False)
+            except Exception:
+                tokenizer = None
+        return params, tokenizer
+
+    # -- main entry -----------------------------------------------------------
+
+    def generate(
+        self,
+        messages: List[dict],
+        max_new_tokens: int = 512,
+        output_image_prefix: str = "output",
+        for_edit: bool = False,
+        image_gen_temperature: float = 1.0,
+        image_gen_text_cfg: float = 3.0,
+        image_gen_image_cfg: float = 1.1,
+        do_sample: bool = False,
+        temperature: float = 1.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
+    ) -> str:
+        text = self.processor.apply_chat_template(messages, add_generation_prompt=True)
+        images = self.processor.process_vision_info(messages)
+        batch = self.processor(text=text, images=images, for_edit=for_edit)
+        gen = GenerationConfig(
+            max_new_tokens=max_new_tokens,
+            do_sample=do_sample,
+            temperature=temperature,
+            top_k=top_k,
+            top_p=top_p,
+            eos_token_id=self.config.llm.eos_token_id,
+        )
+        igen = ImageGenConfig(
+            num_image_tokens=self.config.image_gen.num_image_tokens,
+            text_cfg=image_gen_text_cfg,
+            image_cfg=image_gen_image_cfg,
+            temperature=image_gen_temperature,
+            cfg_schedule=self.config.image_gen.cfg_schedule,
+            cfg_renorm_type=self.config.image_gen.cfg_renorm_type,
+            time_shifting_factor=self.config.image_gen.time_shifting_factor,
+        )
+        out = self.session.generate(
+            batch.input_ids,
+            batch.attention_mask,
+            uncond_attention_mask=batch.uncond_attention_mask,
+            text_uncond_attention_mask=batch.text_uncond_attention_mask,
+            pixel_values=batch.pixel_values,
+            generation=gen,
+            image_gen=igen,
+        )
+        self.last_images = out.images  # programmatic access (serving layer)
+        for img in out.images:
+            save_image_with_suffix(img, output_image_prefix)
+        # trim trailing eos, decode
+        ids = out.token_ids
+        if ids and ids[-1] == self.config.llm.eos_token_id:
+            ids = ids[:-1]
+        return self.processor.decode(ids)
+
+    def reset_inner_state(self):
+        self.session.reset_inner_state()

@@ -1,0 +1,352 @@
+"""Bailing-MoE decoder-only LLM (16B total / ~3B active), TPU-native.
+
+Parity map against reference mingunivision/modeling_bailing_moe.py:
+  - RMSNorm fp32 internals:                  :122-136
+  - fused query_key_value split [Hq,Hkv,Hkv]: :680-684, :875-884
+  - q / sqrt(head_dim), fp32 softmax:        :798-805
+  - RoPE 3D (flat planes == 1D):             :413-425, :463-469
+  - router: fp32 softmax -> top-k -> renorm:  :487-520
+  - multi-gate modality routing:             :523-589
+  - shared experts added unconditionally:    :604-605
+  - pre-norm decoder layer:                  :1150-1239
+  - norm_head logit path:                    :1604-1620
+
+TPU-first design decisions (not a port):
+  - All 28 layers are identical MoE layers (first_k_dense_replace=0) => params are
+    depth-stacked and the layer body is ONE `lax.scan` step.
+  - KV cache is a preallocated static-shape pytree with a length counter (replaces
+    HF DynamicCache). CFG batching is just a batch dim — no cache repeat dance.
+  - MoE dispatch: token counts are static under jit, so we pick the dispatch
+    strategy at trace time: weight-GATHER for small token counts (decode steps —
+    HBM reads = only the active experts' weights, which is the information-
+    theoretic minimum) and masked-dense for prefill (every expert runs over all
+    tokens, exact, MXU-saturating; replaced by the Pallas grouped-matmul kernel
+    for large N — see ops/kernels/gmm.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from mingunivision_tpu.config import BailingMoeConfig
+from mingunivision_tpu.ops.attention import mha
+from mingunivision_tpu.ops.linear import dense
+from mingunivision_tpu.ops.norms import rms_norm
+from mingunivision_tpu.ops.rope import apply_rope, mrope_cos_sin, rope_cos_sin
+from mingunivision_tpu.utils.init import linear_init
+from mingunivision_tpu.utils.quantize import dequant_weight, take_weight
+
+
+def _prec(x):
+    """HIGHEST precision for fp32 inputs (CPU tests / fp32 paths); default for bf16."""
+    return lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+
+class LLMCache(NamedTuple):
+    """Preallocated KV cache: k/v (num_layers, B, max_len, Hkv, D) + scalar length."""
+
+    k: jax.Array
+    v: jax.Array
+    length: jax.Array
+
+    @classmethod
+    def create(cls, cfg: BailingMoeConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+        shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, cfg.head_dim)
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), jnp.zeros((), jnp.int32))
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def batch(self) -> int:
+        return self.k.shape[1]
+
+    def repeat_rows(self, n: int) -> "LLMCache":
+        """Tile the batch dim (CFG row expansion; replaces the reference's
+        per-layer key_cache.repeat dance, modeling_bailing_moe.py:1894-1902).
+
+        Every leaf (incl. `length`) is a FRESH buffer so the result can be
+        donated to a jitted loop without invalidating the source cache.
+        """
+        return LLMCache(jnp.repeat(self.k, n, axis=1), jnp.repeat(self.v, n, axis=1), self.length + 0)
+
+    def first_row(self) -> "LLMCache":
+        """Truncate back to the cond row (reference :1954-1962)."""
+        return LLMCache(self.k[:, :1], self.v[:, :1], self.length + 0)
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def _layer_init(key, cfg: BailingMoeConfig, dtype):
+    ks = jax.random.split(key, 10)
+    h, m = cfg.hidden_size, cfg.moe_intermediate_size
+    E = cfg.num_experts
+    shared_m = m * cfg.num_shared_experts
+    layer = {
+        "input_layernorm": {"w": jnp.ones((h,), dtype)},
+        "attention": {
+            "query_key_value": linear_init(ks[0], h, cfg.qkv_out_dim, bias=cfg.use_qkv_bias, dtype=dtype),
+            "dense": linear_init(ks[1], cfg.num_attention_heads * cfg.head_dim, h, bias=cfg.use_bias, dtype=dtype),
+        },
+        "post_attention_layernorm": {"w": jnp.ones((h,), dtype)},
+        "mlp": {
+            "gate": {"w": 0.02 * jax.random.normal(ks[2], (h, E), dtype)},
+            "experts": {
+                "gate_proj": 0.02 * jax.random.normal(ks[3], (E, h, m), dtype),
+                "up_proj": 0.02 * jax.random.normal(ks[4], (E, h, m), dtype),
+                "down_proj": 0.02 * jax.random.normal(ks[5], (E, m, h), dtype),
+            },
+            "shared_experts": {
+                "gate_proj": linear_init(ks[6], h, shared_m, bias=False, dtype=dtype),
+                "up_proj": linear_init(ks[7], h, shared_m, bias=False, dtype=dtype),
+                "down_proj": linear_init(ks[8], shared_m, h, bias=False, dtype=dtype),
+            },
+        },
+    }
+    if cfg.multi_gate:
+        layer["mlp"]["image_gate"] = {"w": 0.02 * jax.random.normal(ks[9], (h, E), dtype)}
+        layer["mlp"]["audio_gate"] = {"w": jnp.zeros((h, E), dtype)}
+    return layer
+
+
+def init_bailing_moe_params(key, cfg: BailingMoeConfig, dtype=jnp.bfloat16):
+    k_emb, k_layers, k_head = jax.random.split(key, 3)
+    layer_keys = jax.random.split(k_layers, cfg.num_hidden_layers)
+    layers = [_layer_init(k, cfg, dtype) for k in layer_keys]
+    layers = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    return {
+        "word_embeddings": {"w": 0.02 * jax.random.normal(k_emb, (cfg.vocab_size, cfg.hidden_size), dtype)},
+        "layers": layers,
+        "norm": {"w": jnp.ones((cfg.hidden_size,), dtype)},
+        "lm_head": linear_init(k_head, cfg.hidden_size, cfg.vocab_size, bias=False, dtype=dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Router + MoE
+# ---------------------------------------------------------------------------
+
+
+def moe_route(gate_w, x_flat, top_k: int, norm_topk_prob: bool):
+    """fp32-softmax top-k routing (reference BailingMoeGate :487-520).
+
+    x_flat: (N, h). Returns (topk_idx (N, k) int32, topk_w (N, k) fp32,
+    logits (N, E) fp32).
+    """
+    logits = jnp.einsum("nh,he->ne", x_flat, dequant_weight(gate_w, x_flat.dtype), preferred_element_type=jnp.float32, precision=_prec(x_flat))
+    scores = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    topk_w, topk_idx = lax.top_k(scores, top_k)
+    if top_k > 1 and norm_topk_prob:
+        topk_w = topk_w / jnp.sum(topk_w, axis=-1, keepdims=True)
+    return topk_idx.astype(jnp.int32), topk_w, logits
+
+
+def _expert_mlp(x, gate_w, up_w, down_w):
+    """SwiGLU expert: down(silu(gate(x)) * up(x)) with fp32 MXU accumulation."""
+    g = jnp.einsum("...h,hm->...m", x, dequant_weight(gate_w, x.dtype), preferred_element_type=jnp.float32, precision=_prec(x))
+    u = jnp.einsum("...h,hm->...m", x, dequant_weight(up_w, x.dtype), preferred_element_type=jnp.float32, precision=_prec(x))
+    a = (jax.nn.silu(g) * u).astype(x.dtype)
+    return jnp.einsum("...m,mh->...h", a, dequant_weight(down_w, x.dtype), preferred_element_type=jnp.float32, precision=_prec(x))
+
+
+def moe_experts_gather(experts, x_flat, topk_idx, topk_w):
+    """Decode-path dispatch: gather per-assignment expert weights.
+
+    For N*k assignments, HBM traffic = the gathered expert weights only — optimal
+    for tiny N (single-token CFG steps). x_flat (N, h) -> (N, h).
+    """
+    N, k = topk_idx.shape
+    flat_idx = topk_idx.reshape(-1)
+    gw = take_weight(experts["gate_proj"], flat_idx)  # (N*k, h, m)
+    uw = take_weight(experts["up_proj"], flat_idx)
+    dw = take_weight(experts["down_proj"], flat_idx)
+    xr = jnp.repeat(x_flat, k, axis=0)  # (N*k, h)
+    g = jnp.einsum("nh,nhm->nm", xr, dequant_weight(gw, xr.dtype), preferred_element_type=jnp.float32, precision=_prec(xr))
+    u = jnp.einsum("nh,nhm->nm", xr, dequant_weight(uw, xr.dtype), preferred_element_type=jnp.float32, precision=_prec(xr))
+    a = (jax.nn.silu(g) * u).astype(xr.dtype)
+    y = jnp.einsum("nm,nmh->nh", a, dequant_weight(dw, xr.dtype), preferred_element_type=jnp.float32, precision=_prec(xr))
+    y = y.reshape(N, k, -1) * topk_w[..., None]
+    return jnp.sum(y, axis=1).astype(x_flat.dtype)
+
+
+def moe_experts_dense(experts, x_flat, topk_idx, topk_w, num_experts: int):
+    """Prefill-path dispatch: every expert processes all tokens, masked combine.
+
+    Exact (no capacity drops); (E/k)x FLOP overcompute but fully static and
+    MXU-shaped. Superseded by the Pallas grouped matmul for large N.
+    """
+    # (E, N, m) for all experts at once
+    g = jnp.einsum("nh,ehm->enm", x_flat, dequant_weight(experts["gate_proj"], x_flat.dtype), preferred_element_type=jnp.float32, precision=_prec(x_flat))
+    u = jnp.einsum("nh,ehm->enm", x_flat, dequant_weight(experts["up_proj"], x_flat.dtype), preferred_element_type=jnp.float32, precision=_prec(x_flat))
+    a = (jax.nn.silu(g) * u).astype(x_flat.dtype)
+    y = jnp.einsum("enm,emh->enh", a, dequant_weight(experts["down_proj"], x_flat.dtype), preferred_element_type=jnp.float32, precision=_prec(x_flat))
+    # combine weights (N, E): sum of topk weights routed to each expert
+    comb = jnp.zeros((x_flat.shape[0], num_experts), jnp.float32)
+    comb = comb.at[jnp.arange(x_flat.shape[0])[:, None], topk_idx].add(topk_w)
+    out = jnp.einsum("enh,ne->nh", y, comb.astype(y.dtype), preferred_element_type=jnp.float32, precision=_prec(y))
+    return out.astype(x_flat.dtype)
+
+
+MOE_GATHER_MAX_TOKENS = 16  # trace-time threshold: below this, gather beats dense
+
+
+def moe_block_apply(params, cfg: BailingMoeConfig, x, image_mask=None, audio_mask=None):
+    """Sparse MoE block with multi-gate routing + shared experts.
+
+    x: (B, T, h); image_mask/audio_mask: optional bool (B, T) selecting tokens
+    routed by the modality gates (reference :556-605).
+    """
+    B, T, h = x.shape
+    x_flat = x.reshape(-1, h)
+
+    topk_idx, topk_w, _ = moe_route(params["gate"]["w"], x_flat, cfg.num_experts_per_tok, cfg.norm_topk_prob)
+    if cfg.multi_gate and image_mask is not None:
+        i_idx, i_w, _ = moe_route(params["image_gate"]["w"], x_flat, cfg.num_experts_per_tok, cfg.norm_topk_prob)
+        m = image_mask.reshape(-1, 1)
+        topk_idx = jnp.where(m, i_idx, topk_idx)
+        topk_w = jnp.where(m, i_w, topk_w)
+    if cfg.multi_gate and audio_mask is not None:
+        a_idx, a_w, _ = moe_route(params["audio_gate"]["w"], x_flat, cfg.num_experts_per_tok, cfg.norm_topk_prob)
+        m = audio_mask.reshape(-1, 1)
+        topk_idx = jnp.where(m, a_idx, topk_idx)
+        topk_w = jnp.where(m, a_w, topk_w)
+
+    topk_w = topk_w.astype(x.dtype)
+    if B * T <= MOE_GATHER_MAX_TOKENS:
+        y = moe_experts_gather(params["experts"], x_flat, topk_idx, topk_w)
+    else:
+        from mingunivision_tpu.ops.kernels.moe_gmm import GMM_AVAILABLE, moe_experts_gmm
+
+        if GMM_AVAILABLE and jax.default_backend() == "tpu":
+            y = moe_experts_gmm(params["experts"], x_flat, topk_idx, topk_w, cfg.num_experts)
+        else:
+            y = moe_experts_dense(params["experts"], x_flat, topk_idx, topk_w, cfg.num_experts)
+
+    y = y.reshape(B, T, h)
+    # shared experts: dense SwiGLU over the identity input (reference :604-605)
+    se = params["shared_experts"]
+    y = y + _expert_mlp(x, se["gate_proj"]["w"], se["up_proj"]["w"], se["down_proj"]["w"]).astype(x.dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Attention
+# ---------------------------------------------------------------------------
+
+
+def attention_apply(params, cfg: BailingMoeConfig, x, cos, sin, k_cache, v_cache, length, attn_mask):
+    """Fused-QKV GQA attention over the static cache.
+
+    x: (B, T, h); cos/sin: (B, T, head_dim); k_cache/v_cache: (B, Smax, Hkv, D);
+    length: scalar int32 positions already in cache (before this call);
+    attn_mask: bool (B, Smax) — per-row allowed positions (padding / CFG masks);
+    Returns (out, new_k_cache, new_v_cache).
+    """
+    B, T, _ = x.shape
+    Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    qkv = dense(x, params["query_key_value"]).reshape(B, T, Hq + 2 * Hkv, D)
+    q, k, v = jnp.split(qkv, [Hq, Hq + Hkv], axis=2)
+    q, k = apply_rope(q, k, cos, sin)
+
+    k_cache = lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype), (0, length, 0, 0))
+    v_cache = lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), (0, length, 0, 0))
+
+    Smax = k_cache.shape[1]
+    k_pos = jnp.arange(Smax)[None, :]
+    q_pos = length + jnp.arange(T)[:, None]
+    causal = k_pos[None] <= q_pos[None, :, :]  # (1, T, Smax): see past + own position
+    allowed = jnp.logical_and(causal, attn_mask[:, None, :])  # (B, T, Smax)
+    out = mha(q, k_cache, v_cache, mask=allowed[:, None], scale=D**-0.5)
+    out = dense(out.reshape(B, T, Hq * D), params["dense"])
+    return out, k_cache, v_cache
+
+
+# ---------------------------------------------------------------------------
+# Decoder layer + model
+# ---------------------------------------------------------------------------
+
+
+def decoder_layer_apply(layer_params, cfg, x, cos, sin, k_cache, v_cache, length, attn_mask, image_mask, audio_mask):
+    h = rms_norm(x, layer_params["input_layernorm"]["w"], eps=cfg.rms_norm_eps)
+    a, nk, nv = attention_apply(layer_params["attention"], cfg, h, cos, sin, k_cache, v_cache, length, attn_mask)
+    x = x + a
+    h = rms_norm(x, layer_params["post_attention_layernorm"]["w"], eps=cfg.rms_norm_eps)
+    x = x + moe_block_apply(layer_params["mlp"], cfg, h, image_mask, audio_mask)
+    return x, nk, nv
+
+
+def bailing_forward(
+    params,
+    cfg: BailingMoeConfig,
+    inputs_embeds,
+    cache: LLMCache,
+    attn_mask,
+    positions=None,
+    image_mask=None,
+    audio_mask=None,
+):
+    """Run T tokens through the decoder stack, appending to the cache.
+
+    inputs_embeds: (B, T, h); attn_mask: bool (B, Smax) over the FULL cache
+    (positions >= cache.length+T are ignored via the causal bound);
+    positions: optional (B, T) or (3, B, T) int positions — default is
+    cache.length + arange(T) broadcast (flat 3D-RoPE planes).
+
+    Returns (hidden_states (B, T, h), new_cache).
+    """
+    B, T, h = inputs_embeds.shape
+    if positions is None:
+        positions = cache.length + jnp.arange(T)[None, :]
+        positions = jnp.broadcast_to(positions, (B, T))
+    if positions.ndim == 2:
+        cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    else:
+        cos, sin = mrope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, cfg.mrope_section)
+
+    attn_mask = attn_mask.astype(bool)
+
+    def body(carry, inp):
+        x = carry
+        layer_params, kc, vc = inp
+        x, nk, nv = decoder_layer_apply(
+            layer_params, cfg, x, cos, sin, kc, vc, cache.length, attn_mask, image_mask, audio_mask
+        )
+        return x, (nk, nv)
+
+    x, (nk, nv) = lax.scan(body, inputs_embeds, (params["layers"], cache.k, cache.v))
+    x = rms_norm(x, params["norm"]["w"], eps=cfg.rms_norm_eps)
+    return x, LLMCache(nk, nv, cache.length + T)
+
+
+def compute_logits(params, cfg: BailingMoeConfig, hidden_states):
+    """LM head with optional norm_head (column-L2-normalized weight, :1604-1620)."""
+    w = params["lm_head"]["w"]  # (h, vocab)
+    if cfg.norm_head:
+        wf = w.astype(jnp.float32)
+        w = wf / (jnp.linalg.norm(wf, axis=1, keepdims=True) + 1e-7)
+    y = jnp.einsum("bth,hv->btv", hidden_states, dequant_weight(w, hidden_states.dtype), preferred_element_type=jnp.float32, precision=_prec(hidden_states))
+    return y  # fp32 logits (reference casts .float())
+
+
+def embed_tokens(params, input_ids):
+    from mingunivision_tpu.utils.quantize import QuantizedArray
+
+    w = params["word_embeddings"]["w"]
+    if isinstance(w, QuantizedArray):
+        rows = jnp.take(w.q, input_ids, axis=0).astype(jnp.float32)
+        return rows * w.s[0]  # s is (1, hidden), row-invariant; caller casts
+    return jnp.take(w, input_ids, axis=0)

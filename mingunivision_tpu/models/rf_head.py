@@ -1,0 +1,217 @@
+"""Rectified-flow head: AdaLN SwiGLU-MLP velocity field + Euler ODE sampler.
+
+Parity map against reference mingunivision/diff_loss_rf_swiglu.py:
+  - SimpleMLPAdaLN: input_proj, cond = time_embed(t*1000) + cond_embed(z),
+    12 x ResBlock(AdaLN shift/scale/gate over SwiGLUFFNFused), FinalLayer
+    AdaLN-zero (:295-385).
+  - TimestepEmbedder: sinusoidal [cos, sin] table + 2-layer SiLU MLP (:188-239).
+  - sample(): Euler from shared noise (same noise row tiled across the CFG batch
+    when text_cfg != 1, :117-121), 16 steps, per-step 3-way guidance
+    v = v_u + icfg*(v_tu - v_u) + tcfg*(v_c - v_tu) (:148-149), optional channel
+    cfg-renorm (:151-156) and time-shifted schedule (:127-134), x += v*dt (:175-179).
+
+TPU-first: the whole sampler is a `lax.fori_loop` over steps inside jit; the CFG
+batch is one batched net eval (the reference evaluates the net on a 3-row batch
+too, but through Python-loop scheduling).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from mingunivision_tpu.config import RFHeadConfig
+from mingunivision_tpu.ops.activations import swiglu, swiglu_hidden_dim
+from mingunivision_tpu.ops.linear import dense
+from mingunivision_tpu.ops.norms import layer_norm
+from mingunivision_tpu.utils.init import linear_init, zeros_linear_init
+
+
+def init_rf_head_params(key, cfg: RFHeadConfig, dtype=jnp.float32):
+    ks = jax.random.split(key, 6)
+    w = cfg.width
+    hidden = swiglu_hidden_dim(w * cfg.mlp_mult)
+
+    def block_init(k):
+        k1, k2, k3 = jax.random.split(k, 3)
+        return {
+            "in_ln": {"w": jnp.ones((w,), dtype), "b": jnp.zeros((w,), dtype)},
+            "mlp": {
+                "w12": linear_init(k1, w, 2 * hidden, dtype=dtype),
+                "w3": linear_init(k2, hidden, w, dtype=dtype),
+            },
+            # AdaLN-zero init (reference :352-355)
+            "adaLN": zeros_linear_init(w, 3 * w, dtype=dtype),
+        }
+
+    blocks = [block_init(k) for k in jax.random.split(ks[0], cfg.depth)]
+    blocks = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+    return {
+        "time_embed": {
+            "fc1": linear_init(ks[1], cfg.freq_embed_size, w, dtype=dtype),
+            "fc2": linear_init(ks[2], w, w, dtype=dtype),
+        },
+        "cond_embed": linear_init(ks[3], cfg.z_channels, w, dtype=dtype),
+        "input_proj": linear_init(ks[4], cfg.target_channels, w, dtype=dtype),
+        "res_blocks": blocks,
+        "final_layer": {
+            "adaLN": zeros_linear_init(w, 2 * w, dtype=dtype),
+            "linear": zeros_linear_init(w, cfg.target_channels, dtype=dtype),
+        },
+    }
+
+
+def timestep_embedding(t, dim: int, max_period: float = 10000.0):
+    """Sinusoidal embedding, [cos, sin] order (reference :216-234). t: (B,)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+def _modulate(x, shift, scale):
+    return x * (1 + scale) + shift
+
+
+def rf_net_apply(params, cfg: RFHeadConfig, x, t, z):
+    """Velocity field. x: (B, C_target), t: (B,), z: (B, z_channels)."""
+    h = dense(x, params["input_proj"])
+    temb = timestep_embedding(t * 1000.0, cfg.freq_embed_size).astype(h.dtype)
+    temb = dense(jax.nn.silu(dense(temb, params["time_embed"]["fc1"]).astype(jnp.float32)).astype(h.dtype), params["time_embed"]["fc2"])
+    # reference: mlp = Linear -> SiLU -> Linear (silu between the two)
+    y = temb + dense(z, params["cond_embed"])
+
+    def body(carry, blk):
+        hx = carry
+        mod = dense(jax.nn.silu(y.astype(jnp.float32)).astype(hx.dtype), blk["adaLN"])
+        shift, scale, gate = jnp.split(mod, 3, axis=-1)
+        hh = _modulate(layer_norm(hx, blk["in_ln"]["w"], blk["in_ln"]["b"], eps=cfg.ln_eps), shift, scale)
+        hh = dense(swiglu(dense(hh, blk["mlp"]["w12"])), blk["mlp"]["w3"])
+        return hx + gate * hh, None
+
+    h, _ = lax.scan(body, h, params["res_blocks"])
+
+    fl = params["final_layer"]
+    mod = dense(jax.nn.silu(y.astype(jnp.float32)).astype(h.dtype), fl["adaLN"])
+    shift, scale = jnp.split(mod, 2, axis=-1)
+    h = _modulate(layer_norm(h, eps=cfg.ln_eps), shift, scale)
+    return dense(h, fl["linear"])
+
+
+def _time_grid(cfg: RFHeadConfig, time_shifting_factor: Optional[float]):
+    steps = cfg.num_sampling_steps
+    if time_shifting_factor:
+        a = float(time_shifting_factor)
+        ts = jnp.linspace(0.0, 1.0, steps + 1)
+        ts = ts / (ts + a - a * ts)
+        ts = 1.0 - ts
+        dt = ts[:-1] - ts[1:]
+        return ts[:-1], dt
+    ts = jnp.linspace(1.0, 0.0, steps + 1)[:-1]
+    dt = jnp.full((steps,), 1.0 / steps)
+    return ts, dt
+
+
+def rf_sample(
+    params,
+    cfg: RFHeadConfig,
+    z,
+    key,
+    *,
+    temperature: float = 1.0,
+    text_cfg: float = 1.0,
+    image_cfg: float = 1.0,
+    cfg_renorm_type: Optional[str] = None,
+    time_shifting_factor: Optional[float] = None,
+    noise=None,
+):
+    """Euler-ODE sampling of a continuous latent conditioned on z.
+
+    z: (B, z_channels). For the CFG path, B is the CFG batch (2 or 3 rows,
+    [cond, uncond(, text_uncond)]): the guidance structure follows the batch size
+    (reference :144-171 branches on b_num) and ONE shared noise row is tiled
+    across the rows (:117-121). text_cfg/image_cfg may be python floats OR traced
+    scalars (cfg schedules) — the branch structure is static, the values aren't.
+
+    Returns (B, target_channels) — every row holds the guided sample.
+    """
+    B = z.shape[0]
+    dtype = z.dtype
+    cfg_rows = B if B in (2, 3) else 1
+    if noise is None:
+        if cfg_rows > 1:
+            noise = jax.random.normal(key, (1, cfg.target_channels), jnp.float32)
+            noise = jnp.tile(noise, (B, 1)) * temperature
+        else:
+            noise = jax.random.normal(key, (B, cfg.target_channels), jnp.float32) * temperature
+    else:
+        noise = jnp.asarray(noise, jnp.float32)
+        if noise.shape[0] == 1 and B > 1:
+            noise = jnp.tile(noise, (B, 1))
+        noise = noise * temperature
+
+    ts, dts = _time_grid(cfg, time_shifting_factor)
+
+    def step(i, x):
+        t_batch = jnp.full((B,), ts[i], jnp.float32)
+        if cfg_rows == 3:
+            third = B // 3
+            half = x[:third]
+            combined = jnp.concatenate([half, half, half], axis=0)
+            v_all = rf_net_apply(params, cfg, combined.astype(dtype), t_batch, z).astype(jnp.float32)
+            v_c, v_u, v_tu = jnp.split(v_all, 3, axis=0)
+            v = v_u + image_cfg * (v_tu - v_u) + text_cfg * (v_c - v_tu)
+            if cfg_renorm_type == "channel":
+                scale = jnp.clip(
+                    jnp.linalg.norm(v_c, axis=-1, keepdims=True)
+                    / jnp.linalg.norm(v, axis=-1, keepdims=True)
+                    + 1e-8,
+                    0.0,
+                    1.0,
+                )
+                v = v * scale
+            v = jnp.concatenate([v, v, v], axis=0)
+        elif cfg_rows == 2:
+            halfn = B // 2
+            half = x[:halfn]
+            combined = jnp.concatenate([half, half], axis=0)
+            v_all = rf_net_apply(params, cfg, combined.astype(dtype), t_batch, z).astype(jnp.float32)
+            v_c, v_u = jnp.split(v_all, 2, axis=0)
+            v = v_u + text_cfg * (v_c - v_u)
+            if cfg_renorm_type == "channel":
+                scale = jnp.clip(
+                    jnp.linalg.norm(v_c, axis=-1, keepdims=True)
+                    / jnp.linalg.norm(v, axis=-1, keepdims=True)
+                    + 1e-8,
+                    0.0,
+                    1.0,
+                )
+                v = v * scale
+            v = jnp.concatenate([v, v], axis=0)
+        else:
+            v = rf_net_apply(params, cfg, x.astype(dtype), t_batch, z).astype(jnp.float32)
+        return x + v * dts[i]
+
+    x = lax.fori_loop(0, cfg.num_sampling_steps, step, noise)
+    return x.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# vis_head (Linear + LayerNorm, "linear2-norm" — modeling_bailing_moe.py:1570-1573)
+# ---------------------------------------------------------------------------
+
+
+def init_vis_head_params(key, hidden_size: int, z_channels: int, dtype=jnp.float32):
+    return {
+        "linear": linear_init(key, hidden_size, z_channels, dtype=dtype),
+        "norm": {"w": jnp.ones((z_channels,), dtype), "b": jnp.zeros((z_channels,), dtype)},
+    }
+
+
+def vis_head_apply(params, x, eps: float = 1e-6):
+    y = dense(x, params["linear"])
+    return layer_norm(y, params["norm"]["w"], params["norm"]["b"], eps=eps)

@@ -1,0 +1,121 @@
+"""Weight-only int8 quantization.
+
+Reference tiers (mingunivisioninfer.py:46-78, README VRAM 44/22/14 GB): int8 via
+optimum-quanto, int4 via bitsandbytes NF4. TPU equivalent: symmetric per-channel
+int8 weights dequantized inside the matmul read — XLA fuses convert+scale into
+the weight stream, so HBM traffic (the decode bottleneck) halves while compute
+stays bf16 on the MXU. int4 is packed two-nibbles-per-byte with the same scheme.
+
+`QuantizedArray` is a pytree leaf-pair; every weight consumer goes through
+`dequant_weight` / `take_weight` so quantized and full-precision params are
+interchangeable everywhere (models, engine, sharding).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_pytree_node_class
+class QuantizedArray:
+    """Pytree container: (q, s) are children, `bits` is static aux data — so
+    `lax.scan` can unstack layer-stacked quantized weights without touching a
+    0-d metadata leaf."""
+
+    __slots__ = ("q", "s", "bits")
+
+    def __init__(self, q, s, bits: int = 8):
+        self.q = q
+        self.s = s
+        self.bits = int(bits) if not hasattr(bits, "dtype") else int(bits)
+
+    def tree_flatten(self):
+        return (self.q, self.s), self.bits
+
+    @classmethod
+    def tree_unflatten(cls, bits, children):
+        return cls(children[0], children[1], bits)
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    @property
+    def dtype(self):
+        return self.q.dtype
+
+    def __repr__(self):
+        return f"QuantizedArray(shape={getattr(self.q, 'shape', '?')}, bits={self.bits})"
+
+
+def _scale_axes(ndim: int):
+    """Per-output-channel scales: reduce over the CONTRACTION axis, which in all
+    our layouts — (in, out), (E, in, out), layer-stacked (L, E, in, out) — is the
+    second-to-last axis."""
+    return ndim - 2
+
+
+def quantize_array(w, bits: int = 8) -> QuantizedArray:
+    w = jnp.asarray(w, jnp.float32)
+    ax = _scale_axes(w.ndim)
+    amax = jnp.max(jnp.abs(w), axis=ax, keepdims=True)
+    qmax = 127.0 if bits == 8 else 7.0
+    s = jnp.maximum(amax / qmax, 1e-8)
+    q = jnp.clip(jnp.round(w / s), -qmax, qmax).astype(jnp.int8)
+    return QuantizedArray(q, s.astype(jnp.float32), bits)
+
+
+def dequant_weight(w, dtype):
+    """Weight fetch: dequantize QuantizedArray or plain-cast a dense array."""
+    if isinstance(w, QuantizedArray):
+        return (w.q.astype(jnp.float32) * w.s).astype(dtype)
+    return w.astype(dtype)
+
+
+def take_weight(w, idx, axis: int = 0):
+    """Expert gather that works on quantized or dense stacked weights.
+
+    A size-1 (broadcast) scale axis is left untouched — gathering it with real
+    indices would be out-of-bounds (JAX fills with NaN).
+    """
+    if isinstance(w, QuantizedArray):
+        s = w.s if w.s.shape[axis] == 1 else jnp.take(w.s, idx, axis=axis)
+        return QuantizedArray(jnp.take(w.q, idx, axis=axis), s, w.bits)
+    return jnp.take(w, idx, axis=axis)
+
+
+_QUANT_MIN_SIZE = 1 << 16  # don't quantize small tensors (norms, biases, gates)
+
+
+def quantize_tree(params, bits: int = 8, min_size: int = _QUANT_MIN_SIZE):
+    """Quantize every large >=2-D floating leaf of a param pytree.
+
+    Router gates, norms and biases stay fp (routing numerics are fp32-sensitive,
+    reference gate softmax :509-511).
+    """
+
+    def visit(path, x):
+        if not hasattr(x, "ndim") or x.ndim < 2:
+            return x
+        if not jnp.issubdtype(x.dtype, jnp.floating):
+            return x
+        if int(np.prod(x.shape)) < min_size:
+            return x
+        pstr = ".".join(str(getattr(p, "key", getattr(p, "idx", ""))) for p in path)
+        if "gate.w" in pstr or "image_gate" in pstr or "audio_gate" in pstr:
+            return x  # keep routers full precision
+        return quantize_array(x, bits)
+
+    return jax.tree_util.tree_map_with_path(visit, params)
+
+
+def quantized_size_bytes(params) -> int:
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(params):
+        if hasattr(leaf, "size") and hasattr(leaf, "dtype"):
+            total += leaf.size * leaf.dtype.itemsize
+    return total

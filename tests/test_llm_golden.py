@@ -1,0 +1,214 @@
+"""Golden parity: our Bailing-MoE vs the PyTorch reference (CPU, tiny config)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO_ROOT, "tools"))
+
+torch = pytest.importorskip("torch")
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir("/root/reference"), reason="reference snapshot not mounted"
+)
+
+from mingunivision_tpu.config import BailingMoeConfig  # noqa: E402
+from mingunivision_tpu.models.bailing_moe import (  # noqa: E402
+    LLMCache,
+    bailing_forward,
+    compute_logits,
+    embed_tokens,
+    moe_route,
+)
+from mingunivision_tpu.utils.convert import bailing_moe_params_from_torch  # noqa: E402
+
+
+def tiny_cfg() -> BailingMoeConfig:
+    return BailingMoeConfig(
+        vocab_size=512,
+        hidden_size=64,
+        num_hidden_layers=2,
+        # head_dim must be 128: the reference hardcodes mrope_section=[16,24,24]
+        # in apply_multimodal_rotary_pos_emb (modeling_bailing_moe.py:463-469)
+        num_attention_heads=2,
+        num_key_value_heads=1,
+        head_dim=128,
+        intermediate_size=128,
+        moe_intermediate_size=32,
+        num_experts=8,
+        num_experts_per_tok=2,
+        num_shared_experts=2,
+        max_position_embeddings=256,
+        mrope_section=(16, 24, 24),
+        rope_theta=600000.0,
+    )
+
+
+@pytest.fixture(scope="module")
+def ref_and_params():
+    import refutil
+
+    mbm = refutil.import_reference_llm()
+    torch.manual_seed(0)
+    cfg = tiny_cfg()
+    ref_cfg = mbm.BailingMoeConfig(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.hidden_size,
+        num_hidden_layers=cfg.num_hidden_layers,
+        num_attention_heads=cfg.num_attention_heads,
+        num_key_value_heads=cfg.num_key_value_heads,
+        head_dim=cfg.head_dim,
+        intermediate_size=cfg.intermediate_size,
+        moe_intermediate_size=cfg.moe_intermediate_size,
+        num_experts=cfg.num_experts,
+        num_experts_per_tok=cfg.num_experts_per_tok,
+        num_shared_experts=cfg.num_shared_experts,
+        first_k_dense_replace=0,
+        norm_topk_prob=True,
+        multi_gate=True,
+        max_position_embeddings=cfg.max_position_embeddings,
+        rope_theta=cfg.rope_theta,
+        rope_scaling={"type": "3D", "factor": None},
+        use_qkv_bias=False,
+        use_bias=False,
+        embedding_dropout=0.0,
+        attention_dropout=0.0,
+        output_dropout=0.0,
+        _attn_implementation="eager",
+        use_cache=True,
+        pad_token_id=0,  # default 126081 would overflow the tiny vocab
+        eos_token_id=0,
+        image_patch_token=499,
+        image_start_token=510,  # stored via PretrainedConfig kwargs; forward checks it
+        num_image_tokens_for_gen=4,
+    )
+    ref = mbm.BailingMoeForCausalLM(ref_cfg).eval()
+    params = bailing_moe_params_from_torch(ref.state_dict(), cfg)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    return mbm, ref, params, cfg
+
+
+def _pos3(B, start, T):
+    p = torch.arange(start, start + T).view(1, 1, T).expand(3, B, T)
+    return p
+
+
+class TestForwardParity:
+    def test_prefill_logits(self, ref_and_params):
+        mbm, ref, params, cfg = ref_and_params
+        B, T = 1, 9
+        ids = np.random.default_rng(0).integers(0, cfg.vocab_size, (B, T))
+        with torch.no_grad():
+            out = ref(
+                input_ids=torch.tensor(ids),
+                attention_mask=torch.ones(B, T, dtype=torch.long),
+                position_ids=_pos3(B, 0, T),
+                use_cache=False,
+                return_dict=True,
+            )
+        want = out.logits.numpy()
+
+        cache = LLMCache.create(cfg, B, 16, dtype=jnp.float32)
+        mask = np.zeros((B, 16), bool)
+        mask[:, :T] = True
+        embeds = embed_tokens(params, jnp.asarray(ids))
+        hidden, _ = bailing_forward(params, cfg, embeds, cache, jnp.asarray(mask))
+        got = np.asarray(compute_logits(params, cfg, hidden))
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+    def test_cached_decode_matches_reference(self, ref_and_params):
+        mbm, ref, params, cfg = ref_and_params
+        from transformers.cache_utils import DynamicCache
+
+        # the reference targets an older transformers API; shim the removed method
+        if not hasattr(DynamicCache, "get_usable_length"):
+            DynamicCache.get_usable_length = lambda self, new_seq_len, layer_idx=0: self.get_seq_length(layer_idx)
+
+        B, T = 1, 6
+        ids = np.random.default_rng(1).integers(0, cfg.vocab_size, (B, T))
+
+        # reference: token-by-token with DynamicCache and 3D positions
+        past = DynamicCache()
+        ref_logits = []
+        with torch.no_grad():
+            for t in range(T):
+                out = ref(
+                    input_ids=torch.tensor(ids[:, t : t + 1]),
+                    attention_mask=torch.ones(B, t + 1, dtype=torch.long),
+                    position_ids=_pos3(B, t, 1),
+                    past_key_values=past,
+                    use_cache=True,
+                    return_dict=True,
+                )
+                past = out.past_key_values
+                ref_logits.append(out.logits.numpy())
+        want = np.concatenate(ref_logits, axis=1)
+
+        cache = LLMCache.create(cfg, B, 16, dtype=jnp.float32)
+        mask = np.zeros((B, 16), bool)
+        outs = []
+        for t in range(T):
+            mask[:, t] = True
+            embeds = embed_tokens(params, jnp.asarray(ids[:, t : t + 1]))
+            hidden, cache = bailing_forward(params, cfg, embeds, cache, jnp.asarray(mask))
+            outs.append(np.asarray(compute_logits(params, cfg, hidden)))
+        got = np.concatenate(outs, axis=1)
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+    def test_image_gate_routing_changes_output(self, ref_and_params):
+        mbm, ref, params, cfg = ref_and_params
+        B, T = 1, 5
+        ids = np.random.default_rng(2).integers(0, cfg.vocab_size, (B, T))
+        img_mask = np.zeros((B, T), bool)
+        img_mask[:, 2:] = True
+        with torch.no_grad():
+            out = ref(
+                input_ids=torch.tensor(ids),
+                attention_mask=torch.ones(B, T, dtype=torch.long),
+                position_ids=_pos3(B, 0, T),
+                image_mask=torch.tensor(img_mask),
+                use_cache=False,
+                return_dict=True,
+            )
+        want = out.logits.numpy()
+
+        cache = LLMCache.create(cfg, B, 8, dtype=jnp.float32)
+        mask = np.zeros((B, 8), bool)
+        mask[:, :T] = True
+        embeds = embed_tokens(params, jnp.asarray(ids))
+        hidden, _ = bailing_forward(
+            params, cfg, embeds, cache, jnp.asarray(mask), image_mask=jnp.asarray(img_mask)
+        )
+        got = np.asarray(compute_logits(params, cfg, hidden))
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+        # and the routing genuinely differs from the text-gate path
+        hidden2, _ = bailing_forward(params, cfg, embeds, cache, jnp.asarray(mask))
+        assert not np.allclose(np.asarray(hidden2), np.asarray(hidden), atol=1e-5)
+
+
+class TestRouterParity:
+    def test_topk_routing_matches_reference_gate(self, ref_and_params):
+        mbm, ref, params, cfg = ref_and_params
+        gate = ref.model.layers[0].mlp.gate
+        x = np.random.default_rng(3).standard_normal((1, 7, cfg.hidden_size)).astype(np.float32)
+        with torch.no_grad():
+            want_idx, want_w, _ = gate(torch.tensor(x))
+        got_idx, got_w, _ = moe_route(
+            params["layers"]["mlp"]["gate"]["w"][0],
+            jnp.asarray(x.reshape(-1, cfg.hidden_size)),
+            cfg.num_experts_per_tok,
+            cfg.norm_topk_prob,
+        )
+        # same expert SETS and weights (order may differ on exact ties)
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(got_idx), axis=-1), np.sort(want_idx.numpy(), axis=-1)
+        )
+        np.testing.assert_allclose(
+            np.sort(np.asarray(got_w), axis=-1), np.sort(want_w.numpy(), axis=-1), rtol=1e-4, atol=1e-5
+        )

@@ -1,0 +1,73 @@
+"""Weight-only int8 quantization tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mingunivision_tpu.config import tiny_llm_config
+from mingunivision_tpu.models.bailing_moe import (
+    LLMCache,
+    bailing_forward,
+    compute_logits,
+    embed_tokens,
+    init_bailing_moe_params,
+)
+from mingunivision_tpu.ops.linear import dense
+from mingunivision_tpu.utils.pytree import tree_size_bytes
+from mingunivision_tpu.utils.quantize import QuantizedArray, dequant_weight, quantize_array, quantize_tree
+
+
+class TestQuantizeArray:
+    def test_roundtrip_error_bounded(self):
+        w = np.random.default_rng(0).standard_normal((64, 128)).astype(np.float32)
+        q = quantize_array(jnp.asarray(w), bits=8)
+        back = np.asarray(dequant_weight(q, jnp.float32))
+        # per-column max-abs symmetric int8: error <= scale/2 = amax/254
+        amax = np.abs(w).max(axis=0, keepdims=True)
+        assert np.all(np.abs(back - w) <= amax / 254 + 1e-7)
+
+    def test_dense_with_quantized_weight(self):
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((4, 64)).astype(np.float32)
+        w = rng.standard_normal((64, 32)).astype(np.float32)
+        full = np.asarray(dense(jnp.asarray(x), {"w": jnp.asarray(w)}))
+        quant = np.asarray(dense(jnp.asarray(x), {"w": quantize_array(jnp.asarray(w))}))
+        rel = np.abs(full - quant).max() / (np.abs(full).max() + 1e-6)
+        assert rel < 0.02
+
+    def test_expert_stack_scales_per_expert(self):
+        w = np.random.default_rng(2).standard_normal((4, 16, 8)).astype(np.float32)
+        w[2] *= 100.0  # one expert with large weights must not wreck others
+        q = quantize_array(jnp.asarray(w))
+        back = np.asarray(dequant_weight(q, jnp.float32))
+        assert np.abs(back - w).max() / 100 < 0.01
+        assert np.abs(back[0] - w[0]).max() < 0.02
+
+
+class TestQuantizedLLM:
+    def test_quantized_forward_close_and_smaller(self):
+        cfg = tiny_llm_config()
+        params = init_bailing_moe_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        qparams = quantize_tree(params, bits=8, min_size=1024)
+
+        # routers must stay full precision
+        assert not isinstance(qparams["layers"]["mlp"]["gate"]["w"], QuantizedArray)
+        assert isinstance(qparams["layers"]["mlp"]["experts"]["gate_proj"], QuantizedArray)
+        assert tree_size_bytes(qparams) < 0.5 * tree_size_bytes(params)
+
+        ids = np.random.default_rng(0).integers(0, cfg.vocab_size, (1, 8))
+        mask = jnp.zeros((1, 16), bool).at[:, :8].set(True)
+
+        def run(p):
+            cache = LLMCache.create(cfg, 1, 16, jnp.float32)
+            h, _ = bailing_forward(p, cfg, embed_tokens(p, jnp.asarray(ids)), cache, mask)
+            return np.asarray(compute_logits(p, cfg, h))
+
+        full = run(params)
+        quant = run(qparams)
+        # random-init logits are near-uniform, so compare distributions, not argmax
+        assert np.abs(full - quant).max() / (np.abs(full).max() + 1e-6) < 0.1
+        corr = np.corrcoef(full.reshape(-1), quant.reshape(-1))[0, 1]
+        assert corr > 0.99
