@@ -1,0 +1,162 @@
+"""Speech stack tests: sentence manager / TN, talker LM decode, detokenizer,
+streaming pipeline (tiny configs, CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mingunivision_tpu.talker.detokenizer import AudioDetokenizer, FlowConfig, HiFTConfig
+from mingunivision_tpu.talker.model import BailingTalker, TalkerConfig
+from mingunivision_tpu.talker.qwen2 import Qwen2Config
+from mingunivision_tpu.talker.s3bpe import S3BpeTokenizer
+from mingunivision_tpu.talker.sentence_manager import (
+    SentenceManager,
+    SentenceManagerConfig,
+    TextNormalizer,
+    _int_to_zh,
+)
+from mingunivision_tpu.talker.streaming import OmniAudioPipeline
+
+
+class TestTextNorm:
+    def test_int_to_zh(self):
+        assert _int_to_zh(0) == "零"
+        assert _int_to_zh(15) == "十五"
+        assert _int_to_zh(105) == "一百零五"
+        assert _int_to_zh(1234) == "一千二百三十四"
+        assert _int_to_zh(10000) == "一万"
+
+    def test_normalizer_patterns(self):
+        tn = TextNormalizer()
+        assert tn("价格是￥35") == "价格是三十五元"
+        assert tn("增长了12%") == "增长了百分之十二"
+        assert "一" in tn("电话13812345678")
+        assert tn("共3个") == "共三个"
+
+    def test_punct_mapping(self):
+        tn = TextNormalizer()
+        assert tn("他说“你好”") == "他说你好"
+
+
+class TestSentenceManager:
+    def test_streaming_split(self):
+        sm = SentenceManager(SentenceManagerConfig(min_sentence_len=2, normalize=False))
+        sm.put("今天天气")
+        assert sm.get() is None
+        sm.put("很好。明天")
+        assert sm.get() == "今天天气很好。"
+        sm.finish()
+        assert sm.get() == "明天"
+
+    def test_min_length_policy(self):
+        sm = SentenceManager(SentenceManagerConfig(min_sentence_len=6, normalize=False))
+        sm.put("好。还要继续说下去。")
+        out = sm.get_all()
+        assert out == ["好。还要继续说下去。"]
+
+
+def tiny_talker_cfg() -> TalkerConfig:
+    return TalkerConfig(
+        qwen2=Qwen2Config(
+            vocab_size=128 + 64,
+            hidden_size=64,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=16,
+            intermediate_size=128,
+        ),
+        text_vocab_size=128,
+        audio_vocab_size=64,
+        qa_model_hidden_size=32,
+        vp_feature_size=8,
+        max_audio_tokens=12,
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_talker():
+    return BailingTalker.random_init(jax.random.PRNGKey(0), tiny_talker_cfg(), dtype=jnp.float32)
+
+
+class TestTalkerLM:
+    def test_generate_audio_tokens_in_codec_range(self, tiny_talker):
+        cfg = tiny_talker.cfg
+        ids = np.random.default_rng(0).integers(0, cfg.text_vocab_size, (1, 6))
+        codec = tiny_talker.generate_audio_tokens(ids, max_len=64)
+        assert len(codec) <= cfg.max_audio_tokens
+        assert all(0 <= c < cfg.audio_vocab_size for c in codec)
+
+    def test_thinker_and_vp_injection_changes_output(self, tiny_talker):
+        cfg = tiny_talker.cfg
+        ids = np.random.default_rng(1).integers(0, cfg.text_vocab_size, (1, 6))
+        a = tiny_talker.generate_audio_tokens(ids, max_len=64)
+        th = np.random.default_rng(2).standard_normal((1, 2, cfg.qa_model_hidden_size)).astype(np.float32)
+        tiny_talker.key = jax.random.PRNGKey(0)
+        b = tiny_talker.generate_audio_tokens(ids, thinker_hidden=th, thinker_insert_loc=1, max_len=64)
+        assert a != b or len(a) != len(b)  # conditioning must matter
+
+
+class TestS3Bpe:
+    def test_identity_roundtrip(self):
+        t = S3BpeTokenizer()
+        ids = [5, 9, 1]
+        enc, n = t.encode(ids)
+        assert enc == ids and n == 3
+        assert t.decode(enc) == ids
+
+
+@pytest.fixture(scope="module")
+def tiny_detok():
+    return AudioDetokenizer.random_init(
+        jax.random.PRNGKey(0),
+        FlowConfig(codec_vocab=64, token_dim=32, mel_dim=16, channels=32, depth=2, num_ode_steps=2),
+        HiFTConfig(mel_dim=16, base_channels=32, upsample_rates=(4, 4), upsample_kernels=(8, 8)),
+    )
+
+
+class TestDetokenizer:
+    def test_token2wav_shapes_and_crossfade(self, tiny_detok):
+        tokens = np.random.default_rng(0).integers(0, 64, (1, 10))
+        wav1, state = tiny_detok.token2wav(tokens, jax.random.PRNGKey(1))
+        assert wav1.dtype == np.float32 and wav1.ndim == 1 and len(wav1) > 0
+        # mel frames = 10 tokens * 2, upsample 16x => 320 samples total
+        wav2, state = tiny_detok.token2wav(tokens, jax.random.PRNGKey(2), state)
+        tail = tiny_detok.flush(state)
+        assert len(tail) > 0
+        assert np.abs(np.concatenate([wav1, wav2, tail])).max() <= 1.0
+
+
+class TestStreamingPipeline:
+    def test_end_to_end_stream(self, tiny_talker, tiny_detok):
+        cfg = tiny_talker.cfg
+
+        def tokenize(s):
+            return [hash(ch) % cfg.text_vocab_size for ch in s][:8] or [1]
+
+        pipe = OmniAudioPipeline(
+            tiny_talker,
+            tiny_detok,
+            tokenize,
+            sm_config=SentenceManagerConfig(min_sentence_len=2, normalize=True),
+        )
+        chunks = list(pipe.stream(iter(["今天天气很好。", "再见。"])))
+        assert chunks[-1].is_last
+        speech = [c for c in chunks if not c.is_last]
+        assert len(speech) == 2
+        assert all(c.wav.dtype == np.float32 for c in speech)
+
+    def test_threaded_stream_matches_sync_sentences(self, tiny_talker, tiny_detok):
+        cfg = tiny_talker.cfg
+
+        def tokenize(s):
+            return [hash(ch) % cfg.text_vocab_size for ch in s][:8] or [1]
+
+        pipe = OmniAudioPipeline(
+            tiny_talker, tiny_detok, tokenize, sm_config=SentenceManagerConfig(min_sentence_len=2)
+        )
+        chunks = list(pipe.stream_threaded(iter(["你好。", "世界。"])))
+        assert chunks[-1].is_last
+        assert len([c for c in chunks if not c.is_last]) == 2
