@@ -22,14 +22,32 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 
-def load_safetensors_dir(path: str, dtype=None) -> Dict[str, np.ndarray]:
-    """Load every *.safetensors shard in `path` into one flat name->array dict."""
-    from safetensors import safe_open
+def load_safetensors_dir(path: str, dtype=None, use_native: bool = True) -> Dict[str, np.ndarray]:
+    """Load every *.safetensors shard in `path` into one flat name->array dict.
 
+    With `use_native` (default) shards are mmap'd and materialized through the
+    multithreaded C++ reader (utils/native_io.py) — the fast path for 16B-class
+    checkpoints; falls back to the `safetensors` python reader otherwise.
+    """
     out: Dict[str, np.ndarray] = {}
     shards = sorted(f for f in os.listdir(path) if f.endswith(".safetensors"))
     if not shards:
         raise FileNotFoundError(f"no .safetensors shards under {path}")
+
+    if use_native:
+        from mingunivision_tpu.utils.native_io import SafetensorsFile, load_native
+
+        if load_native() is not None:
+            for shard in shards:
+                f = SafetensorsFile(os.path.join(path, shard))
+                for name in f.keys():
+                    arr = f.read(name)
+                    out[name] = arr if dtype is None else arr.astype(dtype)
+                f.close()
+            return out
+
+    from safetensors import safe_open
+
     for shard in shards:
         with safe_open(os.path.join(path, shard), framework="np") as f:
             for name in f.keys():

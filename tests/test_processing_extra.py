@@ -1,0 +1,136 @@
+"""Tests: MRoPE position builder, dynamic-res processor, media utils, metrics."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mingunivision_tpu.processing.dynamic_image import (
+    ASPECT_RATIO_512,
+    DynamicImageProcessor,
+    process_ratio,
+)
+from mingunivision_tpu.processing.media import (
+    fetch_audio,
+    fetch_image,
+    process_vision_info,
+    sample_fps_indices,
+    sample_frame_indices,
+    save_wav,
+)
+from mingunivision_tpu.processing.mrope import build_mrope_positions, mrope_position_delta
+from mingunivision_tpu.utils.metrics import FeatureStats, frechet_distance, psnr, ssim
+
+IMG_PATCH = 99
+
+
+class TestMrope:
+    def test_text_only_is_flat(self):
+        pos = build_mrope_positions([1, 2, 3, 4], image_patch_token=IMG_PATCH)
+        np.testing.assert_array_equal(pos, np.tile(np.arange(4), (3, 1)))
+
+    def test_image_grid_planes(self):
+        # 2 text, 2x2 image, 1 text
+        ids = [5, 6] + [IMG_PATCH] * 4 + [7]
+        pos = build_mrope_positions(ids, image_patch_token=IMG_PATCH, image_grids=[(1, 2, 2)])
+        # t-plane constant over the image; h/w enumerate the grid
+        np.testing.assert_array_equal(pos[0], [0, 1, 2, 2, 2, 2, 4])
+        np.testing.assert_array_equal(pos[1], [0, 1, 2, 2, 3, 3, 4])
+        np.testing.assert_array_equal(pos[2], [0, 1, 2, 3, 2, 3, 4])
+        # text resumes after max+1
+        assert mrope_position_delta(pos, len(ids)) == 5 - len(ids)
+
+    def test_video_grid_advances_t(self):
+        ids = [IMG_PATCH] * 8
+        pos = build_mrope_positions(ids, image_patch_token=IMG_PATCH, image_grids=[(2, 2, 2)])
+        assert pos[0].max() == 1 and pos[1].max() == 1 and pos[2].max() == 1
+
+
+class TestDynamicProcessor:
+    def test_image_patchify_shapes(self):
+        from PIL import Image
+
+        proc = DynamicImageProcessor()
+        img = Image.fromarray(np.random.default_rng(0).integers(0, 255, (100, 150, 3), np.uint8))
+        out = proc(images=[img])
+        rows, grid = out["pixel_values"], out["image_grid_thw"]
+        t, h, w = grid[0]
+        assert t == 1
+        assert rows.shape == (t * h * w, 3 * 2 * 14 * 14)
+        assert h % 2 == 0 and w % 2 == 0  # merge-size aligned
+
+    def test_process_ratio_buckets(self):
+        assert process_ratio(512, 512) == (512, 512)
+        assert process_ratio(300, 600) == ASPECT_RATIO_512["0.5"]
+
+
+class TestMedia:
+    def test_fetch_image_base64_and_file(self, tmp_path):
+        from PIL import Image
+
+        img = Image.fromarray(np.zeros((8, 8, 3), np.uint8))
+        p = tmp_path / "a.png"
+        img.save(p)
+        assert fetch_image(str(p)).size == (8, 8)
+        import base64, io
+
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        b64 = "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
+        assert fetch_image(b64).size == (8, 8)
+
+    def test_frame_samplers(self):
+        np.testing.assert_array_equal(sample_frame_indices(5, 8), np.arange(5))
+        idx = sample_frame_indices(100, 8)
+        assert len(idx) == 8 and idx[0] == 0 and idx[-1] == 99
+        idx = sample_fps_indices(100, native_fps=25, target_fps=2, max_frames=6)
+        assert len(idx) == 6
+
+    def test_audio_roundtrip(self, tmp_path):
+        sr = 16000
+        t = np.linspace(0, 1, sr, endpoint=False)
+        wav = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        p = tmp_path / "t.wav"
+        save_wav(str(p), wav, sr)
+        back, sr2 = fetch_audio(str(p), target_sr=sr)
+        assert sr2 == sr
+        assert np.abs(back[:100] - wav[:100]).max() < 1e-3
+        # resample path
+        back8k, sr3 = fetch_audio(str(p), target_sr=8000)
+        assert sr3 == 8000 and abs(len(back8k) - 8000) <= 2
+
+    def test_process_vision_info(self, tmp_path):
+        from PIL import Image
+
+        img = Image.fromarray(np.zeros((8, 8, 3), np.uint8))
+        p = tmp_path / "b.png"
+        img.save(p)
+        msgs = [{"role": "HUMAN", "content": [{"type": "image", "image": str(p)}, {"type": "text", "text": "hi"}]}]
+        images, videos = process_vision_info(msgs)
+        assert len(images) == 1 and videos is None
+
+
+class TestMetrics:
+    def test_psnr_identity_and_noise(self):
+        a = np.random.default_rng(0).uniform(-1, 1, (3, 32, 32)).astype(np.float32)
+        assert psnr(a, a) > 100
+        noisy = a + 0.1 * np.random.default_rng(1).standard_normal(a.shape).astype(np.float32)
+        v = psnr(a, noisy)
+        assert 15 < v < 30
+
+    def test_ssim_bounds(self):
+        a = np.random.default_rng(0).uniform(-1, 1, (3, 32, 32)).astype(np.float32)
+        assert ssim(a, a) > 0.999
+        b = np.random.default_rng(1).uniform(-1, 1, (3, 32, 32)).astype(np.float32)
+        assert ssim(a, b) < 0.3
+
+    def test_frechet_distance(self):
+        rng = np.random.default_rng(0)
+        s1, s2 = FeatureStats(4), FeatureStats(4)
+        x = rng.standard_normal((500, 4))
+        s1.update(x)
+        s2.update(x + 0.0)
+        assert frechet_distance(s1, s2) < 1e-6
+        s3 = FeatureStats(4)
+        s3.update(rng.standard_normal((500, 4)) + 3.0)
+        assert frechet_distance(s1, s3) > 5
