@@ -18,20 +18,13 @@ def bench_mingtok_recon(batch: int = 8, iters: int = 10, warmup: int = 2):
     from mingunivision_tpu.config import MingTokConfig
     from mingunivision_tpu.models.mingtok import init_mingtok_params, mingtok_enc_dec
 
+    from mingunivision_tpu.utils.profiling import bench_fn
+
     cfg = MingTokConfig()
     params = init_mingtok_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     f = jax.jit(lambda p, x: mingtok_enc_dec(p, cfg, x))
     x = jax.random.normal(jax.random.PRNGKey(1), (batch, 3, 512, 512), jnp.float32)
-    y = f(params, x)
-    y.block_until_ready()
-    for _ in range(warmup):
-        y = f(params, x)
-    y.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        y = f(params, x)
-    y.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    dt = bench_fn(f, params, x, iters=iters, warmup=warmup)
     return batch / dt
 
 

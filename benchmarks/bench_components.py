@@ -16,17 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(f, *args, iters=10, warmup=2):
-    out = f(*args)
-    jax.block_until_ready(out)
-    for _ in range(warmup):
-        out = f(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = f(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+from mingunivision_tpu.utils.profiling import bench_fn as timeit  # scalar-fetch sync (axon-safe)
 
 
 def report(name, seconds, **extra):

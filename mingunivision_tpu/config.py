@@ -129,6 +129,9 @@ class PixelDecoderConfig(_JsonMixin):
     ln_eps: float = 1e-6
     loss_type: str = "L1-plain"
     norm_pix_loss: bool = True
+    # fp32 matmul mode for this decoder: "highest" = true fp32 (parity-safe),
+    # "high" = bf16x3 (~3x faster, near-fp32 accuracy)
+    matmul_precision: str = "highest"
 
 
 @dataclass(frozen=True)

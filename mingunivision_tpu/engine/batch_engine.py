@@ -1,0 +1,218 @@
+"""Continuous-batching text-generation engine (the vLLM-analog scheduler).
+
+The reference serves the LLM through vLLM's continuous batching + paged
+attention (S1, vllm/ming_lite.patch). TPU-native equivalent: a fixed pool of
+slots over one batched static KV cache with PER-SLOT lengths; every decode step
+advances all active slots in a single jitted forward (weights are read once per
+step regardless of batch — decode is bandwidth-bound, so batching is nearly
+free throughput). Requests are admitted into free slots (prefill writes the
+slot's rows), finished slots are freed immediately.
+
+Paged attention is unnecessary in this design: slots are static-shape cache
+rows, and TPU HBM is allocated once up front (no fragmentation to page over).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import queue
+import threading
+from typing import Callable, Dict, List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from mingunivision_tpu.config import BailingMoeConfig
+from mingunivision_tpu.engine.sampler import sample_token
+from mingunivision_tpu.models.bailing_moe import (
+    LLMCache,
+    bailing_forward,
+    compute_logits,
+    decoder_layer_apply,
+    embed_tokens,
+)
+from mingunivision_tpu.ops.attention import mha
+from mingunivision_tpu.ops.linear import dense
+from mingunivision_tpu.ops.norms import rms_norm
+from mingunivision_tpu.ops.rope import apply_rope, rope_cos_sin
+
+
+class BatchState(NamedTuple):
+    k: jax.Array  # (L, B, S, Hkv, D)
+    v: jax.Array
+    mask: jax.Array  # (B, S) bool — valid positions per slot
+    lengths: jax.Array  # (B,) int32 — tokens in cache per slot
+    cur: jax.Array  # (B,) int32 — next token to feed
+    active: jax.Array  # (B,) bool
+
+    @classmethod
+    def create(cls, cfg: BailingMoeConfig, slots: int, max_len: int, dtype=jnp.bfloat16):
+        shape = (cfg.num_hidden_layers, slots, max_len, cfg.num_key_value_heads, cfg.head_dim)
+        return cls(
+            jnp.zeros(shape, dtype),
+            jnp.zeros(shape, dtype),
+            jnp.zeros((slots, max_len), bool),
+            jnp.zeros((slots,), jnp.int32),
+            jnp.zeros((slots,), jnp.int32),
+            jnp.zeros((slots,), bool),
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "do_sample", "temperature", "top_k", "top_p"), donate_argnames=("state",))
+def batched_decode_step(
+    params,
+    cfg: BailingMoeConfig,
+    state: BatchState,
+    key,
+    *,
+    do_sample: bool = False,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+):
+    """One decode step for every active slot (inactive slots compute but are
+    masked from state updates). Returns (new_state, sampled (B,) int32)."""
+    B = state.cur.shape[0]
+    Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    rows = jnp.arange(B)
+
+    # mark the fed token's position for active slots
+    mask = state.mask.at[rows, state.lengths].set(jnp.logical_or(state.mask[rows, state.lengths], state.active))
+    positions = state.lengths[:, None]  # (B, 1)
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+
+    x = embed_tokens(params, state.cur[:, None]).astype(state.k.dtype)
+
+    def layer(carry, inp):
+        h = carry
+        p, kc, vc = inp
+        hn = rms_norm(h, p["input_layernorm"]["w"], eps=cfg.rms_norm_eps)
+        qkv = dense(hn, p["attention"]["query_key_value"]).reshape(B, 1, Hq + 2 * Hkv, D)
+        q, k, v = jnp.split(qkv, [Hq, Hq + Hkv], axis=2)
+        q, k = apply_rope(q, k, cos, sin)
+        kc = kc.at[rows, state.lengths].set(jnp.where(state.active[:, None, None], k[:, 0].astype(kc.dtype), kc[rows, state.lengths]))
+        vc = vc.at[rows, state.lengths].set(jnp.where(state.active[:, None, None], v[:, 0].astype(vc.dtype), vc[rows, state.lengths]))
+        a = mha(q, kc, vc, mask=mask[:, None, None, :], scale=D**-0.5)
+        h = h + dense(a.reshape(B, 1, Hq * D), p["attention"]["dense"])
+        hn = rms_norm(h, p["post_attention_layernorm"]["w"], eps=cfg.rms_norm_eps)
+        from mingunivision_tpu.models.bailing_moe import moe_block_apply
+
+        h = h + moe_block_apply(p["mlp"], cfg, hn)
+        return h, (kc, vc)
+
+    h, (nk, nv) = lax.scan(layer, x, (params["layers"], state.k, state.v))
+    from mingunivision_tpu.models.bailing_moe import compute_logits as _logits
+
+    logits = _logits(params, cfg, rms_norm(h, params["norm"]["w"], eps=cfg.rms_norm_eps))[:, -1]
+    nxt = sample_token(logits, key, do_sample=do_sample, temperature=temperature, top_k=top_k, top_p=top_p)
+
+    done = jnp.logical_or(nxt == cfg.eos_token_id, nxt == cfg.image_start_token)
+    new_lengths = jnp.where(state.active, state.lengths + 1, state.lengths)
+    new_active = jnp.logical_and(state.active, jnp.logical_not(done))
+    out_tokens = jnp.where(state.active, nxt, -1)
+    return BatchState(nk, nv, mask, new_lengths, jnp.where(state.active, nxt, state.cur), new_active), out_tokens
+
+
+@dataclasses.dataclass
+class Request:
+    input_ids: np.ndarray  # (T,)
+    max_new_tokens: int = 128
+    request_id: int = 0
+    tokens: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+class ContinuousBatchingEngine:
+    """Host scheduler over the batched decode step."""
+
+    def __init__(self, params, cfg: BailingMoeConfig, *, slots: int = 4, max_len: int = 1024, dtype=jnp.bfloat16, seed: int = 0):
+        self.params = params
+        self.cfg = cfg
+        self.slots = slots
+        self.max_len = max_len
+        self.state = BatchState.create(cfg, slots, max_len, dtype)
+        self.key = jax.random.PRNGKey(seed)
+        self.slot_req: Dict[int, Request] = {}
+        self.slot_budget: Dict[int, int] = {}
+        self._next_id = 0
+
+    # -- admission ------------------------------------------------------------
+
+    def _free_slot(self) -> Optional[int]:
+        active = np.asarray(self.state.active)
+        for b in range(self.slots):
+            if not active[b] and b not in self.slot_req:
+                return b
+        return None
+
+    def add_request(self, input_ids: np.ndarray, max_new_tokens: int = 128) -> Optional[Request]:
+        """Admit a request: prefill into a free slot. None if pool is full."""
+        slot = self._free_slot()
+        if slot is None:
+            return None
+        req = Request(np.asarray(input_ids).reshape(-1), max_new_tokens, self._next_id)
+        self._next_id += 1
+        T = len(req.input_ids)
+        assert T + max_new_tokens < self.max_len
+
+        # single-row prefill, then install into the slot
+        cache1 = LLMCache.create(self.cfg, 1, self.max_len, self.state.k.dtype)
+        mask1 = jnp.zeros((1, self.max_len), bool).at[:, :T].set(True)
+        embeds = embed_tokens(self.params, jnp.asarray(req.input_ids[None])).astype(self.state.k.dtype)
+        hidden, cache1 = bailing_forward(self.params, self.cfg, embeds, cache1, mask1)
+        logits = compute_logits(self.params, self.cfg, hidden)[:, -1]
+        first = int(jnp.argmax(logits, -1)[0])
+
+        st = self.state
+        self.state = BatchState(
+            st.k.at[:, slot].set(cache1.k[:, 0]),
+            st.v.at[:, slot].set(cache1.v[:, 0]),
+            st.mask.at[slot].set(mask1[0]),
+            st.lengths.at[slot].set(T),
+            st.cur.at[slot].set(first),
+            st.active.at[slot].set(True),
+        )
+        req.tokens.append(first)
+        self.slot_req[slot] = req
+        self.slot_budget[slot] = max_new_tokens - 1
+        if first in (self.cfg.eos_token_id, self.cfg.image_start_token):
+            self._finish(slot)
+        return req
+
+    def _finish(self, slot: int):
+        req = self.slot_req.pop(slot, None)
+        if req is not None:
+            req.done = True
+        self.slot_budget.pop(slot, None)
+        self.state = self.state._replace(active=self.state.active.at[slot].set(False))
+
+    # -- stepping -------------------------------------------------------------
+
+    def step(self) -> Dict[int, int]:
+        """Advance all active slots one token. Returns {request_id: token}."""
+        if not self.slot_req:
+            return {}
+        self.key, sub = jax.random.split(self.key)
+        self.state, toks = batched_decode_step(self.params, self.cfg, self.state, sub)
+        toks = np.asarray(toks)
+        active = np.asarray(self.state.active)
+        out = {}
+        for slot, req in list(self.slot_req.items()):
+            t = int(toks[slot])
+            if t < 0:
+                continue
+            req.tokens.append(t)
+            out[req.request_id] = t
+            self.slot_budget[slot] -= 1
+            if not active[slot] or self.slot_budget[slot] <= 0:
+                self._finish(slot)
+        return out
+
+    def run_to_completion(self, max_steps: int = 10_000):
+        steps = 0
+        while self.slot_req and steps < max_steps:
+            self.step()
+            steps += 1

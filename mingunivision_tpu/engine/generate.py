@@ -90,8 +90,8 @@ def scatter_image_embeds(inputs_embeds, input_ids, image_embeds, image_patch_tok
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
-def prefill(params, cfg: BailingMoeConfig, inputs_embeds, cache: LLMCache, attn_mask, image_mask=None):
+@functools.partial(jax.jit, static_argnames=("cfg", "use_flash"), donate_argnames=("cache",))
+def prefill(params, cfg: BailingMoeConfig, inputs_embeds, cache: LLMCache, attn_mask, image_mask=None, *, use_flash: bool = False):
     """Run the (padded) prompt through the stack. attn_mask: bool (1, Smax) with
     True exactly at valid prompt positions [cache.length, cache.length+T_valid).
 
@@ -104,7 +104,9 @@ def prefill(params, cfg: BailingMoeConfig, inputs_embeds, cache: LLMCache, attn_
     pos_full = jnp.cumsum(attn_mask.astype(jnp.int32), axis=1) - 1
     positions = lax.dynamic_slice(pos_full, (0, cache.length), (B, T))
     positions = jnp.maximum(positions, 0)
-    hidden, cache = bailing_forward(params, cfg, inputs_embeds, cache, attn_mask, positions=positions, image_mask=image_mask)
+    hidden, cache = bailing_forward(
+        params, cfg, inputs_embeds, cache, attn_mask, positions=positions, image_mask=image_mask, use_flash=use_flash
+    )
     # pick the last valid position among the T new tokens
     new_mask = lax.dynamic_slice(attn_mask, (0, cache.length - T), (B, T))
     last_idx = jnp.sum(new_mask.astype(jnp.int32), axis=1) - 1  # (B,)

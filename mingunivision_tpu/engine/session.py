@@ -128,8 +128,13 @@ class MingUniVisionSession:
                 embeds, jnp.asarray(ids_pad), feats, llm_cfg.image_patch_token
             )
 
+        # first-round prefill (empty cache) can use the Pallas flash kernel:
+        # the fresh keys are the entire causal context
+        from mingunivision_tpu.ops.kernels.flash import flash_usable
+
+        use_flash = start == 0 and flash_usable(T_pad)
         logits, self.cache = prefill(
-            self.params["llm"], llm_cfg, embeds, self.cache, self.mask, image_mask=image_mask
+            self.params["llm"], llm_cfg, embeds, self.cache, self.mask, image_mask=image_mask, use_flash=use_flash
         )
         self.seq_len = int(self.cache.length)
         prompt_end = self.seq_len

@@ -248,12 +248,15 @@ def moe_block_apply(params, cfg: BailingMoeConfig, x, image_mask=None, audio_mas
 # ---------------------------------------------------------------------------
 
 
-def attention_apply(params, cfg: BailingMoeConfig, x, cos, sin, k_cache, v_cache, length, attn_mask):
+def attention_apply(params, cfg: BailingMoeConfig, x, cos, sin, k_cache, v_cache, length, attn_mask, use_flash: bool = False):
     """Fused-QKV GQA attention over the static cache.
 
     x: (B, T, h); cos/sin: (B, T, head_dim); k_cache/v_cache: (B, Smax, Hkv, D);
     length: scalar int32 positions already in cache (before this call);
     attn_mask: bool (B, Smax) — per-row allowed positions (padding / CFG masks);
+    use_flash: first-round prefill fast path — new keys ARE the whole context,
+    so the Pallas flash kernel runs over (q, k, v) directly (O(T) memory instead
+    of the XLA (B,H,T,S) score materialization).
     Returns (out, new_k_cache, new_v_cache).
     """
     B, T, _ = x.shape
@@ -265,12 +268,18 @@ def attention_apply(params, cfg: BailingMoeConfig, x, cos, sin, k_cache, v_cache
     k_cache = lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype), (0, length, 0, 0))
     v_cache = lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), (0, length, 0, 0))
 
-    Smax = k_cache.shape[1]
-    k_pos = jnp.arange(Smax)[None, :]
-    q_pos = length + jnp.arange(T)[:, None]
-    causal = k_pos[None] <= q_pos[None, :, :]  # (1, T, Smax): see past + own position
-    allowed = jnp.logical_and(causal, attn_mask[:, None, :])  # (B, T, Smax)
-    out = mha(q, k_cache, v_cache, mask=allowed[:, None], scale=D**-0.5)
+    if use_flash:
+        from mingunivision_tpu.ops.kernels.flash import flash_prefill_attention
+
+        valid = lax.dynamic_slice(attn_mask, (0, length), (B, T))
+        out = flash_prefill_attention(q, k, v, valid, scale=D**-0.5)
+    else:
+        Smax = k_cache.shape[1]
+        k_pos = jnp.arange(Smax)[None, :]
+        q_pos = length + jnp.arange(T)[:, None]
+        causal = k_pos[None] <= q_pos[None, :, :]  # (1, T, Smax): see past + own position
+        allowed = jnp.logical_and(causal, attn_mask[:, None, :])  # (B, T, Smax)
+        out = mha(q, k_cache, v_cache, mask=allowed[:, None], scale=D**-0.5)
     out = dense(out.reshape(B, T, Hq * D), params["dense"])
     return out, k_cache, v_cache
 
@@ -280,9 +289,9 @@ def attention_apply(params, cfg: BailingMoeConfig, x, cos, sin, k_cache, v_cache
 # ---------------------------------------------------------------------------
 
 
-def decoder_layer_apply(layer_params, cfg, x, cos, sin, k_cache, v_cache, length, attn_mask, image_mask, audio_mask):
+def decoder_layer_apply(layer_params, cfg, x, cos, sin, k_cache, v_cache, length, attn_mask, image_mask, audio_mask, use_flash: bool = False):
     h = rms_norm(x, layer_params["input_layernorm"]["w"], eps=cfg.rms_norm_eps)
-    a, nk, nv = attention_apply(layer_params["attention"], cfg, h, cos, sin, k_cache, v_cache, length, attn_mask)
+    a, nk, nv = attention_apply(layer_params["attention"], cfg, h, cos, sin, k_cache, v_cache, length, attn_mask, use_flash=use_flash)
     x = x + a
     h = rms_norm(x, layer_params["post_attention_layernorm"]["w"], eps=cfg.rms_norm_eps)
     x = x + moe_block_apply(layer_params["mlp"], cfg, h, image_mask, audio_mask)
@@ -298,6 +307,7 @@ def bailing_forward(
     positions=None,
     image_mask=None,
     audio_mask=None,
+    use_flash: bool = False,
 ):
     """Run T tokens through the decoder stack, appending to the cache.
 
@@ -323,13 +333,37 @@ def bailing_forward(
         x = carry
         layer_params, kc, vc = inp
         x, nk, nv = decoder_layer_apply(
-            layer_params, cfg, x, cos, sin, kc, vc, cache.length, attn_mask, image_mask, audio_mask
+            layer_params, cfg, x, cos, sin, kc, vc, cache.length, attn_mask, image_mask, audio_mask,
+            use_flash=use_flash,
         )
         return x, (nk, nv)
 
     x, (nk, nv) = lax.scan(body, inputs_embeds, (params["layers"], cache.k, cache.v))
     x = rms_norm(x, params["norm"]["w"], eps=cfg.rms_norm_eps)
     return x, LLMCache(nk, nv, cache.length + T)
+
+
+def router_balance_loss(router_probs, topk_idx, num_experts: int):
+    """Switch-style load-balancing aux loss.
+
+    TPU-native analog of the reference's training-only balancing losses
+    (modeling_utils.py:451-529): where the reference all-reduces counts over
+    torch.distributed expert/data groups, GSPMD arrays are logically global —
+    the same mean over the token axis IS the cross-device reduction.
+
+    router_probs: (N, E) fp32 softmax scores; topk_idx: (N, k).
+    """
+    N = router_probs.shape[0]
+    counts = jnp.zeros((N, num_experts), jnp.float32)
+    counts = counts.at[jnp.arange(N)[:, None], topk_idx].set(1.0)
+    fraction_routed = counts.mean(axis=0)  # (E,) fraction of tokens per expert
+    mean_prob = router_probs.mean(axis=0)
+    return num_experts * jnp.sum(fraction_routed * mean_prob)
+
+
+def router_z_loss(router_logits):
+    """Encourages small router logits (stability; standard z-loss)."""
+    return jnp.mean(jnp.square(jax.nn.logsumexp(router_logits.astype(jnp.float32), axis=-1)))
 
 
 def compute_logits(params, cfg: BailingMoeConfig, hidden_states):
@@ -340,6 +374,16 @@ def compute_logits(params, cfg: BailingMoeConfig, hidden_states):
         w = wf / (jnp.linalg.norm(wf, axis=1, keepdims=True) + 1e-7)
     y = jnp.einsum("bth,hv->btv", hidden_states, dequant_weight(w, hidden_states.dtype), preferred_element_type=jnp.float32, precision=_prec(hidden_states))
     return y  # fp32 logits (reference casts .float())
+
+
+def token_classification_logits(params, cfg: BailingMoeConfig, hidden_states, classifier):
+    """Per-token classification head (reference BailingMoeForTokenClassification
+    surface, registered in the auto_map): hidden -> (B, T, num_labels)."""
+    return dense(hidden_states, classifier)
+
+
+def init_token_classifier(key, cfg: BailingMoeConfig, num_labels: int, dtype=jnp.bfloat16):
+    return linear_init(key, cfg.hidden_size, num_labels, bias=True, dtype=dtype)
 
 
 def embed_tokens(params, input_ids):

@@ -159,10 +159,13 @@ def make_semdec_cache(cfg, batch: int, max_len: int, dtype=jnp.bfloat16) -> ViTC
 
 def pixel_decoder_apply(params, cfg, tokens):
     """tokens (B, L, D) fp32 -> patch pixels (B, L, p*p*3)."""
-    x = tokens.astype(jnp.float32)
-    x = run_blocks(params["blocks"], x, num_heads=cfg.num_heads, ffn_layer=cfg.ffn_layer, ln_eps=cfg.ln_eps)
-    x = layer_norm(x, params["norm"]["w"], params["norm"]["b"], eps=cfg.ln_eps)
-    return dense(x, params["head"])
+    from mingunivision_tpu.ops.linear import fp32_matmul_precision
+
+    with fp32_matmul_precision(cfg.matmul_precision):
+        x = tokens.astype(jnp.float32)
+        x = run_blocks(params["blocks"], x, num_heads=cfg.num_heads, ffn_layer=cfg.ffn_layer, ln_eps=cfg.ln_eps)
+        x = layer_norm(x, params["norm"]["w"], params["norm"]["b"], eps=cfg.ln_eps)
+        return dense(x, params["head"])
 
 
 # ---------------------------------------------------------------------------
@@ -199,8 +202,11 @@ def mingtok_pixel_decoder(params, cfg: MingTokConfig, features):
     sem_to_pix linear + 2x2 spatial expand + pixel decode + unpatchify + clamp
     (modeling_mingtok.py:179-194).
     """
+    from mingunivision_tpu.ops.linear import fp32_matmul_precision
+
     ratio = cfg.semantic_decoder.patch_size // cfg.pixel_decoder.patch_size
-    x = dense(features.astype(jnp.float32), params["sem_to_pix"])
+    with fp32_matmul_precision(cfg.pixel_decoder.matmul_precision):
+        x = dense(features.astype(jnp.float32), params["sem_to_pix"])
     x = expand_sem_to_pix_tokens(x, ratio)
     x = pixel_decoder_apply(params["pixel_decoder"], cfg.pixel_decoder, x)
     img = unpatchify(x, cfg.pixel_decoder.patch_size)

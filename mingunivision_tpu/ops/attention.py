@@ -49,8 +49,10 @@ def mha(
     if scale is None:
         scale = D ** -0.5
 
+    from mingunivision_tpu.ops.linear import _FP32_PRECISION
+
     qg = q.reshape(B, T, Hkv, G, D)
-    precision = lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
+    precision = _FP32_PRECISION.get() if q.dtype == jnp.float32 else None
     # scores: (B, Hkv, G, T, S), fp32 accumulation
     scores = jnp.einsum(
         "bthgd,bshd->bhgts", qg, k, preferred_element_type=jnp.float32, precision=precision

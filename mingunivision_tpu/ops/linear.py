@@ -2,8 +2,31 @@
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
+
 import jax.numpy as jnp
 from jax import lax
+
+# fp32 matmul precision policy (trace-time). HIGHEST = true fp32 (6-pass on the
+# MXU); "high" = bf16x3 (~fp32-class accuracy at ~3x the bf16 cost) — the
+# fp32 pixel decoder can trade between them (PixelDecoderConfig.matmul_precision).
+_FP32_PRECISION = contextvars.ContextVar("fp32_precision", default=lax.Precision.HIGHEST)
+
+_PRECISIONS = {
+    "default": lax.Precision.DEFAULT,
+    "high": lax.Precision.HIGH,
+    "highest": lax.Precision.HIGHEST,
+}
+
+
+@contextlib.contextmanager
+def fp32_matmul_precision(name: str):
+    tok = _FP32_PRECISION.set(_PRECISIONS[name])
+    try:
+        yield
+    finally:
+        _FP32_PRECISION.reset(tok)
 
 
 def dense(x, params, *, precision=None):
@@ -17,7 +40,7 @@ def dense(x, params, *, precision=None):
 
     w = params["w"]
     if precision is None and x.dtype == jnp.float32:
-        precision = lax.Precision.HIGHEST
+        precision = _FP32_PRECISION.get()
     y = lax.dot_general(
         x,
         dequant_weight(w, x.dtype),

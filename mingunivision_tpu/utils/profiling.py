@@ -51,6 +51,37 @@ class StepTimer:
         return out
 
 
+def force_sync(out) -> float:
+    """Force completion of `out`'s computation chain and return a scalar.
+
+    On the axon TPU tunnel `block_until_ready` returns without blocking
+    (remote-execution quirk); the only reliable sync is a host fetch. A scalar
+    sum keeps the transfer at 4 bytes while depending on every element.
+    """
+    import jax.numpy as jnp
+
+    leaves = jax.tree_util.tree_leaves(out)
+    acc = jnp.float32(0)
+    for leaf in leaves:
+        if hasattr(leaf, "dtype"):
+            acc = acc + jnp.sum(leaf).astype(jnp.float32)
+    return float(acc)
+
+
+def bench_fn(f, *args, iters: int = 10, warmup: int = 2) -> float:
+    """Robust per-iteration wall time for a jitted function on any backend."""
+    out = f(*args)
+    force_sync(out)
+    for _ in range(warmup):
+        out = f(*args)
+    force_sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f(*args)
+    force_sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
 def start_server(port: int = 9999):
     """Start the jax profiler server for on-demand capture."""
     jax.profiler.start_server(port)

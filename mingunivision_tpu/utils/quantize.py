@@ -60,18 +60,36 @@ def _scale_axes(ndim: int):
 
 
 def quantize_array(w, bits: int = 8) -> QuantizedArray:
+    """Symmetric per-channel quantization; int4 packs two nibbles per byte along
+    the contraction axis (offset-binary, values in [-7, 7])."""
     w = jnp.asarray(w, jnp.float32)
     ax = _scale_axes(w.ndim)
     amax = jnp.max(jnp.abs(w), axis=ax, keepdims=True)
     qmax = 127.0 if bits == 8 else 7.0
     s = jnp.maximum(amax / qmax, 1e-8)
     q = jnp.clip(jnp.round(w / s), -qmax, qmax).astype(jnp.int8)
+    if bits == 4:
+        assert w.shape[ax] % 2 == 0, "int4 needs an even contraction dim"
+        qo = (q + 8).astype(jnp.uint8)  # [1, 15]
+        lo = jnp.take(qo, jnp.arange(0, w.shape[ax], 2), axis=ax)
+        hi = jnp.take(qo, jnp.arange(1, w.shape[ax], 2), axis=ax)
+        q = (lo | (hi << 4)).astype(jnp.uint8)
     return QuantizedArray(q, s.astype(jnp.float32), bits)
 
 
 def dequant_weight(w, dtype):
     """Weight fetch: dequantize QuantizedArray or plain-cast a dense array."""
     if isinstance(w, QuantizedArray):
+        if w.bits == 4:
+            ax = _scale_axes(w.q.ndim)
+            lo = (w.q & 0xF).astype(jnp.int8) - 8
+            hi = (w.q >> 4).astype(jnp.int8) - 8
+            # interleave back along the packing axis
+            stacked = jnp.stack([lo, hi], axis=ax + 1)  # (..., in/2, 2, ...)
+            shape = list(w.q.shape)
+            shape[ax] *= 2
+            q = stacked.reshape(shape)
+            return (q.astype(jnp.float32) * w.s).astype(dtype)
         return (w.q.astype(jnp.float32) * w.s).astype(dtype)
     return w.astype(dtype)
 
@@ -108,6 +126,10 @@ def quantize_tree(params, bits: int = 8, min_size: int = _QUANT_MIN_SIZE):
         pstr = ".".join(str(getattr(p, "key", getattr(p, "idx", ""))) for p in path)
         if "gate.w" in pstr or "image_gate" in pstr or "audio_gate" in pstr:
             return x  # keep routers full precision
+        if bits == 4 and "word_embeddings" in pstr:
+            return quantize_array(x, 8)  # embedding rows are gathered pre-dequant
+        if bits == 4 and x.shape[_scale_axes(x.ndim)] % 2:
+            return quantize_array(x, 8)
         return quantize_array(x, bits)
 
     return jax.tree_util.tree_map_with_path(visit, params)

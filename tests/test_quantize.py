@@ -46,6 +46,36 @@ class TestQuantizeArray:
         assert np.abs(back[0] - w[0]).max() < 0.02
 
 
+class TestInt4:
+    def test_roundtrip_error_bounded(self):
+        w = np.random.default_rng(3).standard_normal((64, 32)).astype(np.float32)
+        q = quantize_array(jnp.asarray(w), bits=4)
+        assert q.q.dtype == jnp.uint8 and q.q.shape == (32, 32)  # packed
+        back = np.asarray(dequant_weight(q, jnp.float32))
+        assert back.shape == w.shape
+        amax = np.abs(w).max(axis=0, keepdims=True)
+        assert np.all(np.abs(back - w) <= amax / 14 + 1e-6)
+
+    def test_expert_stack_int4(self):
+        w = np.random.default_rng(4).standard_normal((4, 16, 8)).astype(np.float32)
+        q = quantize_array(jnp.asarray(w), bits=4)
+        back = np.asarray(dequant_weight(q, jnp.float32))
+        assert back.shape == w.shape
+        assert np.abs(back - w).max() < 0.25
+
+    def test_int4_llm_forward(self):
+        cfg = tiny_llm_config()
+        params = init_bailing_moe_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        qparams = quantize_tree(params, bits=4, min_size=1024)
+        ids = np.random.default_rng(0).integers(0, cfg.vocab_size, (1, 8))
+        mask = jnp.zeros((1, 16), bool).at[:, :8].set(True)
+        cache = LLMCache.create(cfg, 1, 16, jnp.float32)
+        h, _ = bailing_forward(qparams, cfg, embed_tokens(qparams, jnp.asarray(ids)), cache, mask)
+        logits = np.asarray(compute_logits(qparams, cfg, h))
+        assert np.isfinite(logits).all()
+        assert tree_size_bytes(qparams) < 0.35 * tree_size_bytes(params)
+
+
 class TestQuantizedLLM:
     def test_quantized_forward_close_and_smaller(self):
         cfg = tiny_llm_config()
