@@ -46,11 +46,20 @@ def _png_b64(img_chw) -> str:
 
 
 class InferenceServer:
-    def __init__(self, infer, host: str = "0.0.0.0", port: int = 8816, max_sessions: int = 8, max_queue: int = 64):
+    def __init__(
+        self,
+        infer,
+        host: str = "0.0.0.0",
+        port: int = 8816,
+        max_sessions: int = 8,
+        max_queue: int = 64,
+        talker_pipeline=None,
+    ):
         self.infer = infer  # a MingUniVisionInfer (holds the default session)
         self.host = host
         self.port = port
         self.max_queue = max_queue
+        self.talker_pipeline = talker_pipeline  # OmniAudioPipeline for /tts
         self.executor = ThreadPoolExecutor(max_workers=1)  # one TPU stream
         self.pending = 0
         self.stats = {"requests": 0, "errors": 0, "tokens": 0, "images": 0}
@@ -150,11 +159,47 @@ class InferenceServer:
             await resp.write_eof()
             return resp
 
+        async def tts(request):
+            """Text -> 16-bit mono WAV bytes (talker server surface,
+            talker_vllm_server.py /generate analog)."""
+            if self.talker_pipeline is None:
+                return web.json_response({"ret_code": int(RetCode.BAD_REQUEST), "error": "no talker configured"}, status=400)
+            try:
+                payload = await request.json()
+                text = payload["text"]
+            except Exception:
+                return web.json_response({"ret_code": int(RetCode.BAD_REQUEST)}, status=400)
+            loop = asyncio.get_running_loop()
+
+            def synth():
+                import io as _io
+                import wave as _wave
+
+                import numpy as _np
+
+                chunks = list(self.talker_pipeline.stream(iter([text])))
+                wav = (
+                    _np.concatenate([c.wav for c in chunks if len(c.wav)])
+                    if any(len(c.wav) for c in chunks)
+                    else _np.zeros(1, _np.float32)
+                )
+                buf = _io.BytesIO()
+                with _wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(int(payload.get("sample_rate", 22050)))
+                    w.writeframes((_np.clip(wav, -1, 1) * 32767).astype(_np.int16).tobytes())
+                return buf.getvalue()
+
+            data = await loop.run_in_executor(self.executor, synth)
+            return web.Response(body=data, content_type="audio/wav")
+
         app = web.Application()
         app.router.add_get("/health", health)
         app.router.add_get("/metrics", metrics)
         app.router.add_post("/generate", generate)
         app.router.add_post("/generate_stream", generate_stream)
+        app.router.add_post("/tts", tts)
         return app
 
     def run(self):  # pragma: no cover - blocking entry

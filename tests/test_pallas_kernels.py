@@ -1,0 +1,47 @@
+"""Pallas kernel tests (interpret mode on CPU; compiled on TPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mingunivision_tpu.ops.attention import cached_decode_attention
+from mingunivision_tpu.ops.kernels.decode_attention import pallas_decode_attention
+
+
+class TestDecodeAttentionKernel:
+    @pytest.mark.parametrize("Hq,Hkv", [(16, 4), (4, 4)])
+    def test_matches_xla_reference(self, Hq, Hkv):
+        B, S, D = 2, 1024, 64
+        rng = np.random.default_rng(0)
+        q = rng.standard_normal((B, 1, Hq, D)).astype(np.float32)
+        k = rng.standard_normal((B, S, Hkv, D)).astype(np.float32)
+        v = rng.standard_normal((B, S, Hkv, D)).astype(np.float32)
+        mask = np.zeros((B, S), bool)
+        mask[0, :700] = True
+        mask[1, :321] = True
+        mask[1, 400:450] = True  # CFG-style hole pattern
+
+        want = np.asarray(
+            cached_decode_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), S, extra_mask=jnp.asarray(mask))
+        )
+        got = np.asarray(
+            pallas_decode_attention(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask), tile_s=256, interpret=True
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_bf16_inputs(self):
+        B, S, Hq, Hkv, D = 1, 512, 8, 2, 64
+        rng = np.random.default_rng(1)
+        q = jnp.asarray(rng.standard_normal((B, 1, Hq, D)), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((B, S, Hkv, D)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((B, S, Hkv, D)), jnp.bfloat16)
+        mask = jnp.zeros((B, S), bool).at[:, :100].set(True)
+        got = pallas_decode_attention(q, k, v, mask, tile_s=256, interpret=True)
+        want = cached_decode_attention(q, k, v, S, extra_mask=mask)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32), rtol=2e-2, atol=2e-2
+        )
