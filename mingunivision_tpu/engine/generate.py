@@ -130,6 +130,8 @@ class DecodeResult(NamedTuple):
     cache: LLMCache
     mask: jax.Array
     key: jax.Array
+    hidden: jax.Array  # (max_steps, h) last-layer hidden per sampled token
+    #   (the thinker->talker feed: vLLM-patch return_hidden_states analog)
 
 
 @functools.partial(
@@ -157,13 +159,14 @@ def decode_text(
     `first_token`); generation stops after recording a stop token.
     """
     tokens0 = jnp.zeros((max_steps,), jnp.int32)
+    hidden0 = jnp.zeros((max_steps, cfg.hidden_size), jnp.float32)
 
     def cond(state):
         i, cur, done, *_ = state
         return jnp.logical_and(i < max_steps, jnp.logical_not(done))
 
     def body(state):
-        i, cur, done, cache, mask, tokens, key = state
+        i, cur, done, cache, mask, tokens, hiddens, key = state
         mask = lax.dynamic_update_slice(mask, jnp.ones((1, 1), mask.dtype), (0, cache.length))
         pos = jnp.sum(mask.astype(jnp.int32), axis=1)[:, None] - 1
         embeds = embed_tokens(params, cur.reshape(1, 1)).astype(cache.k.dtype)
@@ -172,12 +175,13 @@ def decode_text(
         key, sub = jax.random.split(key)
         nxt = sample_token(logits, sub, do_sample=do_sample, temperature=temperature, top_k=top_k, top_p=top_p)[0]
         tokens = tokens.at[i].set(nxt)
+        hiddens = lax.dynamic_update_slice(hiddens, hidden[0, -1:].astype(jnp.float32), (i, 0))
         done = jnp.logical_or(nxt == cfg.eos_token_id, nxt == cfg.image_start_token)
-        return (i + 1, nxt, done, cache, mask, tokens, key)
+        return (i + 1, nxt, done, cache, mask, tokens, hiddens, key)
 
-    init = (jnp.int32(0), first_token.astype(jnp.int32), jnp.bool_(False), cache, mask, tokens0, key)
-    i, cur, done, cache, mask, tokens, key = lax.while_loop(cond, body, init)
-    return DecodeResult(tokens, i, cur, cache, mask, key)
+    init = (jnp.int32(0), first_token.astype(jnp.int32), jnp.bool_(False), cache, mask, tokens0, hidden0, key)
+    i, cur, done, cache, mask, tokens, hiddens, key = lax.while_loop(cond, body, init)
+    return DecodeResult(tokens, i, cur, cache, mask, key, hiddens)
 
 
 # ---------------------------------------------------------------------------

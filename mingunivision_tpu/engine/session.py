@@ -148,6 +148,7 @@ class MingUniVisionSession:
 
         out_tokens: List[int] = []
         images: List[np.ndarray] = []
+        hidden_chunks: List[np.ndarray] = []  # thinker reply hidden states
         budget = gen.max_new_tokens
         while budget > 0:
             cur_host = int(cur)
@@ -179,6 +180,8 @@ class MingUniVisionSession:
             self.cache, self.mask = res.cache, res.mask
             n = int(res.num)
             toks = np.asarray(res.tokens[:n]).tolist()
+            if n:
+                hidden_chunks.append(np.asarray(res.hidden[:n]))
             self.seq_len = int(self.cache.length)
             if n == 0:
                 break
@@ -196,6 +199,11 @@ class MingUniVisionSession:
             self.uncond_mask = cond_prompt_mask
             self.text_uncond_mask = self.mask
         self.seq_len = int(self.cache.length)
+        # reply hidden states for the thinker->talker feed (vLLM-patch
+        # return_hidden_states analog, SURVEY §2.7)
+        self.last_hidden_states = (
+            np.concatenate(hidden_chunks, axis=0) if hidden_chunks else np.zeros((0, llm_cfg.hidden_size), np.float32)
+        )
         return RoundOutput(out_tokens, images)
 
     # -- image phase ---------------------------------------------------------

@@ -248,6 +248,17 @@ def moe_block_apply(params, cfg: BailingMoeConfig, x, image_mask=None, audio_mas
 # ---------------------------------------------------------------------------
 
 
+_PALLAS_DECODE_MIN_S = 2048  # below this the XLA path wins (kernel launch overhead)
+
+
+def _use_pallas_decode(smax: int) -> bool:
+    return (
+        jax.default_backend() == "tpu"
+        and smax >= _PALLAS_DECODE_MIN_S
+        and smax % 512 == 0
+    )
+
+
 def attention_apply(params, cfg: BailingMoeConfig, x, cos, sin, k_cache, v_cache, length, attn_mask, use_flash: bool = False):
     """Fused-QKV GQA attention over the static cache.
 
@@ -273,6 +284,14 @@ def attention_apply(params, cfg: BailingMoeConfig, x, cos, sin, k_cache, v_cache
 
         valid = lax.dynamic_slice(attn_mask, (0, length), (B, T))
         out = flash_prefill_attention(q, k, v, valid, scale=D**-0.5)
+    elif T == 1 and _use_pallas_decode(k_cache.shape[1]):
+        from mingunivision_tpu.ops.kernels.decode_attention import pallas_decode_attention
+
+        Smax = k_cache.shape[1]
+        pos_ok = jnp.arange(Smax)[None, :] <= length  # causal bound incl. current token
+        out = pallas_decode_attention(
+            q, k_cache, v_cache, jnp.logical_and(attn_mask, pos_ok), scale=D**-0.5
+        )
     else:
         Smax = k_cache.shape[1]
         k_pos = jnp.arange(Smax)[None, :]

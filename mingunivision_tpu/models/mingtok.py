@@ -217,3 +217,45 @@ def mingtok_enc_dec(params, cfg: MingTokConfig, images, *, compute_dtype=jnp.bfl
     """Full reconstruction: encode -> pixel decode (modeling_mingtok.py:150-154)."""
     feats = mingtok_encode(params, cfg, images, compute_dtype=compute_dtype)
     return mingtok_pixel_decoder(params, cfg, feats["x_norm_patchtokens"])
+
+
+def pixel_reconstruction_loss(pred_patches, target_images, cfg: MingTokConfig, mask=None):
+    """Pixel-decoder training loss (vision_transformer.py:529-562 semantics).
+
+    pred_patches: (B, L, p*p*3) raw head output; target_images: (B, 3, H, W);
+    mask: optional bool (B, hw_mask) of MASKED patches (loss on the complement,
+    upsampled to the pixel-decoder grid as in the reference).
+    loss_type from cfg.pixel_decoder: L2 (+norm_pix), L1, L1-tanh, L1-plain.
+    """
+    from mingunivision_tpu.ops.patching import patchify
+
+    p = cfg.pixel_decoder.patch_size
+    target = patchify(target_images.astype(jnp.float32), p)
+    pred = pred_patches.astype(jnp.float32)
+    lt = cfg.pixel_decoder.loss_type
+    if lt == "L2":
+        if cfg.pixel_decoder.norm_pix_loss:
+            mean = target.mean(axis=-1, keepdims=True)
+            var = target.var(axis=-1, keepdims=True)
+            target = (target - mean) / jnp.sqrt(var + 1e-6)
+        loss = jnp.square(pred - target)
+    elif lt == "L1":
+        pred = 2.0 * (pred - pred.min()) / (pred.max() - pred.min() + 1e-12) - 1.0
+        loss = jnp.abs(pred - target)
+    elif lt == "L1-tanh":
+        loss = jnp.abs(jnp.tanh(pred) - target)
+    elif lt == "L1-plain":
+        loss = jnp.abs(pred - target)
+    else:
+        raise NotImplementedError(lt)
+    loss = loss.mean(axis=-1)  # (B, L) per-patch
+    if mask is None:
+        return loss.mean()
+    B, hw_mask = mask.shape
+    hw_tgt = loss.shape[1]
+    rep = int(math.isqrt(hw_tgt // hw_mask))
+    side = int(math.isqrt(hw_mask))
+    keep = ~mask  # loss on KEPT patches (reference inverts, :539)
+    keep = keep.reshape(B, side, 1, side, 1)
+    keep = jnp.broadcast_to(keep, (B, side, rep, side, rep)).reshape(B, -1).astype(loss.dtype)
+    return (loss * keep).sum() / jnp.maximum(keep.sum(), 1.0)

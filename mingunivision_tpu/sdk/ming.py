@@ -150,7 +150,15 @@ class Ming:
         if output_type == "speech":
             if self.talker_pipeline is None:
                 raise RuntimeError("no talker pipeline configured")
-            chunks = list(self.talker_pipeline.stream(iter([out_text])))
+            # thinker reply hidden states condition the talker (reference
+            # return_hidden_states -> thinker_reply_part plumbing)
+            hidden = getattr(self.infer.session, "last_hidden_states", None)
+            th = None
+            if hidden is not None and len(hidden) and hidden.shape[-1] == getattr(
+                getattr(self.talker_pipeline.talker, "cfg", None), "qa_model_hidden_size", -1
+            ):
+                th = hidden[None, : 4]
+            chunks = list(self.talker_pipeline.stream(iter([out_text]), thinker_hidden=th))
             import numpy as np
 
             wav = np.concatenate([c.wav for c in chunks]) if chunks else None

@@ -49,23 +49,28 @@ class OmniAudioPipeline:
         self.sm_config = sm_config
         self.key = jax.random.PRNGKey(seed)
 
-    def synthesize_sentence(self, sentence: str, state: Optional[StreamState]):
+    def synthesize_sentence(self, sentence: str, state: Optional[StreamState], thinker_hidden=None):
         ids = np.asarray([self.tokenize(sentence)], np.int64)
-        codec = self.talker.generate_audio_tokens(ids)
+        codec = self.talker.generate_audio_tokens(ids, thinker_hidden=thinker_hidden)
         if not codec:
             return np.zeros(0, np.float32), state
         self.key, sub = jax.random.split(self.key)
         wav, state = self.detok.token2wav(np.asarray([codec]), sub, state)
         return wav, state
 
-    def stream(self, text_pieces: Iterator[str]) -> Iterator[AudioChunk]:
-        """Synchronous streaming: consume text pieces, yield audio chunks."""
+    def stream(self, text_pieces: Iterator[str], thinker_hidden=None) -> Iterator[AudioChunk]:
+        """Synchronous streaming: consume text pieces, yield audio chunks.
+
+        thinker_hidden: optional (1, T, qa_hidden) thinker reply states injected
+        into the first sentence's talker prompt (reference thinker_reply_part)."""
         sm = SentenceManager(self.sm_config)
         state: Optional[StreamState] = None
+        first = True
         for piece in text_pieces:
             sm.put(piece)
             for sentence in sm.get_all():
-                wav, state = self.synthesize_sentence(sentence, state)
+                wav, state = self.synthesize_sentence(sentence, state, thinker_hidden if first else None)
+                first = False
                 yield AudioChunk(wav, sentence)
         sm.finish()
         for sentence in sm.get_all():

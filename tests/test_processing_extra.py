@@ -134,3 +134,33 @@ class TestMetrics:
         s3 = FeatureStats(4)
         s3.update(rng.standard_normal((500, 4)) + 3.0)
         assert frechet_distance(s1, s3) > 5
+
+
+class TestGlmLegacy:
+    def test_2d_positions(self):
+        from mingunivision_tpu.processing.glm_legacy import build_glm_position_ids
+
+        pos, block = build_glm_position_ids(mask_pos=3, bos_pos=5, max_output_length=3, rotary_type="2d")
+        assert pos == [0, 1, 2, 3, 4, 3, 3, 3, 3]
+        assert block == [0, 0, 0, 0, 0, 1, 2, 3, 4]
+
+    def test_1d_positions(self):
+        from mingunivision_tpu.processing.glm_legacy import build_glm_position_ids
+
+        pos, block = build_glm_position_ids(mask_pos=3, bos_pos=5, max_output_length=2, rotary_type="1d")
+        assert pos == [0, 1, 2, 3, 4, 4, 5, 6]
+        assert len(block) == len(pos)
+
+    def test_windowed_matches_reference_shape(self):
+        from mingunivision_tpu.processing.glm_legacy import build_glm_position_ids
+
+        pos, block = build_glm_position_ids(mask_pos=0, bos_pos=10, max_output_length=4, window_size=5)
+        assert len(pos) == len(block) == 15
+        assert max(pos[:10]) < 4  # wrapped at window_size-1
+
+    def test_prefix_lm_mask(self):
+        from mingunivision_tpu.processing.glm_legacy import build_glm_attention_mask
+
+        m = build_glm_attention_mask(5, sep=3)
+        assert m[0][:3] == [1, 1, 1] and m[0][3:] == [0, 0]  # prefix bidirectional
+        assert m[4] == [1, 1, 1, 1, 1]
