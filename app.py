@@ -139,7 +139,7 @@ def main():
         from mingunivision_tpu.api import MingUniVisionInfer
         from mingunivision_tpu.config import RuntimeConfig
 
-        rt = RuntimeConfig(param_dtype={"bf16": "bfloat16", "int8": "int8", "int4": "int8"}[args.dtype])
+        rt = RuntimeConfig(param_dtype={"bf16": "bfloat16", "int8": "int8", "int4": "int4"}[args.dtype])
         infer = MingUniVisionInfer(args.ckpt, runtime=rt)
 
     app = ChatApp(infer)

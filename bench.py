@@ -8,10 +8,15 @@ itself is the record; the driver archives BENCH_r{N}.json per round).
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+# persistent compile cache: first compiles through the TPU tunnel are slow
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
 
 def bench_mingtok_recon(batch: int = 8, iters: int = 10, warmup: int = 2):

@@ -83,8 +83,17 @@ class MingUniVisionInfer:
             "vis_head": vis_head_params_from_torch(sub("model."), root="vis_head"),
             "linear_proj": linear_proj_params_from_torch(sd, self.config.mlp_depth, root="linear_proj"),
         }
-        dtype = jnp.bfloat16 if self.runtime.param_dtype == "bfloat16" else jnp.float32
+        quant_bits = {"int8": 8, "int4": 4}.get(self.runtime.param_dtype)
+        dtype = jnp.float32 if self.runtime.param_dtype == "float32" else jnp.bfloat16
         params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
+        if quant_bits:
+            # weight-only quant tiers (reference int8 Quanto / int4 NF4,
+            # mingunivisioninfer.py:46-78): LLM + RF head carry the memory;
+            # MingTok stays bf16 (recon parity)
+            from mingunivision_tpu.utils.quantize import quantize_tree
+
+            params["llm"] = quantize_tree(params["llm"], bits=quant_bits)
+            params["rf_head"] = quantize_tree(params["rf_head"], bits=quant_bits)
         if tokenizer is None:
             try:
                 from transformers import AutoTokenizer

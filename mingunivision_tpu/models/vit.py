@@ -170,6 +170,19 @@ def run_blocks(stacked_params, x, *, num_heads: int, ffn_layer: str, is_causal: 
     return out
 
 
+def run_blocks_with_intermediates(stacked_params, x, *, num_heads: int, ffn_layer: str, is_causal: bool = False, ln_eps: float = 1e-6):
+    """Like run_blocks, also returning every block's output stacked on a leading
+    depth axis (BlockChunk.forward_with_mid_feats / get_intermediate_layers
+    surface, vision_transformer.py:41-48, :453-477)."""
+
+    def body(carry, p):
+        y = block_apply(p, carry, num_heads=num_heads, ffn_layer=ffn_layer, is_causal=is_causal, ln_eps=ln_eps)
+        return y, y
+
+    out, mids = lax.scan(body, x, stacked_params)
+    return out, mids
+
+
 def block_apply_cached(params, x, k_cache, v_cache, length, *, num_heads: int, ffn_layer: str, ln_eps: float = 1e-6):
     """Causal block with static KV cache; writes T new positions at `length`.
 

@@ -51,6 +51,32 @@ class MingUtils:
         return [{"role": "HUMAN", "content": [{"type": "text", "text": f"{prompt}{tok}"}]}]
 
 
+class MingImg:
+    """Diffusion image-generation loader slot (reference ming_sdk/ming.py:630-654).
+
+    The omni checkpoint family pairs the thinker with an EXTERNAL diffusion
+    decoder driven by query tokens; Ming-UniVision proper generates images
+    natively through the AR loop (the route `Ming.generate(output_type="image")`
+    takes). This class is the pluggable slot for an omni-style decoder: pass any
+    callable `(prompt: str, query_embeds) -> image` at construction.
+    """
+
+    def __init__(self, decoder=None):
+        self.decoder = decoder
+
+    @property
+    def available(self) -> bool:
+        return self.decoder is not None
+
+    def generate(self, prompt: str, query_embeds=None):
+        if not self.available:
+            raise RuntimeError(
+                "no diffusion decoder configured — Ming-UniVision generates images "
+                "natively via Ming.generate(output_type='image')"
+            )
+        return self.decoder(prompt, query_embeds)
+
+
 @dataclass
 class TalkerServerHandle:
     process: subprocess.Popen
