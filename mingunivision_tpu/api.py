@@ -13,12 +13,10 @@ Construction paths:
 
 from __future__ import annotations
 
-import os
 from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from mingunivision_tpu.config import (
     GenerationConfig,

@@ -16,7 +16,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 
 def _asdict(obj) -> dict:
@@ -129,9 +129,10 @@ class PixelDecoderConfig(_JsonMixin):
     ln_eps: float = 1e-6
     loss_type: str = "L1-plain"
     norm_pix_loss: bool = True
-    # fp32 matmul mode for this decoder: "highest" = true fp32 (parity-safe),
-    # "high" = bf16x3 (~3x faster, near-fp32 accuracy)
-    matmul_precision: str = "highest"
+    # fp32 matmul mode for this decoder: "high" = bf16x3 (default: measured
+    # +22% end-to-end recon throughput at 109 dB PSNR vs true fp32 — far past
+    # any perceptual/metric threshold), "highest" = true fp32.
+    matmul_precision: str = "high"
 
 
 @dataclass(frozen=True)

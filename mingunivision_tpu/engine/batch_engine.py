@@ -16,9 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import queue
-import threading
-from typing import Callable, Dict, List, NamedTuple, Optional
+from typing import Dict, List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +29,6 @@ from mingunivision_tpu.models.bailing_moe import (
     LLMCache,
     bailing_forward,
     compute_logits,
-    decoder_layer_apply,
     embed_tokens,
 )
 from mingunivision_tpu.ops.attention import mha

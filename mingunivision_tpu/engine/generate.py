@@ -23,7 +23,7 @@ All functions are pure; the host-side session object lives in engine/session.py.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +38,6 @@ from mingunivision_tpu.models.bailing_moe import (
 )
 from mingunivision_tpu.models.mingtok import make_semdec_cache, mingtok_feature_decoder, mingtok_pixel_decoder
 from mingunivision_tpu.models.rf_head import rf_sample, vis_head_apply
-from mingunivision_tpu.models.vit import ViTCache
 from mingunivision_tpu.engine.sampler import sample_token
 from mingunivision_tpu.ops.activations import gelu_exact
 from mingunivision_tpu.ops.linear import dense

@@ -9,8 +9,7 @@ optax optimizer, aux load-balancing loss over router softmax (switch-style).
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -126,8 +126,9 @@ def _layer_init(key, cfg: BailingMoeConfig, dtype):
 def init_bailing_moe_params(key, cfg: BailingMoeConfig, dtype=jnp.bfloat16):
     k_emb, k_layers, k_head = jax.random.split(key, 3)
     layer_keys = jax.random.split(k_layers, cfg.num_hidden_layers)
-    layers = [_layer_init(k, cfg, dtype) for k in layer_keys]
-    layers = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    # vmap the per-layer init so the depth-stacked arrays are allocated directly
+    # (a python-list init + stack doubles peak memory — 16B bf16 would need 2x32GB)
+    layers = jax.vmap(lambda k: _layer_init(k, cfg, dtype))(layer_keys)
     return {
         "word_embeddings": {"w": 0.02 * jax.random.normal(k_emb, (cfg.vocab_size, cfg.hidden_size), dtype)},
         "layers": layers,

@@ -48,8 +48,7 @@ def init_rf_head_params(key, cfg: RFHeadConfig, dtype=jnp.float32):
             "adaLN": zeros_linear_init(w, 3 * w, dtype=dtype),
         }
 
-    blocks = [block_init(k) for k in jax.random.split(ks[0], cfg.depth)]
-    blocks = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+    blocks = jax.vmap(block_init)(jax.random.split(ks[0], cfg.depth))
     return {
         "time_embed": {
             "fc1": linear_init(ks[1], cfg.freq_embed_size, w, dtype=dtype),

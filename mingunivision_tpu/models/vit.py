@@ -138,8 +138,8 @@ def block_init(key, dim, num_heads, mlp_ratio, ffn_layer, *, qkv_bias=True, dtyp
 
 def stacked_block_init(key, depth, dim, num_heads, mlp_ratio, ffn_layer, *, qkv_bias=True, dtype=jnp.float32):
     keys = jax.random.split(key, depth)
-    blocks = [block_init(k, dim, num_heads, mlp_ratio, ffn_layer, qkv_bias=qkv_bias, dtype=dtype) for k in keys]
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+    # vmapped init allocates the depth-stacked arrays directly (no 2x peak)
+    return jax.vmap(lambda k: block_init(k, dim, num_heads, mlp_ratio, ffn_layer, qkv_bias=qkv_bias, dtype=dtype))(keys)
 
 
 def _qkv(params, x, num_heads: int):
@@ -149,15 +149,23 @@ def _qkv(params, x, num_heads: int):
     return qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
 
+def _maybe_scale(params, name, y):
+    """LayerScale (layers/layer_scale.py) — present only when a checkpoint was
+    trained with init_values (none of the shipped MingTok towers are)."""
+    if name in params:
+        return y * params[name]["gamma"].astype(y.dtype)
+    return y
+
+
 def block_apply(params, x, *, num_heads: int, ffn_layer: str, is_causal: bool = False, ln_eps: float = 1e-6):
     """One full-sequence transformer block (no cache)."""
     h = layer_norm(x, params["norm1"]["w"], params["norm1"]["b"], eps=ln_eps)
     q, k, v = _qkv(params, h, num_heads)
     a = mha(q, k, v, is_causal=is_causal)
     a = dense(a.reshape(x.shape), params["attn"]["proj"])
-    x = x + a
+    x = x + _maybe_scale(params, "ls1", a)
     h = layer_norm(x, params["norm2"]["w"], params["norm2"]["b"], eps=ln_eps)
-    return x + ffn_apply(params["mlp"], h, ffn_layer)
+    return x + _maybe_scale(params, "ls2", ffn_apply(params["mlp"], h, ffn_layer))
 
 
 def run_blocks(stacked_params, x, *, num_heads: int, ffn_layer: str, is_causal: bool = False, ln_eps: float = 1e-6):

@@ -6,7 +6,6 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from mingunivision_tpu.utils.init import trunc_normal
 
 DN = ("NCH", "OIH", "NCH")
 

@@ -13,14 +13,11 @@ Fallback to the XLA path off-TPU or on assertion failures.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
 try:
     from jax.experimental.pallas.ops.tpu.flash_attention import (
-        BlockSizes,
         SegmentIds,
         flash_attention as _flash,
     )

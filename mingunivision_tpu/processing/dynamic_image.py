@@ -10,7 +10,7 @@ The UniVision HF path uses the MingTok square/center-crop processors instead
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -10,8 +10,6 @@ tokenizer so the full pipeline runs checkpoint-free.
 
 from __future__ import annotations
 
-from typing import List, Optional
-
 MULTIMODAL_SPECIAL_TOKENS = [
     "<|endoftext|>",
     "[gMASK]",

@@ -65,8 +65,7 @@ def _layer_init(key, cfg: Qwen2Config, dtype):
 
 def init_qwen2_params(key, cfg: Qwen2Config, dtype=jnp.bfloat16):
     k_emb, k_layers, k_head = jax.random.split(key, 3)
-    layers = [_layer_init(k, cfg, dtype) for k in jax.random.split(k_layers, cfg.num_hidden_layers)]
-    layers = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    layers = jax.vmap(lambda k: _layer_init(k, cfg, dtype))(jax.random.split(k_layers, cfg.num_hidden_layers))
     p = {
         "embed_tokens": {"w": 0.02 * jax.random.normal(k_emb, (cfg.vocab_size, cfg.hidden_size), dtype)},
         "layers": layers,
