@@ -27,7 +27,9 @@ except Exception:  # pragma: no cover
     GMM_AVAILABLE = False
 
 
-def moe_experts_gmm(experts, x_flat, topk_idx, topk_w, num_experts: int, *, tiling=(128, 128, 128)):
+def moe_experts_gmm(experts, x_flat, topk_idx, topk_w, num_experts: int, *, tiling=(128, 512, 512)):
+    # default tiling measured on v5e: (128,512,512) = 7.0 ms/layer @1024 tok
+    # (vs 22.5 ms at (128,128,128) and 10.1 ms masked-dense)
     """Exact top-k MoE via grouped matmul.
 
     experts: dict with gate_proj/up_proj (E, h, m) and down_proj (E, m, h).
@@ -35,18 +37,28 @@ def moe_experts_gmm(experts, x_flat, topk_idx, topk_w, num_experts: int, *, tili
     Returns (N, h).
     """
     N, k = topk_idx.shape
+    A = N * k
+    tile_m = tiling[0]
+    A_pad = ((A + tile_m - 1) // tile_m) * tile_m  # gmm needs row count % tile_m
     flat_e = topk_idx.reshape(-1)
     order = jnp.argsort(flat_e, stable=True)
     token_idx = order // k
-    xs = jnp.take(x_flat, token_idx, axis=0)  # (N*k, h) expert-sorted
+    xs = jnp.take(x_flat, token_idx, axis=0)  # (A, h) expert-sorted
     group_sizes = jnp.bincount(flat_e, length=num_experts).astype(jnp.int32)
+    if A_pad != A:
+        # pad rows into the LAST group (sorted order stays valid); outputs of the
+        # padded rows are dropped at combine time
+        xs = jnp.concatenate([xs, jnp.zeros((A_pad - A, xs.shape[1]), xs.dtype)], axis=0)
+        group_sizes = group_sizes.at[num_experts - 1].add(A_pad - A)
 
     g = _gmm(xs, experts["gate_proj"].astype(xs.dtype), group_sizes, tiling=tiling)
     u = _gmm(xs, experts["up_proj"].astype(xs.dtype), group_sizes, tiling=tiling)
     a = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(xs.dtype)
     y = _gmm(a, experts["down_proj"].astype(xs.dtype), group_sizes, tiling=tiling)
 
-    w_sorted = jnp.take(topk_w.reshape(-1), order, axis=0)
-    y = y.astype(jnp.float32) * w_sorted.astype(jnp.float32)[:, None]
-    out = jnp.zeros((N, x_flat.shape[-1]), jnp.float32).at[token_idx].add(y)
+    # combine via GATHER-unsort (+ reshape-sum) — a scatter-add with duplicate
+    # indices serializes on TPU
+    inv = jnp.argsort(order, stable=True)  # position of flat (n, j) in sorted order
+    y_orig = jnp.take(y[:A], inv, axis=0).reshape(N, k, -1).astype(jnp.float32)
+    out = jnp.sum(y_orig * topk_w.astype(jnp.float32)[..., None], axis=1)
     return out.astype(x_flat.dtype)

@@ -45,3 +45,35 @@ class TestDecodeAttentionKernel:
         np.testing.assert_allclose(
             np.asarray(got, np.float32), np.asarray(want, np.float32), rtol=2e-2, atol=2e-2
         )
+
+
+class TestGatheredExpertMatmul:
+    def test_matches_take_gather(self):
+        from mingunivision_tpu.models.bailing_moe import moe_experts_gather
+        from mingunivision_tpu.ops.kernels.expert_matmul import moe_experts_gather_pallas
+
+        rng = np.random.default_rng(0)
+        E, h, m, N, k = 8, 64, 32, 3, 2
+        experts = {
+            "gate_proj": jnp.asarray(rng.standard_normal((E, h, m)), jnp.float32),
+            "up_proj": jnp.asarray(rng.standard_normal((E, h, m)), jnp.float32),
+            "down_proj": jnp.asarray(rng.standard_normal((E, m, h)), jnp.float32),
+        }
+        x = jnp.asarray(rng.standard_normal((N, h)), jnp.float32)
+        idx = jnp.asarray(rng.integers(0, E, (N, k)), jnp.int32)
+        w = jnp.asarray(rng.random((N, k)), jnp.float32)
+        want = np.asarray(moe_experts_gather(experts, x, idx, w))
+        got = np.asarray(moe_experts_gather_pallas(experts, x, idx, w, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_tile_split(self):
+        from mingunivision_tpu.ops.kernels.expert_matmul import gathered_expert_matmul
+
+        rng = np.random.default_rng(1)
+        E, h, N = 4, 32, 64
+        w = jnp.asarray(rng.standard_normal((E, h, N)), jnp.float32)
+        x = jnp.asarray(rng.standard_normal((5, h)), jnp.float32)
+        ids = jnp.asarray([0, 3, 1, 1, 2], jnp.int32)
+        got = np.asarray(gathered_expert_matmul(x, w, ids, tile_n=32, interpret=True))
+        want = np.stack([np.asarray(x[i] @ w[int(ids[i])]) for i in range(5)])
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
