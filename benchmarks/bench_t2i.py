@@ -31,6 +31,7 @@ def main():
     ap.add_argument("--layers", type=int, default=8)
     ap.add_argument("--tokens", type=int, default=16, help="loop length to time (full image = 256)")
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--int4", action="store_true", help="int4 LLM + int8 RF: the FULL 28-layer model fits one v5e chip")
     ap.add_argument("--seq", type=int, default=1024)
     args = ap.parse_args()
 
@@ -51,17 +52,33 @@ def main():
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 5)
     dtype = jnp.bfloat16
-    params = {
-        "llm": init_bailing_moe_params(ks[0], llm_cfg, dtype=dtype),
-        "mingtok": init_mingtok_params(ks[1], mm.mingtok, dtype=dtype),
-        "rf_head": init_rf_head_params(ks[2], mm.rf_head, dtype=dtype),
-        "vis_head": init_vis_head_params(ks[3], llm_cfg.hidden_size, mm.rf_head.z_channels, dtype=dtype),
-        "linear_proj": init_linear_proj_params(ks[4], mm.mingtok.feature_dim, llm_cfg.hidden_size, mm.mlp_depth, dtype=dtype),
-    }
-    if args.int8:
-        from mingunivision_tpu.utils.quantize import quantize_tree
 
-        params = {k: quantize_tree(v) for k, v in params.items()}
+    # a 28-layer bf16 init (32 GB) exceeds single-chip HBM: when quantizing,
+    # init + quantize on the host CPU backend, then ship the packed weights
+    init_ctx = None
+    if (args.int8 or args.int4) and args.layers > 12:
+        try:
+            init_ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
+        except Exception:
+            print("no cpu backend; large quantized init may OOM", file=sys.stderr)
+    import contextlib
+
+    with init_ctx or contextlib.nullcontext():
+        params = {
+            "llm": init_bailing_moe_params(ks[0], llm_cfg, dtype=dtype),
+            "mingtok": init_mingtok_params(ks[1], mm.mingtok, dtype=dtype),
+            "rf_head": init_rf_head_params(ks[2], mm.rf_head, dtype=dtype),
+            "vis_head": init_vis_head_params(ks[3], llm_cfg.hidden_size, mm.rf_head.z_channels, dtype=dtype),
+            "linear_proj": init_linear_proj_params(ks[4], mm.mingtok.feature_dim, llm_cfg.hidden_size, mm.mlp_depth, dtype=dtype),
+        }
+        if args.int8 or args.int4:
+            from mingunivision_tpu.utils.quantize import quantize_tree
+
+            bits = 4 if args.int4 else 8
+            params["llm"] = quantize_tree(params["llm"], bits=bits)
+            params["rf_head"] = quantize_tree(params["rf_head"], bits=8)
+    if init_ctx is not None:
+        params = jax.device_put(params, jax.devices()[0])
 
     Smax = args.seq
     cache = LLMCache.create(llm_cfg, 3, Smax, dtype)

@@ -76,13 +76,62 @@ def _modulate(x, shift, scale):
     return x * (1 + scale) + shift
 
 
+def _cond_embedding(params, cfg: RFHeadConfig, t, z):
+    """y = time_embed(t*1000) + cond_embed(z); t: (..., B), z: (B, z)."""
+    temb = timestep_embedding(t * 1000.0, cfg.freq_embed_size).astype(z.dtype)
+    temb = dense(
+        jax.nn.silu(dense(temb, params["time_embed"]["fc1"]).astype(jnp.float32)).astype(z.dtype),
+        params["time_embed"]["fc2"],
+    )
+    return temb + dense(z, params["cond_embed"])
+
+
+def precompute_modulations(params, cfg: RFHeadConfig, ts, z):
+    """AdaLN modulations for EVERY ODE step in one pass.
+
+    The modulations depend only on (t, z) — not on x — so the adaLN weight
+    matrices (~27% of the net's per-eval HBM traffic) can be read ONCE per token
+    instead of once per Euler step.
+
+    ts: (S,); z: (B, z). Returns (block_mods (depth, S, B, 3w), final_mods (S, B, 2w)).
+    """
+    S = ts.shape[0]
+    B = z.shape[0]
+    y = jax.vmap(lambda t: _cond_embedding(params, cfg, jnp.full((B,), t, jnp.float32), z))(ts)  # (S, B, w)
+    sy = jax.nn.silu(y.astype(jnp.float32)).astype(z.dtype).reshape(S * B, -1)
+
+    def per_block(blk):
+        return dense(sy, blk["adaLN"]).reshape(S, B, -1)
+
+    block_mods = jax.vmap(per_block)(params["res_blocks"])  # (depth, S, B, 3w)
+    final_mods = dense(sy, params["final_layer"]["adaLN"]).reshape(S, B, -1)
+    return block_mods, final_mods
+
+
+def rf_net_apply_premod(params, cfg: RFHeadConfig, x, block_mods_i, final_mods_i):
+    """Velocity field with precomputed per-step modulations.
+
+    x: (B, C); block_mods_i: (depth, B, 3w); final_mods_i: (B, 2w)."""
+    h = dense(x, params["input_proj"])
+
+    def body(carry, inp):
+        hx = carry
+        blk, mod = inp
+        shift, scale, gate = jnp.split(mod.astype(hx.dtype), 3, axis=-1)
+        hh = _modulate(layer_norm(hx, blk["in_ln"]["w"], blk["in_ln"]["b"], eps=cfg.ln_eps), shift, scale)
+        hh = dense(swiglu(dense(hh, blk["mlp"]["w12"])), blk["mlp"]["w3"])
+        return hx + gate * hh, None
+
+    h, _ = lax.scan(body, h, (params["res_blocks"], block_mods_i))
+    shift, scale = jnp.split(final_mods_i.astype(h.dtype), 2, axis=-1)
+    h = _modulate(layer_norm(h, eps=cfg.ln_eps), shift, scale)
+    return dense(h, params["final_layer"]["linear"])
+
+
 def rf_net_apply(params, cfg: RFHeadConfig, x, t, z):
     """Velocity field. x: (B, C_target), t: (B,), z: (B, z_channels)."""
+    y = _cond_embedding(params, cfg, t, z)
     h = dense(x, params["input_proj"])
-    temb = timestep_embedding(t * 1000.0, cfg.freq_embed_size).astype(h.dtype)
-    temb = dense(jax.nn.silu(dense(temb, params["time_embed"]["fc1"]).astype(jnp.float32)).astype(h.dtype), params["time_embed"]["fc2"])
-    # reference: mlp = Linear -> SiLU -> Linear (silu between the two)
-    y = temb + dense(z, params["cond_embed"])
 
     def body(carry, blk):
         hx = carry
@@ -154,14 +203,18 @@ def rf_sample(
         noise = noise * temperature
 
     ts, dts = _time_grid(cfg, time_shifting_factor)
+    # all Euler steps' AdaLN modulations in one pass (adaLN weights read once)
+    block_mods, final_mods = precompute_modulations(params, cfg, ts, z)
+
+    def net(x_in, i):
+        return rf_net_apply_premod(params, cfg, x_in, block_mods[:, i], final_mods[i])
 
     def step(i, x):
-        t_batch = jnp.full((B,), ts[i], jnp.float32)
         if cfg_rows == 3:
             third = B // 3
             half = x[:third]
             combined = jnp.concatenate([half, half, half], axis=0)
-            v_all = rf_net_apply(params, cfg, combined.astype(dtype), t_batch, z).astype(jnp.float32)
+            v_all = net(combined.astype(dtype), i).astype(jnp.float32)
             v_c, v_u, v_tu = jnp.split(v_all, 3, axis=0)
             v = v_u + image_cfg * (v_tu - v_u) + text_cfg * (v_c - v_tu)
             if cfg_renorm_type == "channel":
@@ -178,7 +231,7 @@ def rf_sample(
             halfn = B // 2
             half = x[:halfn]
             combined = jnp.concatenate([half, half], axis=0)
-            v_all = rf_net_apply(params, cfg, combined.astype(dtype), t_batch, z).astype(jnp.float32)
+            v_all = net(combined.astype(dtype), i).astype(jnp.float32)
             v_c, v_u = jnp.split(v_all, 2, axis=0)
             v = v_u + text_cfg * (v_c - v_u)
             if cfg_renorm_type == "channel":
@@ -192,7 +245,7 @@ def rf_sample(
                 v = v * scale
             v = jnp.concatenate([v, v], axis=0)
         else:
-            v = rf_net_apply(params, cfg, x.astype(dtype), t_batch, z).astype(jnp.float32)
+            v = net(x.astype(dtype), i).astype(jnp.float32)
         return x + v * dts[i]
 
     x = lax.fori_loop(0, cfg.num_sampling_steps, step, noise)

@@ -123,7 +123,14 @@ def quantize_tree(params, bits: int = 8, min_size: int = _QUANT_MIN_SIZE):
             return x
         if int(np.prod(x.shape)) < min_size:
             return x
-        pstr = ".".join(str(getattr(p, "key", getattr(p, "idx", ""))) for p in path)
+        parts = [str(getattr(p, "key", getattr(p, "idx", ""))) for p in path]
+        pstr = ".".join(parts)
+        # only true weight matrices: dict leaves named "w", or raw expert stacks.
+        # Biases/norm scales must NOT be quantized — a depth-stacked bias would
+        # get its scale reduced over the layer axis.
+        is_weight = parts[-1] == "w" or parts[-1] in ("gate_proj", "up_proj", "down_proj")
+        if not is_weight:
+            return x
         if "gate.w" in pstr or "image_gate" in pstr or "audio_gate" in pstr:
             return x  # keep routers full precision
         if bits == 4 and "word_embeddings" in pstr:
