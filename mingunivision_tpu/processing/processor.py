@@ -24,6 +24,10 @@ from mingunivision_tpu.processing.image_ops import preprocess_generation, prepro
 DEFAULT_IMAGE_PATCH_TOKEN = "<imagePatch>"
 DEFAULT_IM_START_TOKEN = "<image>"
 DEFAULT_IM_END_TOKEN = "</image>"
+DEFAULT_VID_START_TOKEN = "<video>"
+DEFAULT_VID_END_TOKEN = "</video>"
+DEFAULT_FRAME_PATCH_TOKEN = "<framePatch>"
+PLACEHOLDER_IMAGE_TOKEN_IN_TEXT = "<imageHere>"
 USER_PREFIX = "<role>HUMAN</role>"
 ASSISTANT_PREFIX = "<role>ASSISTANT</role>"
 EOT_TOKEN = "<|endoftext|>"
@@ -171,6 +175,26 @@ class BailingMMProcessor:
                 )
                 sample = sample.replace(special_token, img_text, 1)
             image_index += n
+            out.append(sample)
+        return out
+
+    def _expand_video_tokens(self, text: List[str], video_grid_thw: np.ndarray, special_token: str = "<VIDEO>") -> List[str]:
+        """<VIDEO> -> <video> + (prod(grid) framePatch tokens) + </video>
+        (reference _expand_video_tokens :470+)."""
+        out = []
+        vid_index = 0
+        num_tokens = np.prod(video_grid_thw, axis=1)
+        for sample in text:
+            n = sample.count(special_token)
+            for i in range(vid_index, vid_index + n):
+                vid_text = (
+                    DEFAULT_VID_START_TOKEN
+                    + int(num_tokens[i]) * DEFAULT_IMAGE_PATCH_TOKEN
+                    + DEFAULT_VID_END_TOKEN
+                    + "\n"
+                )
+                sample = sample.replace(special_token, vid_text, 1)
+            vid_index += n
             out.append(sample)
         return out
 
