@@ -53,32 +53,25 @@ def main():
     ks = jax.random.split(key, 5)
     dtype = jnp.bfloat16
 
-    # a 28-layer bf16 init (32 GB) exceeds single-chip HBM: when quantizing,
-    # init + quantize on the host CPU backend, then ship the packed weights
-    init_ctx = None
-    if (args.int8 or args.int4) and args.layers > 12:
-        try:
-            init_ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
-        except Exception:
-            print("no cpu backend; large quantized init may OOM", file=sys.stderr)
-    import contextlib
+    params = {
+        "mingtok": init_mingtok_params(ks[1], mm.mingtok, dtype=dtype),
+        "vis_head": init_vis_head_params(ks[3], llm_cfg.hidden_size, mm.rf_head.z_channels, dtype=dtype),
+        "linear_proj": init_linear_proj_params(ks[4], mm.mingtok.feature_dim, llm_cfg.hidden_size, mm.mlp_depth, dtype=dtype),
+    }
+    if args.int8 or args.int4:
+        # random quantized weights created DIRECTLY on device (a 28-layer bf16
+        # intermediate would not fit single-chip HBM, and host init would push
+        # gigabytes through the tunnel)
+        from mingunivision_tpu.utils.quantize import random_quantized_like
 
-    with init_ctx or contextlib.nullcontext():
-        params = {
-            "llm": init_bailing_moe_params(ks[0], llm_cfg, dtype=dtype),
-            "mingtok": init_mingtok_params(ks[1], mm.mingtok, dtype=dtype),
-            "rf_head": init_rf_head_params(ks[2], mm.rf_head, dtype=dtype),
-            "vis_head": init_vis_head_params(ks[3], llm_cfg.hidden_size, mm.rf_head.z_channels, dtype=dtype),
-            "linear_proj": init_linear_proj_params(ks[4], mm.mingtok.feature_dim, llm_cfg.hidden_size, mm.mlp_depth, dtype=dtype),
-        }
-        if args.int8 or args.int4:
-            from mingunivision_tpu.utils.quantize import quantize_tree
-
-            bits = 4 if args.int4 else 8
-            params["llm"] = quantize_tree(params["llm"], bits=bits)
-            params["rf_head"] = quantize_tree(params["rf_head"], bits=8)
-    if init_ctx is not None:
-        params = jax.device_put(params, jax.devices()[0])
+        bits = 4 if args.int4 else 8
+        llm_shapes = jax.eval_shape(lambda k: init_bailing_moe_params(k, llm_cfg, dtype=dtype), ks[0])
+        params["llm"] = random_quantized_like(ks[0], llm_shapes, bits=bits)
+        rf_shapes = jax.eval_shape(lambda k: init_rf_head_params(k, mm.rf_head, dtype=dtype), ks[2])
+        params["rf_head"] = random_quantized_like(ks[2], rf_shapes, bits=8)
+    else:
+        params["llm"] = init_bailing_moe_params(ks[0], llm_cfg, dtype=dtype)
+        params["rf_head"] = init_rf_head_params(ks[2], mm.rf_head, dtype=dtype)
 
     Smax = args.seq
     cache = LLMCache.create(llm_cfg, 3, Smax, dtype)

@@ -142,6 +142,49 @@ def quantize_tree(params, bits: int = 8, min_size: int = _QUANT_MIN_SIZE):
     return jax.tree_util.tree_map_with_path(visit, params)
 
 
+def random_quantized_like(key, params, bits: int = 8, min_size: int = _QUANT_MIN_SIZE):
+    """Create random QUANTIZED params with the same tree/shape structure as
+    `params` directly on the default device — no full-precision intermediate and
+    no host->device transfer of dequantized weights (init of a 16B model through
+    a slow link would otherwise dominate; benchmarking aid)."""
+
+    def visit(path, x):
+        if not hasattr(x, "ndim"):
+            return x
+        parts = [str(getattr(p, "key", getattr(p, "idx", ""))) for p in path]
+        pstr = ".".join(parts)
+        is_weight = parts[-1] == "w" or parts[-1] in ("gate_proj", "up_proj", "down_proj")
+        quantizable = (
+            x.ndim >= 2
+            and jnp.issubdtype(jnp.dtype(x.dtype), jnp.floating)
+            and int(np.prod(x.shape)) >= min_size
+            and is_weight
+            and "gate.w" not in pstr
+            and "image_gate" not in pstr
+            and "audio_gate" not in pstr
+        )
+        k = jax.random.fold_in(key, hash(pstr) % (1 << 30))
+        if not quantizable:
+            return jax.random.normal(k, x.shape, jnp.float32).astype(x.dtype) * 0.02
+        b = bits
+        if b == 4 and ("word_embeddings" in pstr or x.shape[_scale_axes(x.ndim)] % 2):
+            b = 8
+        ax = _scale_axes(x.ndim)
+        sshape = list(x.shape)
+        sshape[ax] = 1
+        s = jnp.full(sshape, 0.02 / (127.0 if b == 8 else 7.0), jnp.float32)
+        if b == 4:
+            qshape = list(x.shape)
+            qshape[ax] //= 2
+            q = jax.random.randint(k, qshape, 0, 256, jnp.int32).astype(jnp.uint8)
+        else:
+            q = jax.random.randint(k, x.shape, -127, 128, jnp.int32).astype(jnp.int8)
+        return QuantizedArray(q, s, b)
+
+    shapes = jax.eval_shape(lambda: params) if callable(params) else params
+    return jax.tree_util.tree_map_with_path(visit, shapes)
+
+
 def quantized_size_bytes(params) -> int:
     total = 0
     for leaf in jax.tree_util.tree_leaves(params):
