@@ -124,7 +124,6 @@ class TestConvertE2E:
         import mingunivision_tpu.config as cfgmod
 
         orig = cfgmod.MingUniVisionConfig
-        convert_checkpoint_cfg = lambda: tiny_mm  # noqa: E731
         try:
             cfgmod.MingUniVisionConfig = lambda: tiny_mm  # type: ignore
             out = str(tmp_path / "native")
