@@ -190,6 +190,8 @@ class MingUniVisionSession:
             budget -= max(0, n - 1)
             cur = jnp.asarray(toks[-1], jnp.int32)
 
+        self._last_token = cur  # enables continue_decode() streaming
+        self._prompt_end = prompt_end
         # persisted-mask bookkeeping for the next round (modeling_bailingmm.py:278-299)
         if self.runtime.past_mode == "KEEP":
             pos = jnp.arange(self.runtime.max_seq_len)[None, :]
@@ -204,6 +206,53 @@ class MingUniVisionSession:
         self.last_hidden_states = (
             np.concatenate(hidden_chunks, axis=0) if hidden_chunks else np.zeros((0, llm_cfg.hidden_size), np.float32)
         )
+        return RoundOutput(out_tokens, images)
+
+    def continue_decode(self, max_new_tokens: int, generation: Optional[GenerationConfig] = None) -> RoundOutput:
+        """Resume decoding from where the last round stopped (streaming chunks).
+
+        Only valid right after a generate() that ended on the token budget (not
+        EOS); feeds the held-back last token and decodes up to max_new_tokens."""
+        gen = generation or GenerationConfig(max_new_tokens=max_new_tokens)
+        if getattr(self, "_last_token", None) is None:
+            raise RuntimeError("no round to continue")
+        cur = self._last_token
+        out_tokens: List[int] = []
+        images: List[np.ndarray] = []
+        budget = max_new_tokens
+        llm_cfg = self.cfg.llm
+        reported = True  # _last_token was already reported by the previous round
+        while budget > 0:
+            cur_host = int(cur)
+            if not reported:
+                out_tokens.append(cur_host)
+            reported = False
+            budget -= 1
+            if cur_host == llm_cfg.eos_token_id:
+                break
+            if cur_host == llm_cfg.image_start_token:
+                cur = self._run_image_phase(cur, self._prompt_end, self.cfg.image_gen)
+                images.append(np.asarray(self._last_image[0]))
+                continue
+            if budget <= 0:
+                break
+            self.key, sub = jax.random.split(self.key)
+            res = decode_text(
+                self.params["llm"], llm_cfg, cur, self.cache, self.mask, sub,
+                max_steps=budget, do_sample=gen.do_sample, temperature=gen.temperature,
+                top_k=gen.top_k, top_p=gen.top_p,
+            )
+            self.cache, self.mask = res.cache, res.mask
+            n = int(res.num)
+            toks = np.asarray(res.tokens[:n]).tolist()
+            self.seq_len = int(self.cache.length)
+            if n == 0:
+                break
+            out_tokens.extend(toks[:-1])
+            budget -= max(0, n - 1)
+            cur = jnp.asarray(toks[-1], jnp.int32)
+        self._last_token = cur
+        self.seq_len = int(self.cache.length)
         return RoundOutput(out_tokens, images)
 
     # -- image phase ---------------------------------------------------------

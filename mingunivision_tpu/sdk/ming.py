@@ -192,20 +192,24 @@ class Ming:
         return {"text": out_text}
 
     def generate_stream(self, text: str, chunk_tokens: int = 16, max_new_tokens: int = 256) -> Iterator[str]:
-        """Chunked text streaming over the in-process engine."""
-        remaining = max_new_tokens
-        while remaining > 0:
-            piece = self.infer.generate(
-                MingUtils.build_text_messages(text) if remaining == max_new_tokens else [
-                    {"role": "HUMAN", "content": [{"type": "text", "text": ""}]}
-                ],
-                max_new_tokens=min(chunk_tokens, remaining),
-            )
-            if not piece:
-                break
+        """Chunked text streaming: one real prefill, then continue_decode chunks
+        over the SAME session (no re-prompting between chunks)."""
+        piece = self.infer.generate(MingUtils.build_text_messages(text), max_new_tokens=chunk_tokens)
+        if piece:
             yield piece
-            remaining -= chunk_tokens
-            if piece.endswith("<|endoftext|>"):
+        remaining = max_new_tokens - chunk_tokens
+        sess = self.infer.session
+        eos = self.infer.config.llm.eos_token_id
+        while remaining > 0:
+            if int(sess._last_token) == eos:
+                break
+            out = sess.continue_decode(min(chunk_tokens, remaining))
+            ids = [t for t in out.token_ids if t != eos]
+            if not ids:
+                break
+            yield self.infer.processor.decode(ids)
+            remaining -= len(out.token_ids)
+            if out.token_ids and out.token_ids[-1] == eos:
                 break
 
     def tts(self, text: str):

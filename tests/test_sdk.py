@@ -62,3 +62,11 @@ class TestMingSdk:
 
     def test_wait_for_ready_timeout(self):
         assert not wait_for_ready("http://127.0.0.1:1/health", timeout=1.0, interval=0.2)
+
+
+class TestStreaming:
+    def test_generate_stream_chunks(self, tiny_stack):
+        tiny_stack.infer.reset_inner_state()
+        pieces = list(tiny_stack.generate_stream("tell me a story", chunk_tokens=3, max_new_tokens=9))
+        assert len(pieces) >= 1
+        assert all(isinstance(p, str) for p in pieces)
