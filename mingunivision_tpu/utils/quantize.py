@@ -129,7 +129,9 @@ def quantize_tree(params, bits: int = 8, min_size: int = _QUANT_MIN_SIZE):
         # Biases/norm scales must NOT be quantized — a depth-stacked bias would
         # get its scale reduced over the layer axis.
         is_weight = parts[-1] == "w" or parts[-1] in ("gate_proj", "up_proj", "down_proj")
-        if not is_weight:
+        parent = parts[-2] if len(parts) >= 2 else ""
+        is_norm = "norm" in parent or parent.endswith("ln") or parent.startswith("ln")
+        if not is_weight or is_norm:
             return x
         if "gate.w" in pstr or "image_gate" in pstr or "audio_gate" in pstr:
             return x  # keep routers full precision
@@ -154,11 +156,14 @@ def random_quantized_like(key, params, bits: int = 8, min_size: int = _QUANT_MIN
         parts = [str(getattr(p, "key", getattr(p, "idx", ""))) for p in path]
         pstr = ".".join(parts)
         is_weight = parts[-1] == "w" or parts[-1] in ("gate_proj", "up_proj", "down_proj")
+        parent = parts[-2] if len(parts) >= 2 else ""
+        is_norm = "norm" in parent or parent.endswith("ln") or parent.startswith("ln")
         quantizable = (
             x.ndim >= 2
             and jnp.issubdtype(jnp.dtype(x.dtype), jnp.floating)
             and int(np.prod(x.shape)) >= min_size
             and is_weight
+            and not is_norm
             and "gate.w" not in pstr
             and "image_gate" not in pstr
             and "audio_gate" not in pstr

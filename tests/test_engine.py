@@ -237,3 +237,24 @@ class TestSession:
         assert sess.seq_len > len1
         sess.reset_inner_state()
         assert sess.seq_len == 0 and sess.cache is None
+
+
+class TestCfgSchedules:
+    @pytest.mark.parametrize("schedule", ["linear", "linear-reverse"])
+    def test_non_constant_cfg_schedules_trace(self, tiny_params, schedule):
+        cfg, params = tiny_params
+        c = cfg.llm
+        Smax = 64
+        cache = LLMCache.create(c, 1, Smax, jnp.float32)
+        mask = jnp.zeros((1, Smax), bool).at[:, :4].set(True)
+        ids = np.random.default_rng(5).integers(0, 400, (1, 4))
+        _, cache = bailing_forward(params["llm"], c, embed_tokens(params["llm"], jnp.asarray(ids)), cache, mask)
+        igen = ImageGenConfig(num_image_tokens=2, cfg_schedule=schedule)
+        res = generate_image_tokens(
+            params, c, cfg.mingtok, cfg.rf_head, igen,
+            embed_tokens(params["llm"], jnp.asarray([[IMG_START]])),
+            cache.repeat_rows(3),
+            jnp.concatenate([mask, mask, mask], 0),
+            jax.random.PRNGKey(0), cfg_rows=3,
+        )
+        assert np.isfinite(np.asarray(res.sem_tokens, np.float32)).all()

@@ -101,3 +101,31 @@ class TestQuantizedLLM:
         assert np.abs(full - quant).max() / (np.abs(full).max() + 1e-6) < 0.1
         corr = np.corrcoef(full.reshape(-1), quant.reshape(-1))[0, 1]
         assert corr > 0.99
+
+
+class TestQuantizeSafety:
+    def test_stacked_biases_never_quantized(self):
+        """Regression: depth-stacked BIASES must stay full precision — their
+        scale axis would otherwise reduce over the layer dimension."""
+        from mingunivision_tpu.config import tiny_rf_config
+        from mingunivision_tpu.models.rf_head import init_rf_head_params
+
+        params = init_rf_head_params(jax.random.PRNGKey(0), tiny_rf_config())
+        q = quantize_tree(params, bits=8, min_size=64)
+        blocks = q["res_blocks"]
+        assert not isinstance(blocks["adaLN"]["b"], QuantizedArray)
+        assert not isinstance(blocks["in_ln"]["w"], QuantizedArray)  # norm scale
+        assert isinstance(blocks["adaLN"]["w"], QuantizedArray)
+
+    def test_random_quantized_like_structure(self):
+        from mingunivision_tpu.config import tiny_llm_config
+        from mingunivision_tpu.models.bailing_moe import init_bailing_moe_params
+        from mingunivision_tpu.utils.quantize import random_quantized_like
+
+        cfg = tiny_llm_config()
+        shapes = jax.eval_shape(lambda k: init_bailing_moe_params(k, cfg, jnp.float32), jax.random.PRNGKey(0))
+        q = random_quantized_like(jax.random.PRNGKey(1), shapes, bits=8, min_size=1024)
+        assert isinstance(q["layers"]["mlp"]["experts"]["up_proj"], QuantizedArray)
+        assert not isinstance(q["layers"]["mlp"]["gate"]["w"], QuantizedArray)
+        # same treedef shape as a real init for the dense leaves
+        assert q["norm"]["w"].shape == shapes["norm"]["w"].shape
