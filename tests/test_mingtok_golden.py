@@ -177,3 +177,19 @@ class TestFeatureDecoderParity:
             outs.append(np.asarray(o["x_norm_patchtokens"]))
         got = np.concatenate(outs, axis=1)
         np.testing.assert_allclose(got, np.asarray(full), rtol=1e-4, atol=1e-4)
+
+
+class TestNonNativeResolution:
+    def test_encode_at_2x_grid_matches_reference(self, ref_and_params):
+        """The understanding path feeds 1024px into a 512px-trained encoder —
+        pos-embed bicubic interpolation (with the DINO offset kludge) must match
+        the reference bit-for-bit at fp32 (vision_transformer.py:183-215)."""
+        ref, params, cfg = ref_and_params
+        x = np.random.default_rng(7).standard_normal((1, 3, 128, 128)).astype(np.float32)
+        with torch.no_grad():
+            want = ref.forward(torch.tensor(x))
+        got = mingtok_encode(params, cfg, jnp.asarray(x), compute_dtype=jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(got["latent"]), want["latent"].numpy(), rtol=2e-3, atol=2e-3
+        )
+        assert got["latent"].shape == (1, 8 * 8 + 1, 8)  # 2x grid + cls
