@@ -256,7 +256,8 @@ def generate_image_tokens(
         embeds, cache, masks, sem_cache, sem_tokens, key = state
         # mark the position the current embeds will occupy, for every CFG row
         masks = lax.dynamic_update_slice(masks, jnp.ones((R, 1), masks.dtype), (0, cache.length))
-        hidden, cache = llm_step(embeds, cache, masks)
+        with jax.profiler.TraceAnnotation("imggen/llm_step"):
+            hidden, cache = llm_step(embeds, cache, masks)
 
         z = vis_head_apply(params["vis_head"], hidden[:, -1])  # (R, z)
         tcfg, icfg = cfg_at(i)
@@ -273,9 +274,10 @@ def generate_image_tokens(
             time_shifting_factor=gen_cfg.time_shifting_factor,
         )  # (R, 32) — all rows carry the guided sample
 
-        sem_out, sem_cache = mingtok_feature_decoder(
-            params["mingtok"], mingtok_cfg, latent[0:1][:, None, :], sem_cache, compute_dtype=sem_dtype
-        )
+        with jax.profiler.TraceAnnotation("imggen/semdec_step"):
+            sem_out, sem_cache = mingtok_feature_decoder(
+                params["mingtok"], mingtok_cfg, latent[0:1][:, None, :], sem_cache, compute_dtype=sem_dtype
+            )
         sem = sem_out["x_norm_patchtokens"]  # (1, 1, feat)
         sem_tokens = lax.dynamic_update_slice(sem_tokens, sem.astype(sem_tokens.dtype), (0, i, 0))
 

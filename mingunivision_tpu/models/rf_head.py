@@ -207,7 +207,8 @@ def rf_sample(
     block_mods, final_mods = precompute_modulations(params, cfg, ts, z)
 
     def net(x_in, i):
-        return rf_net_apply_premod(params, cfg, x_in, block_mods[:, i], final_mods[i])
+        with jax.profiler.TraceAnnotation("imggen/rf_net"):
+            return rf_net_apply_premod(params, cfg, x_in, block_mods[:, i], final_mods[i])
 
     def step(i, x):
         if cfg_rows == 3:

@@ -60,3 +60,41 @@ def test_server_endpoints(tiny_infer):
             assert m["requests"] >= 1
 
     asyncio.run(run())
+
+
+def test_tts_endpoint(tiny_infer):
+    import jax
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from mingunivision_tpu.serving.server import InferenceServer
+    from mingunivision_tpu.talker.detokenizer import AudioDetokenizer, FlowConfig, HiFTConfig
+    from mingunivision_tpu.talker.model import BailingTalker
+    from mingunivision_tpu.talker.sentence_manager import SentenceManagerConfig
+    from mingunivision_tpu.talker.streaming import OmniAudioPipeline
+    from tests.test_talker import tiny_talker_cfg
+
+    talker = BailingTalker.random_init(jax.random.PRNGKey(0), tiny_talker_cfg(), dtype=jax.numpy.float32)
+    detok = AudioDetokenizer.random_init(
+        jax.random.PRNGKey(1),
+        FlowConfig(codec_vocab=64, token_dim=32, mel_dim=16, channels=32, depth=2, num_ode_steps=2),
+        HiFTConfig(mel_dim=16, base_channels=32, upsample_rates=(4, 4), upsample_kernels=(8, 8)),
+    )
+    pipe = OmniAudioPipeline(
+        talker, detok, lambda s: [hash(c) % 128 for c in s][:8] or [1],
+        sm_config=SentenceManagerConfig(min_sentence_len=2),
+    )
+    srv = InferenceServer(tiny_infer, talker_pipeline=pipe)
+    app = srv.build_app()
+
+    async def run():
+        async with TestClient(TestServer(app)) as client:
+            r = await client.post("/tts", json={"text": "你好。"})
+            assert r.status == 200
+            body = await r.read()
+            assert body[:4] == b"RIFF"  # valid WAV header
+            # probe: missing text
+            r = await client.post("/tts", json={})
+            assert r.status == 400
+
+    asyncio.run(run())
