@@ -131,7 +131,12 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--only", default=None)
+    ap.add_argument("--allow-cpu", action="store_true")
     args = ap.parse_args()
+    if jax.default_backend() != "tpu" and not args.allow_cpu:
+        # JAX_PLATFORMS='' silently falls back to host CPU when the axon claim
+        # is not ready — a full-width "bench" then grinds for an hour on host.
+        sys.exit(f"refusing to bench on backend={jax.default_backend()!r}; pass --allow-cpu to override")
     benches = {
         "mingtok": lambda: bench_mingtok(args.quick),
         "llm": lambda: bench_llm_decode(args.quick),

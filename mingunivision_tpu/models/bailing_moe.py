@@ -230,11 +230,16 @@ def moe_block_apply(params, cfg: BailingMoeConfig, x, image_mask=None, audio_mas
     on_tpu = jax.default_backend() == "tpu"
     if B * T <= MOE_GATHER_MAX_TOKENS:
         # decode-shape dispatch. Measured on v5e (18 assignments, 64 experts):
-        # full-table masked-dense streams ~1.1 GB/layer at near-HBM rate
-        # (~1.2 ms) while XLA's row-gather (8.7 ms) and the scalar-prefetch
-        # Pallas gather (4.2 ms) are DMA-latency bound — dense wins until the
-        # gather kernel is further tuned.
-        if on_tpu:
+        # the fused gather-stream kernel (chunked, DMA-eliding, silu+combine
+        # in-kernel) reads only the routed experts' weights; masked-dense
+        # full-table streaming (1.89 ms/layer) is the fallback for quantized
+        # tables and unaligned dims; XLA row-gather (8.7 ms) and the full-slab
+        # scalar-prefetch gather (4.2 ms) are DMA-latency bound.
+        from mingunivision_tpu.ops.kernels.moe_stream import moe_experts_stream, stream_supported
+
+        if on_tpu and stream_supported(params["experts"], x_flat, topk_idx):
+            y = moe_experts_stream(params["experts"], x_flat, topk_idx, topk_w)
+        elif on_tpu:
             y = moe_experts_dense(params["experts"], x_flat, topk_idx, topk_w, cfg.num_experts)
         else:
             y = moe_experts_gather(params["experts"], x_flat, topk_idx, topk_w)

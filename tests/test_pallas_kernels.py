@@ -77,3 +77,59 @@ class TestGatheredExpertMatmul:
         got = np.asarray(gathered_expert_matmul(x, w, ids, tile_n=32, interpret=True))
         want = np.stack([np.asarray(x[i] @ w[int(ids[i])]) for i in range(5)])
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+class TestMoEStreamKernel:
+    def test_matches_dense(self):
+        from mingunivision_tpu.models.bailing_moe import moe_experts_dense
+        from mingunivision_tpu.ops.kernels.moe_stream import moe_experts_stream
+
+        rng = np.random.default_rng(0)
+        E, d, m, N, k = 8, 256, 384, 3, 4
+        experts = {
+            "gate_proj": jnp.asarray(rng.standard_normal((E, d, m)) * 0.05, jnp.float32),
+            "up_proj": jnp.asarray(rng.standard_normal((E, d, m)) * 0.05, jnp.float32),
+            "down_proj": jnp.asarray(rng.standard_normal((E, m, d)) * 0.05, jnp.float32),
+        }
+        x = jnp.asarray(rng.standard_normal((N, d)), jnp.float32)
+        idx = jnp.asarray(rng.integers(0, E, (N, k)), jnp.int32)
+        idx = idx.at[1, 0].set(idx[0, 0])  # duplicate across rows -> DMA-elision path
+        w = jax.nn.softmax(jnp.asarray(rng.standard_normal((N, k)), jnp.float32), -1)
+        want = np.asarray(moe_experts_dense(experts, x, idx, w, E))
+        got = np.asarray(moe_experts_stream(experts, x, idx, w, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_single_token(self):
+        from mingunivision_tpu.models.bailing_moe import moe_experts_dense
+        from mingunivision_tpu.ops.kernels.moe_stream import moe_experts_stream
+
+        rng = np.random.default_rng(1)
+        E, d, m = 4, 128, 256
+        experts = {
+            "gate_proj": jnp.asarray(rng.standard_normal((E, d, m)) * 0.05, jnp.float32),
+            "up_proj": jnp.asarray(rng.standard_normal((E, d, m)) * 0.05, jnp.float32),
+            "down_proj": jnp.asarray(rng.standard_normal((E, m, d)) * 0.05, jnp.float32),
+        }
+        x = jnp.asarray(rng.standard_normal((1, d)), jnp.float32)
+        idx = jnp.asarray([[2, 0]], jnp.int32)
+        w = jnp.asarray([[0.7, 0.3]], jnp.float32)
+        want = np.asarray(moe_experts_dense(experts, x, idx, w, E))
+        got = np.asarray(moe_experts_stream(experts, x, idx, w, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_supported_gate(self):
+        from mingunivision_tpu.ops.kernels.moe_stream import stream_supported
+
+        experts = {
+            "gate_proj": jnp.zeros((4, 256, 384)),
+            "up_proj": jnp.zeros((4, 256, 384)),
+            "down_proj": jnp.zeros((4, 384, 256)),
+        }
+        idx = jnp.zeros((3, 4), jnp.int32)
+        x = jnp.zeros((3, 256))
+        assert stream_supported(experts, x, idx)
+        # unaligned hidden dim -> unsupported
+        bad = {k: jnp.zeros((4, 100, 384)) if "down" not in k else jnp.zeros((4, 384, 100)) for k in experts}
+        assert not stream_supported(bad, x, idx)
+        # too many slots -> unsupported
+        assert not stream_supported(experts, x, jnp.zeros((10, 6), jnp.int32))
