@@ -1,10 +1,11 @@
-"""Benchmark driver: MingTok 512px encode->decode reconstruction throughput.
+"""Benchmark driver. Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-North-star config #1/#2 (BASELINE.json): batched MingTok tokenizer throughput.
-No published reference latency exists (BASELINE.md) — vs_baseline is measured
-against our recorded PyTorch-reference CPU/GPU-free proxy of 1.0 (i.e. the value
-itself is the record; the driver archives BENCH_r{N}.json per round).
+Primary metric = MingTok 512px encode->decode reconstruction throughput
+(north-star config #1/#2, BASELINE.json). The `extra` field carries the T2I
+AR-loop per-token cost (north-star config #4: T2I images/min) so the driver
+records it every round. No published reference latency exists (BASELINE.md) —
+vs_baseline is the round-1 recorded value of this same metric (BENCH_r01.json:
+50.72 images/sec/chip), so >1.0 means faster than round 1.
 """
 
 import json
@@ -17,6 +18,8 @@ import jax.numpy as jnp
 # persistent compile cache: first compiles through the TPU tunnel are slow
 os.makedirs("/tmp/jax_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+ROUND1_BASELINE_IPS = 50.72  # BENCH_r01.json
 
 
 def bench_mingtok_recon(batch: int = 8, iters: int = 10, warmup: int = 2):
@@ -33,15 +36,87 @@ def bench_mingtok_recon(batch: int = 8, iters: int = 10, warmup: int = 2):
     return batch / dt
 
 
+def bench_t2i_per_token(layers: int = 28, tokens: int = 8, iters: int = 2, bits: int = 8):
+    """Full-size T2I AR loop per-token cost, int8 LLM+RF (fits 28 layers on one
+    v5e chip); see benchmarks/bench_t2i.py for the full sweep."""
+    from mingunivision_tpu.config import BailingMoeConfig, ImageGenConfig, MingUniVisionConfig
+    from mingunivision_tpu.engine.generate import generate_image_tokens, init_linear_proj_params
+    from mingunivision_tpu.models.bailing_moe import LLMCache, embed_tokens, init_bailing_moe_params
+    from mingunivision_tpu.models.mingtok import init_mingtok_params
+    from mingunivision_tpu.models.rf_head import init_rf_head_params, init_vis_head_params
+    from mingunivision_tpu.utils.profiling import force_sync
+    from mingunivision_tpu.utils.quantize import random_quantized_like
+
+    llm_cfg = BailingMoeConfig(num_hidden_layers=layers)
+    mm = MingUniVisionConfig(llm=llm_cfg)
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    dtype = jnp.bfloat16
+    llm_shapes = jax.eval_shape(lambda k: init_bailing_moe_params(k, llm_cfg, dtype=dtype), ks[0])
+    rf_shapes = jax.eval_shape(lambda k: init_rf_head_params(k, mm.rf_head, dtype=dtype), ks[2])
+    params = {
+        "llm": (
+            random_quantized_like(ks[0], llm_shapes, bits=bits)
+            if bits < 16
+            else init_bailing_moe_params(ks[0], llm_cfg, dtype=dtype)
+        ),
+        "rf_head": random_quantized_like(ks[2], rf_shapes, bits=8) if bits < 16 else init_rf_head_params(ks[2], mm.rf_head, dtype=dtype),
+        "mingtok": init_mingtok_params(ks[1], mm.mingtok, dtype=dtype),
+        "vis_head": init_vis_head_params(ks[3], llm_cfg.hidden_size, mm.rf_head.z_channels, dtype=dtype),
+        "linear_proj": init_linear_proj_params(ks[4], mm.mingtok.feature_dim, llm_cfg.hidden_size, mm.mlp_depth, dtype=dtype),
+    }
+    Smax = 1024
+    cache = LLMCache.create(llm_cfg, 3, Smax, dtype)
+    cache = LLMCache(cache.k, cache.v, jnp.int32(64))
+    masks = jnp.zeros((3, Smax), bool).at[:, :64].set(True)
+    start_embed = embed_tokens(params["llm"], jnp.asarray([[1]])).astype(dtype)
+    igen = ImageGenConfig(num_image_tokens=tokens)
+
+    def run(cache_in, k):
+        return generate_image_tokens(
+            params, llm_cfg, mm.mingtok, mm.rf_head, igen, start_embed, cache_in, masks, k, cfg_rows=3
+        ).sem_tokens
+
+    def fresh():
+        return LLMCache(cache.k + 0, cache.v + 0, cache.length + 0)
+
+    out = run(fresh(), jax.random.PRNGKey(1))
+    force_sync(out)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = run(fresh(), jax.random.PRNGKey(i))
+    force_sync(out)
+    dt = (time.perf_counter() - t0) / iters
+    return dt / tokens * 1e3  # ms/token
+
+
 if __name__ == "__main__":
+    # JAX_PLATFORMS='' auto-pick silently falls back to host CPU when the axon
+    # claim is not ready — a CPU number would be recorded as a TPU result.
+    assert jax.default_backend() == "tpu", f"expected TPU backend, got {jax.default_backend()}"
     ips = bench_mingtok_recon()
+    extra = {}
+    # T2I tiers, best first: full-depth int8 single-chip; else the round-1
+    # 8-layer bf16 proxy (BENCHMARKS.md:89 extrapolation basis)
+    for layers, bits, tag in ((28, 8, "int8_28layer"), (8, 16, "bf16_8layer_proxy")):
+        try:
+            ms = bench_t2i_per_token(layers=layers, bits=bits)
+            extra = {
+                "t2i_config": tag,
+                "t2i_per_token_ms": round(ms, 1),
+                "t2i_seconds_per_image_256tok": round(ms * 256 / 1e3, 1),
+                "t2i_images_per_min": round(60.0 / (ms * 256 / 1e3), 2),
+            }
+            break
+        except Exception as e:  # noqa: BLE001 — secondary metric must not kill the primary
+            extra = {"t2i_error": str(e)[:160]}
     print(
         json.dumps(
             {
                 "metric": "mingtok_512px_encode_decode_throughput",
                 "value": round(ips, 2),
                 "unit": "images/sec/chip",
-                "vs_baseline": round(ips, 2),
+                "vs_baseline": round(ips / ROUND1_BASELINE_IPS, 2),
+                "extra": extra,
             }
         )
     )

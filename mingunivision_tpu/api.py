@@ -40,13 +40,22 @@ class MingUniVisionInfer:
         tokenizer=None,
         processor: Optional[BailingMMProcessor] = None,
         seed: int = 0,
+        mesh=None,
     ):
+        """`mesh`: optional jax.sharding.Mesh — shards the 16B LLM TP/EP over it
+        (parallel/sharding.py rules) and the KV cache with it; required to serve
+        bf16 16B on 16 GB chips (reference bar: vLLM TP, patch :468-661)."""
         self.config = config or MingUniVisionConfig()
         self.runtime = runtime or RuntimeConfig()
+        self.mesh = mesh
         if params is None:
             if model_path is None:
                 raise ValueError("need model_path or params")
             params, tokenizer = self._load_checkpoint(model_path, tokenizer)
+        if mesh is not None:
+            from mingunivision_tpu.parallel.sharding import shard_mm_params
+
+            params = shard_mm_params(params, mesh)
         self.params = params
         if processor is not None:
             self.processor = processor
@@ -54,7 +63,7 @@ class MingUniVisionInfer:
             if tokenizer is None:
                 raise ValueError("need a tokenizer or processor")
             self.processor = BailingMMProcessor(tokenizer)
-        self.session = MingUniVisionSession(self.params, self.config, self.runtime, seed=seed)
+        self.session = MingUniVisionSession(self.params, self.config, self.runtime, seed=seed, mesh=mesh)
 
     # -- checkpoint loading ---------------------------------------------------
 
@@ -83,15 +92,38 @@ class MingUniVisionInfer:
         }
         quant_bits = {"int8": 8, "int4": 4}.get(self.runtime.param_dtype)
         dtype = jnp.float32 if self.runtime.param_dtype == "float32" else jnp.bfloat16
-        params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
-        if quant_bits:
-            # weight-only quant tiers (reference int8 Quanto / int4 NF4,
-            # mingunivisioninfer.py:46-78): LLM + RF head carry the memory;
-            # MingTok stays bf16 (recon parity)
-            from mingunivision_tpu.utils.quantize import quantize_tree
+        if self.mesh is None:
+            params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
+            if quant_bits:
+                # weight-only quant tiers (reference int8 Quanto / int4 NF4,
+                # mingunivisioninfer.py:46-78): LLM + RF head carry the memory;
+                # MingTok stays bf16 (recon parity)
+                from mingunivision_tpu.utils.quantize import quantize_tree
 
-            params["llm"] = quantize_tree(params["llm"], bits=quant_bits)
-            params["rf_head"] = quantize_tree(params["rf_head"], bits=quant_bits)
+                params["llm"] = quantize_tree(params["llm"], bits=quant_bits)
+                params["rf_head"] = quantize_tree(params["rf_head"], bits=quant_bits)
+        else:
+            # sharded load: keep leaves on the HOST (ml_dtypes bf16 numpy) so the
+            # 33 GB bf16 16B tree never materializes on one 16 GB chip — __init__'s
+            # shard_mm_params device_puts each leaf shard-wise onto the mesh.
+            import contextlib
+
+            import ml_dtypes
+            import numpy as np
+
+            np_dt = np.float32 if dtype == jnp.float32 else ml_dtypes.bfloat16
+            params = jax.tree_util.tree_map(lambda x: np.asarray(x).astype(np_dt), params)
+            if quant_bits:
+                from mingunivision_tpu.utils.quantize import quantize_tree
+
+                try:
+                    cpus = jax.local_devices(backend="cpu") if jax.default_backend() != "cpu" else []
+                except RuntimeError:
+                    cpus = []
+                ctx = jax.default_device(cpus[0]) if cpus else contextlib.nullcontext()
+                with ctx:  # quantize on host, off the accelerator
+                    params["llm"] = quantize_tree(params["llm"], bits=quant_bits)
+                    params["rf_head"] = quantize_tree(params["rf_head"], bits=quant_bits)
         if tokenizer is None:
             try:
                 from transformers import AutoTokenizer

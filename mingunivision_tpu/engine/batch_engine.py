@@ -25,12 +25,7 @@ from jax import lax
 
 from mingunivision_tpu.config import BailingMoeConfig
 from mingunivision_tpu.engine.sampler import sample_token
-from mingunivision_tpu.models.bailing_moe import (
-    LLMCache,
-    bailing_forward,
-    compute_logits,
-    embed_tokens,
-)
+from mingunivision_tpu.models.bailing_moe import LLMCache, embed_tokens
 from mingunivision_tpu.ops.attention import mha
 from mingunivision_tpu.ops.linear import dense
 from mingunivision_tpu.ops.norms import rms_norm
@@ -122,16 +117,37 @@ class Request:
     done: bool = False
 
 
-class ContinuousBatchingEngine:
-    """Host scheduler over the batched decode step."""
+PREFILL_BUCKET = 64  # admission prompts right-pad to multiples of this
 
-    def __init__(self, params, cfg: BailingMoeConfig, *, slots: int = 4, max_len: int = 1024, dtype=jnp.bfloat16, seed: int = 0):
+
+class ContinuousBatchingEngine:
+    """Host scheduler over the batched decode step.
+
+    Sampling config is engine-level and trace-static (one compiled decode step
+    for the pool; the vLLM analog of per-request params would force a dynamic
+    recompile per mixture)."""
+
+    def __init__(
+        self,
+        params,
+        cfg: BailingMoeConfig,
+        *,
+        slots: int = 4,
+        max_len: int = 1024,
+        dtype=jnp.bfloat16,
+        seed: int = 0,
+        do_sample: bool = False,
+        temperature: float = 1.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
+    ):
         self.params = params
         self.cfg = cfg
         self.slots = slots
         self.max_len = max_len
         self.state = BatchState.create(cfg, slots, max_len, dtype)
         self.key = jax.random.PRNGKey(seed)
+        self.sampling = dict(do_sample=do_sample, temperature=temperature, top_k=top_k, top_p=top_p)
         self.slot_req: Dict[int, Request] = {}
         self.slot_budget: Dict[int, int] = {}
         self._next_id = 0
@@ -145,6 +161,9 @@ class ContinuousBatchingEngine:
                 return b
         return None
 
+    def has_free_slot(self) -> bool:
+        return self._free_slot() is not None
+
     def add_request(self, input_ids: np.ndarray, max_new_tokens: int = 128) -> Optional[Request]:
         """Admit a request: prefill into a free slot. None if pool is full."""
         slot = self._free_slot()
@@ -155,13 +174,19 @@ class ContinuousBatchingEngine:
         T = len(req.input_ids)
         assert T + max_new_tokens < self.max_len
 
-        # single-row prefill, then install into the slot
+        # jitted single-row prefill (engine.generate.prefill), prompt right-padded
+        # to a length bucket: one compile per bucket, not one per prompt length
+        from mingunivision_tpu.engine.generate import prefill
+
+        Tb = min(self.max_len, -(-T // PREFILL_BUCKET) * PREFILL_BUCKET)
+        ids_pad = np.zeros((1, Tb), np.int64)
+        ids_pad[0, :T] = req.input_ids
         cache1 = LLMCache.create(self.cfg, 1, self.max_len, self.state.k.dtype)
         mask1 = jnp.zeros((1, self.max_len), bool).at[:, :T].set(True)
-        embeds = embed_tokens(self.params, jnp.asarray(req.input_ids[None])).astype(self.state.k.dtype)
-        hidden, cache1 = bailing_forward(self.params, self.cfg, embeds, cache1, mask1)
-        logits = compute_logits(self.params, self.cfg, hidden)[:, -1]
-        first = int(jnp.argmax(logits, -1)[0])
+        embeds = embed_tokens(self.params, jnp.asarray(ids_pad)).astype(self.state.k.dtype)
+        logits, cache1 = prefill(self.params, self.cfg, embeds, cache1, mask1)
+        self.key, sub = jax.random.split(self.key)
+        first = int(sample_token(logits, sub, **self.sampling)[0])
 
         st = self.state
         self.state = BatchState(
@@ -193,7 +218,7 @@ class ContinuousBatchingEngine:
         if not self.slot_req:
             return {}
         self.key, sub = jax.random.split(self.key)
-        self.state, toks = batched_decode_step(self.params, self.cfg, self.state, sub)
+        self.state, toks = batched_decode_step(self.params, self.cfg, self.state, sub, **self.sampling)
         toks = np.asarray(toks)
         active = np.asarray(self.state.active)
         out = {}

@@ -50,10 +50,15 @@ class RoundOutput:
 class MingUniVisionSession:
     """One conversation: owns the KV cache and persisted masks across rounds."""
 
-    def __init__(self, params, cfg: MingUniVisionConfig, runtime: RuntimeConfig, seed: int = 0):
+    def __init__(self, params, cfg: MingUniVisionConfig, runtime: RuntimeConfig, seed: int = 0, mesh=None):
+        """`mesh`: optional jax.sharding.Mesh. Params are expected to be placed
+        already (api.py does `shard_mm_params`); the session then creates its KV
+        cache sharded (kv-heads over `model`) so the 16B model serves on v5e-8
+        — the analog of the reference's vLLM TP inference (patch :468-661)."""
         self.params = params
         self.cfg = cfg
         self.runtime = runtime
+        self.mesh = mesh
         self.key = jax.random.PRNGKey(seed)
         self._dtype = jnp.bfloat16 if runtime.compute_dtype == "bfloat16" else jnp.float32
         self.reset_inner_state()
@@ -71,6 +76,10 @@ class MingUniVisionSession:
     def _ensure_cache(self):
         if self.cache is None:
             self.cache = LLMCache.create(self.cfg.llm, 1, self.runtime.max_seq_len, self._dtype)
+            if self.mesh is not None:
+                from mingunivision_tpu.parallel.sharding import shard_cache
+
+                self.cache = shard_cache(self.cache, self.mesh)
 
     # -- vision --------------------------------------------------------------
 
@@ -199,7 +208,9 @@ class MingUniVisionSession:
             # uncond beyond prompt stays 0 (pad_uncond_attn_mask is zeros)
         else:  # DROP (default)
             self.uncond_mask = cond_prompt_mask
-            self.text_uncond_mask = self.mask
+            # COPY, never alias: continue_decode() donates self.mask to the
+            # decode loop — an aliased text_uncond_mask would be invalidated
+            self.text_uncond_mask = self.mask.copy()
         self.seq_len = int(self.cache.length)
         # reply hidden states for the thinker->talker feed (vLLM-patch
         # return_hidden_states analog, SURVEY §2.7)
@@ -253,6 +264,13 @@ class MingUniVisionSession:
             cur = jnp.asarray(toks[-1], jnp.int32)
         self._last_token = cur
         self.seq_len = int(self.cache.length)
+        # keep the persisted-mask bookkeeping current (a streamed round is one
+        # logical round split into chunks)
+        if self.runtime.past_mode == "KEEP":
+            pos = jnp.arange(self.runtime.max_seq_len)[None, :]
+            self.text_uncond_mask = jnp.where(pos < self._prompt_end, self.text_uncond_mask, self.mask)
+        else:
+            self.text_uncond_mask = self.mask.copy()
         return RoundOutput(out_tokens, images)
 
     # -- image phase ---------------------------------------------------------

@@ -56,9 +56,28 @@ def llm_param_spec(path) -> P:
     return P()  # replicate (norms, gates, biases)
 
 
+def fit_spec(spec: P, shape, mesh: Mesh) -> P:
+    """Adapt a rule PartitionSpec to a concrete leaf shape: drop sharded axes
+    that don't divide the dim (quantized-scale leaves have size-1 contraction
+    dims; int4 packs halve the contraction dim). Rank mismatch -> replicate."""
+    if len(spec) > len(shape):
+        return P()
+    out = []
+    for d, name in enumerate(spec):
+        if name is None:
+            out.append(None)
+            continue
+        names = name if isinstance(name, tuple) else (name,)
+        size = 1
+        for n in names:
+            size *= mesh.shape[n]
+        out.append(name if shape[d] % size == 0 else None)
+    return P(*out)
+
+
 def llm_param_shardings(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(
-        lambda path, x: NamedSharding(mesh, llm_param_spec(path)), params
+        lambda path, x: NamedSharding(mesh, fit_spec(llm_param_spec(path), x.shape, mesh)), params
     )
 
 
@@ -68,12 +87,22 @@ def shard_llm_params(params, mesh: Mesh):
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
 
 
-def cache_sharding(mesh: Mesh):
-    """KV cache (L, B, S, Hkv, D): kv-heads over `model`, batch over `data`."""
+def cache_sharding(mesh: Mesh, cache=None):
+    """KV cache (L, B, S, Hkv, D): kv-heads over `model`, batch over `data`.
+
+    With a concrete `cache`, the spec is fitted to its shapes (batch 1 or
+    odd kv-head counts fall back to replication on that axis)."""
     from mingunivision_tpu.models.bailing_moe import LLMCache
 
-    kv = NamedSharding(mesh, P(None, "data", None, "model", None))
+    spec = P(None, "data", None, "model", None)
+    if cache is not None:
+        spec = fit_spec(spec, cache.k.shape, mesh)
+    kv = NamedSharding(mesh, spec)
     return LLMCache(kv, kv, NamedSharding(mesh, P()))
+
+
+def shard_cache(cache, mesh: Mesh):
+    return jax.device_put(cache, cache_sharding(mesh, cache))
 
 
 def replicated(mesh: Mesh):
@@ -89,9 +118,38 @@ def mingtok_param_shardings(params, mesh: Mesh):
     def spec(path, x):
         s = _path_str(path)
         if "attn.qkv.w" in s or "mlp.w12.w" in s or "mlp.fc1.w" in s:
-            return NamedSharding(mesh, P(None, None, "model") if x.ndim == 3 else P(None, "model"))
-        if "attn.proj.w" in s or "mlp.w3.w" in s or "mlp.fc2.w" in s:
-            return NamedSharding(mesh, P(None, "model", None) if x.ndim == 3 else P("model", None))
-        return NamedSharding(mesh, P())
+            raw = P(None, None, "model") if x.ndim == 3 else P(None, "model")
+        elif "attn.proj.w" in s or "mlp.w3.w" in s or "mlp.fc2.w" in s:
+            raw = P(None, "model", None) if x.ndim == 3 else P("model", None)
+        else:
+            raw = P()
+        return NamedSharding(mesh, fit_spec(raw, x.shape, mesh))
 
     return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def mm_param_shardings(params, mesh: Mesh):
+    """Shardings for the FULL MingUniVision param tree
+    {llm, mingtok, rf_head, vis_head, linear_proj}: the 16B LLM carries the
+    memory (TP/EP per _LLM_RULES); MingTok gets its ViT TP specs; the small
+    heads (rf_head ~100M, vis_head, linear_proj) replicate.
+
+    This is the TPU answer to the reference's vLLM TP serving path
+    (vllm/ming_lite.patch:468-661): one placement call instead of parallel
+    linear classes."""
+    repl = NamedSharding(mesh, P())
+    out = {}
+    for key, sub in params.items():
+        if key == "llm":
+            out[key] = llm_param_shardings(sub, mesh)
+        elif key == "mingtok":
+            out[key] = mingtok_param_shardings(sub, mesh)
+        else:
+            out[key] = jax.tree_util.tree_map(lambda x: repl, sub)
+    return out
+
+
+def shard_mm_params(params, mesh: Mesh):
+    """Place the full composed param tree onto the mesh."""
+    shardings = mm_param_shardings(params, mesh)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)

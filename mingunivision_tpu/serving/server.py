@@ -45,6 +45,74 @@ def _png_b64(img_chw) -> str:
     return base64.b64encode(buf.getvalue()).decode()
 
 
+class BatchTextWorker:
+    """Continuous-batching text path (the vLLM-analog serving tier, reference
+    patch :2054-2073): a dedicated thread admits queued prompts into free
+    ContinuousBatchingEngine slots and steps all active slots together —
+    decode is HBM-bound, so co-scheduled requests are near-free throughput."""
+
+    def __init__(self, engine, eos_token_id: int):
+        import queue as _queue
+        import threading
+
+        self.engine = engine
+        self.eos_token_id = eos_token_id
+        self.queue: "_queue.Queue" = _queue.Queue()
+        self._inflight: list = []
+        self._running = True
+        self._thread = threading.Thread(target=self._loop, name="batch-worker", daemon=True)
+        self._thread.start()
+
+    def submit(self, input_ids, max_new_tokens: int) -> dict:
+        import threading
+
+        item = {"ids": input_ids, "max": int(max_new_tokens), "event": threading.Event(), "req": None}
+        self.queue.put(item)
+        return item
+
+    def stop(self):
+        self._running = False
+        self._thread.join(timeout=5)
+
+    def _loop(self):
+        import queue as _queue
+        from collections import deque
+
+        pending = deque()
+        while self._running:
+            try:
+                while True:
+                    pending.append(self.queue.get_nowait())
+            except _queue.Empty:
+                pass
+            while pending and self.engine.has_free_slot():
+                item = pending.popleft()
+                try:
+                    item["req"] = self.engine.add_request(item["ids"], item["max"])
+                except Exception as e:  # noqa: BLE001 — bad request must not kill the worker
+                    item["error"] = str(e)
+                    item["event"].set()
+                    continue
+                if item["req"] is None or item["req"].done:  # pool raced / instant stop
+                    item["event"].set()
+                else:
+                    self._inflight.append(item)
+            if not self.engine.slot_req:
+                try:
+                    pending.append(self.queue.get(timeout=0.05))
+                except _queue.Empty:
+                    pass
+                continue
+            self.engine.step()
+            still = []
+            for item in self._inflight:
+                if item["req"].done:
+                    item["event"].set()
+                else:
+                    still.append(item)
+            self._inflight = still
+
+
 class InferenceServer:
     def __init__(
         self,
@@ -54,18 +122,55 @@ class InferenceServer:
         max_sessions: int = 8,
         max_queue: int = 64,
         talker_pipeline=None,
+        batch_slots: int = 0,
+        batch_max_len: int = 1024,
     ):
+        """batch_slots > 0 enables the continuous-batching text endpoint
+        (/generate_batch) with that many concurrent decode slots."""
         self.infer = infer  # a MingUniVisionInfer (holds the default session)
         self.host = host
         self.port = port
+        self.max_sessions = max_sessions
         self.max_queue = max_queue
         self.talker_pipeline = talker_pipeline  # OmniAudioPipeline for /tts
         self.executor = ThreadPoolExecutor(max_workers=1)  # one TPU stream
         self.pending = 0
         self.stats = {"requests": 0, "errors": 0, "tokens": 0, "images": 0}
         self._t0 = time.time()
+        # per-session_id multi-round state: session_id -> MingUniVisionSession,
+        # LRU-evicted at max_sessions. All access happens on the single worker
+        # thread, so swapping infer.session per request is race-free.
+        self._sessions: OrderedDict = OrderedDict([("default", infer.session)])
+        self.batch_worker = None
+        if batch_slots > 0:
+            from mingunivision_tpu.engine.batch_engine import ContinuousBatchingEngine
+
+            engine = ContinuousBatchingEngine(
+                infer.params["llm"],
+                infer.config.llm,
+                slots=batch_slots,
+                max_len=batch_max_len,
+                dtype=infer.session._dtype,
+            )
+            self.batch_worker = BatchTextWorker(engine, infer.config.llm.eos_token_id)
 
     # -- request handling -----------------------------------------------------
+
+    def _get_session(self, session_id: str):
+        if session_id in self._sessions:
+            self._sessions.move_to_end(session_id)
+            return self._sessions[session_id]
+        from mingunivision_tpu.engine.session import MingUniVisionSession
+
+        sess = MingUniVisionSession(
+            self.infer.params, self.infer.config, self.infer.runtime, mesh=getattr(self.infer, "mesh", None)
+        )
+        self._sessions[session_id] = sess
+        while len(self._sessions) > self.max_sessions:
+            evicted_id, _ = self._sessions.popitem(last=False)
+            if evicted_id == "default":  # never evict the default session
+                self._sessions["default"] = self.infer.session
+        return sess
 
     def _decode_images(self, messages):
         """Inline base64 images ('data:' or raw b64 in image fields) -> PIL."""
@@ -83,6 +188,7 @@ class InferenceServer:
 
     def _run_generate(self, payload: dict) -> dict:
         messages = self._decode_images(payload["messages"])
+        self.infer.session = self._get_session(str(payload.get("session_id", "default")))
         if payload.get("reset", False):
             self.infer.reset_inner_state()
         text = self.infer.generate(
@@ -135,7 +241,9 @@ class InferenceServer:
                 self.pending -= 1
 
         async def generate_stream(request):
-            """Chunked streaming: decode in CHUNK-token slices, flush text."""
+            """Chunked streaming: one prefill, then KV-cache CONTINUATION chunks
+            via session.continue_decode — the prompt is never re-prefilled
+            (the reference streams tokens the same way, talker_vllm_server.py)."""
             try:
                 payload = await request.json()
             except json.JSONDecodeError:
@@ -145,19 +253,65 @@ class InferenceServer:
             loop = asyncio.get_running_loop()
             chunk = int(payload.get("stream_chunk_tokens", 16))
             total = int(payload.get("max_new_tokens", 512))
-            payload = dict(payload)
-            done_text = ""
-            for start in range(0, total, chunk):
-                payload["max_new_tokens"] = min(chunk, total - start)
-                payload["reset"] = payload.get("reset", False) and start == 0
-                result = await loop.run_in_executor(self.executor, self._run_generate, payload)
-                piece = result["text"]
-                await resp.write(piece.encode())
-                done_text += piece
-                if not piece or piece.endswith("<|endoftext|>"):
+            first = dict(payload)
+            first["max_new_tokens"] = min(chunk, total)
+            result = await loop.run_in_executor(self.executor, self._run_generate, first)
+            await resp.write(result["text"].encode())
+            eos = self.infer.config.llm.eos_token_id
+            emitted = chunk
+            # bind this stream's session: interleaved requests may swap
+            # infer.session (requests serialize, chunks of two streams interleave)
+            sess = self._get_session(str(payload.get("session_id", "default")))
+
+            def _continue(n):
+                out = sess.continue_decode(n)
+                ids = out.token_ids
+                done = bool(ids) and ids[-1] == eos
+                if done:
+                    ids = ids[:-1]
+                self.stats["tokens"] += len(ids)
+                return self.infer.processor.decode(ids), done or not out.token_ids
+
+            while emitted < total:
+                piece, done = await loop.run_in_executor(
+                    self.executor, _continue, min(chunk, total - emitted)
+                )
+                if piece:
+                    await resp.write(piece.encode())
+                emitted += chunk
+                if done:
                     break
             await resp.write_eof()
             return resp
+
+        async def generate_batch(request):
+            """Text-only generation through the continuous-batching engine —
+            concurrent requests decode in the SAME jitted step."""
+            if self.batch_worker is None:
+                return web.json_response(
+                    {"ret_code": int(RetCode.BAD_REQUEST), "error": "batching disabled (batch_slots=0)"}, status=400
+                )
+            try:
+                payload = await request.json()
+                messages = payload["messages"]
+            except Exception:
+                return web.json_response({"ret_code": int(RetCode.BAD_REQUEST)}, status=400)
+            text = self.infer.processor.apply_chat_template(messages, add_generation_prompt=True)
+            batch = self.infer.processor(text=text)
+            item = self.batch_worker.submit(batch.input_ids.reshape(-1), int(payload.get("max_new_tokens", 128)))
+            loop = asyncio.get_running_loop()
+            await loop.run_in_executor(None, item["event"].wait)
+            if item.get("error") or item["req"] is None:
+                self.stats["errors"] += 1
+                return web.json_response(
+                    {"ret_code": int(RetCode.INTERNAL_ERROR), "error": item.get("error", "admission failed")}, status=500
+                )
+            ids = item["req"].tokens
+            if ids and ids[-1] == self.infer.config.llm.eos_token_id:
+                ids = ids[:-1]
+            self.stats["requests"] += 1
+            self.stats["tokens"] += len(ids)
+            return web.json_response({"ret_code": int(RetCode.OK), "text": self.infer.processor.decode(ids)})
 
         async def tts(request):
             """Text -> 16-bit mono WAV bytes (talker server surface,
@@ -199,6 +353,7 @@ class InferenceServer:
         app.router.add_get("/metrics", metrics)
         app.router.add_post("/generate", generate)
         app.router.add_post("/generate_stream", generate_stream)
+        app.router.add_post("/generate_batch", generate_batch)
         app.router.add_post("/tts", tts)
         return app
 

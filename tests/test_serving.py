@@ -98,3 +98,42 @@ def test_tts_endpoint(tiny_infer):
             assert r.status == 400
 
     asyncio.run(run())
+
+
+def test_generate_batch_endpoint(tiny_infer):
+    """Continuous-batching endpoint: concurrent requests share decode steps and
+    each equals its own one-at-a-time result (engine token-identity is proven in
+    test_batch_engine; this wires it through HTTP admission)."""
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from mingunivision_tpu.serving.server import InferenceServer
+
+    srv = InferenceServer(tiny_infer, batch_slots=3, batch_max_len=256)
+    app = srv.build_app()
+    msgs = [
+        [{"role": "HUMAN", "content": [{"type": "text", "text": t}]}]
+        for t in ("one prompt", "a different longer prompt here", "third")
+    ]
+
+    async def run():
+        async with TestClient(TestServer(app)) as client:
+            async def ask(m):
+                r = await client.post("/generate_batch", json={"messages": m, "max_new_tokens": 6})
+                assert r.status == 200, await r.text()
+                return (await r.json())["text"]
+
+            # concurrent: all three in flight at once
+            got = await asyncio.gather(*(ask(m) for m in msgs))
+            # one-at-a-time oracle
+            want = [await ask(m) for m in msgs]
+            assert got == want
+
+            # disabled server rejects
+            srv2 = InferenceServer(tiny_infer)
+            app2 = srv2.build_app()
+            async with TestClient(TestServer(app2)) as c2:
+                r = await c2.post("/generate_batch", json={"messages": msgs[0]})
+                assert r.status == 400
+
+    asyncio.run(run())
+    srv.batch_worker.stop()
