@@ -1,21 +1,30 @@
-"""Training step for the Bailing-MoE LLM (next-token CE + optional router losses).
+"""Training steps: LLM next-token CE, rectified-flow velocity loss, and the
+composed image-generation step (RF loss on MingTok latents, MingTok frozen).
 
-The reference repo is inference-only (SURVEY: no training loop in-repo; only
-vestigial balance-loss utilities in modeling_utils.py:451-529). We provide a
-TPU-native training step so the full dp/ep/tp sharding path is exercisable and
-the framework can fine-tune: pure `value_and_grad` over the scanned decoder,
-optax optimizer, aux load-balancing loss over router softmax (switch-style).
+The reference repo is inference-only (SURVEY: no training loop in-repo; its
+RectifiedFlowLoss ships only `sample`, diff_loss_rf_swiglu.py:103-181, and the
+balance-loss utilities in modeling_utils.py:451-529 are vestigial). We provide
+TPU-native training so the full dp/ep/tp sharding path is exercisable and the
+framework can fine-tune: pure `value_and_grad` over the scanned decoder, optax
+optimizers/schedules, switch-style router aux losses, microbatch gradient
+accumulation via `lax.scan`.
+
+RF loss convention — derived from the reference sampler's ODE direction
+(diff_loss_rf_swiglu.py:125-180: x starts at noise at t=1 and Euler-steps
+x += v*dt toward data at t=0): the linear path is x_t = t*noise + (1-t)*data,
+so the velocity target the net must regress is v* = data - noise.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
+from jax import lax
 
-from mingunivision_tpu.config import BailingMoeConfig
+from mingunivision_tpu.config import BailingMoeConfig, RFHeadConfig
 from mingunivision_tpu.models.bailing_moe import LLMCache, bailing_forward, compute_logits, embed_tokens
 
 
@@ -34,6 +43,85 @@ def lm_loss(params, cfg: BailingMoeConfig, input_ids, attention_mask, image_mask
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
+# ---------------------------------------------------------------------------
+# Rectified-flow velocity-matching loss
+# ---------------------------------------------------------------------------
+
+
+def rf_loss(rf_params, cfg: RFHeadConfig, data, z, key, *, t=None, noise=None):
+    """Velocity-matching loss for the RF head.
+
+    data: (N, target_channels) ground-truth latents (MingTok 32-d, standardized);
+    z: (N, z_channels) conditioning (vis_head output). t/noise may be supplied
+    explicitly (golden tests); default t ~ U[0,1) (reference
+    t_sample_strategy="uniform", diff_loss_rf_swiglu.py:96), noise ~ N(0, I).
+
+    x_t = t*noise + (1-t)*data; target v* = data - noise; MSE in fp32.
+    """
+    N = data.shape[0]
+    kt, kn = jax.random.split(key)
+    if t is None:
+        t = jax.random.uniform(kt, (N,), jnp.float32)
+    if noise is None:
+        noise = jax.random.normal(kn, data.shape, jnp.float32)
+    from mingunivision_tpu.models.rf_head import rf_net_apply
+
+    data32 = data.astype(jnp.float32)
+    x_t = t[:, None] * noise + (1.0 - t[:, None]) * data32
+    v_pred = rf_net_apply(rf_params, cfg, x_t.astype(data.dtype), t, z).astype(jnp.float32)
+    v_target = data32 - noise
+    return jnp.mean(jnp.square(v_pred - v_target))
+
+
+def image_gen_loss(
+    params,  # {"llm", "rf_head", "vis_head", "linear_proj"}
+    llm_cfg: BailingMoeConfig,
+    rf_cfg: RFHeadConfig,
+    text_ids,  # (B, Tt) prompt tokens ending in <image_start>
+    text_mask,  # (B, Tt)
+    sem_features,  # (B, N, feature_dim) MingTok semantic tokens (frozen encoder)
+    latents,  # (B, N, target_channels) MingTok 32-d standardized latents
+    key,
+):
+    """Teacher-forced AR image-generation training step.
+
+    The inference loop (engine/generate.py) feeds linear_proj(semantic token i)
+    as input i+1 and regresses latent i from the PREVIOUS position's hidden via
+    vis_head -> RF head. Training mirrors that with teacher forcing: run the LLM
+    over [text, proj(sem)], take the N hiddens at positions Tt-1 .. Tt+N-2, and
+    apply the RF velocity loss against the ground-truth latents. MingTok is
+    frozen by construction — its features arrive as data, not params.
+    """
+    from mingunivision_tpu.engine.generate import linear_proj_apply
+    from mingunivision_tpu.models.rf_head import vis_head_apply
+
+    B, Tt = text_ids.shape
+    N = sem_features.shape[1]
+    T = Tt + N
+    embeds = embed_tokens(params["llm"], text_ids)
+    proj = linear_proj_apply(params["linear_proj"], sem_features).astype(embeds.dtype)
+    seq = jnp.concatenate([embeds, proj], axis=1)  # (B, T, h)
+    mask = jnp.concatenate([text_mask.astype(bool), jnp.ones((B, N), bool)], axis=1)
+    image_mask = jnp.concatenate([jnp.zeros((B, Tt), bool), jnp.ones((B, N), bool)], axis=1)
+
+    cache = LLMCache.create(llm_cfg, B, T, dtype=seq.dtype)
+    hidden, _ = bailing_forward(params["llm"], llm_cfg, seq, cache, mask, image_mask=image_mask)
+    pred_h = lax.dynamic_slice_in_dim(hidden, Tt - 1, N, axis=1)  # (B, N, h)
+    z = vis_head_apply(params["vis_head"], pred_h)  # (B, N, zc)
+    return rf_loss(
+        params["rf_head"],
+        rf_cfg,
+        latents.reshape(B * N, -1),
+        z.reshape(B * N, -1),
+        key,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Optimizer / schedules / train steps
+# ---------------------------------------------------------------------------
+
+
 class TrainState(NamedTuple):
     params: dict
     opt_state: optax.OptState
@@ -44,10 +132,66 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 0.01):
     return optax.adamw(lr, weight_decay=weight_decay)
 
 
-def make_train_step(cfg: BailingMoeConfig, optimizer):
+def warmup_cosine_schedule(peak_lr: float, warmup_steps: int, total_steps: int, end_lr_frac: float = 0.1):
+    """Standard LLM pretraining schedule preset: linear warmup -> cosine decay."""
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=peak_lr,
+        warmup_steps=warmup_steps,
+        decay_steps=total_steps,
+        end_value=peak_lr * end_lr_frac,
+    )
+
+
+def make_scheduled_optimizer(peak_lr: float, warmup_steps: int, total_steps: int, weight_decay: float = 0.01, clip: float = 1.0):
+    return optax.chain(
+        optax.clip_by_global_norm(clip),
+        optax.adamw(warmup_cosine_schedule(peak_lr, warmup_steps, total_steps), weight_decay=weight_decay),
+    )
+
+
+def make_train_step(cfg: BailingMoeConfig, optimizer, accum_steps: int = 1):
+    """LM train step; with accum_steps > 1 the batch's leading axis is split into
+    microbatches scanned sequentially (grads averaged) — activation memory drops
+    by the factor while weights/optimizer state are touched once."""
+
+    def grads_of(params, input_ids, attention_mask):
+        return jax.value_and_grad(lm_loss)(params, cfg, input_ids, attention_mask)
+
     @jax.jit
     def train_step(state: TrainState, input_ids, attention_mask):
-        loss, grads = jax.value_and_grad(lm_loss)(state.params, cfg, input_ids, attention_mask)
+        if accum_steps == 1:
+            loss, grads = grads_of(state.params, input_ids, attention_mask)
+        else:
+            B = input_ids.shape[0]
+            mb = B // accum_steps
+            ids_mb = input_ids[: mb * accum_steps].reshape(accum_steps, mb, -1)
+            mask_mb = attention_mask[: mb * accum_steps].reshape(accum_steps, mb, -1)
+
+            def body(carry, xs):
+                acc_loss, acc_grads = carry
+                loss, grads = grads_of(state.params, xs[0], xs[1])
+                return (acc_loss + loss, jax.tree_util.tree_map(jnp.add, acc_grads, grads)), None
+
+            zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (loss, grads), _ = lax.scan(body, (jnp.float32(0.0), zero), (ids_mb, mask_mb))
+            loss = loss / accum_steps
+            grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grads)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return train_step
+
+
+def make_image_gen_train_step(llm_cfg: BailingMoeConfig, rf_cfg: RFHeadConfig, optimizer):
+    """Jitted image-gen train step over {llm, rf_head, vis_head, linear_proj}."""
+
+    @jax.jit
+    def train_step(state: TrainState, text_ids, text_mask, sem_features, latents, key):
+        loss, grads = jax.value_and_grad(image_gen_loss)(
+            state.params, llm_cfg, rf_cfg, text_ids, text_mask, sem_features, latents, key
+        )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss

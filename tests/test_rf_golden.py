@@ -132,3 +132,45 @@ class TestSamplerParity:
         ref, params, cfg = ref_and_params
         got, want = self._run_both(ref, params, cfg, 1, 1.0, 1.0)
         np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+class TestRenormAndLoss:
+    def test_three_way_cfg_with_renorm(self, ref_and_params):
+        """Pin the channel cfg-renorm epsilon/clamp semantics on the 3-way path
+        (reference :148-156: scale = clamp(norm(v_c)/norm(v) + 1e-8, 0, 1))."""
+        ref, params, cfg = ref_and_params
+        got, want = TestSamplerParity()._run_both(ref, params, cfg, 3, 3.0, 1.1, renorm="channel")
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+    def test_rf_loss_matches_torch_pipeline(self, ref_and_params):
+        """Velocity-matching loss parity: with shared (data, z, t, noise), our
+        rf_loss equals MSE(ref.net(x_t, t, z), data - noise) computed in torch.
+        (The reference ships no training forward — the net eval and the v-target
+        convention derived from its sampler ODE are what this pins.)"""
+        from mingunivision_tpu.engine.train import rf_loss
+
+        ref, params, cfg = ref_and_params
+        rng = np.random.default_rng(5)
+        N = 6
+        data = rng.standard_normal((N, cfg.target_channels)).astype(np.float32)
+        z = rng.standard_normal((N, cfg.z_channels)).astype(np.float32)
+        t = rng.uniform(0.0, 1.0, (N,)).astype(np.float32)
+        noise = rng.standard_normal((N, cfg.target_channels)).astype(np.float32)
+
+        with torch.no_grad():
+            x_t = torch.tensor(t)[:, None] * torch.tensor(noise) + (1 - torch.tensor(t))[:, None] * torch.tensor(data)
+            v_pred = ref.net(x_t, torch.tensor(t), torch.tensor(z))
+            want = torch.mean((v_pred - (torch.tensor(data) - torch.tensor(noise))) ** 2).item()
+
+        got = float(
+            rf_loss(
+                params,
+                cfg,
+                jnp.asarray(data),
+                jnp.asarray(z),
+                jax.random.PRNGKey(0),
+                t=jnp.asarray(t),
+                noise=jnp.asarray(noise),
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

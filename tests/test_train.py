@@ -72,3 +72,96 @@ class TestTokenClassification:
         h = jnp.asarray(np.random.default_rng(0).standard_normal((2, 7, cfg.hidden_size)), jnp.float32)
         out = token_classification_logits(None, cfg, h, clf)
         assert out.shape == (2, 7, 5)
+
+
+class TestRFTraining:
+    def test_rf_head_learns_fixed_point(self):
+        """Sampler/loss consistency: train the RF head to map a fixed z to a
+        fixed latent; the Euler sampler must then reproduce that latent."""
+        import optax
+
+        from mingunivision_tpu.config import RFHeadConfig
+        from mingunivision_tpu.engine.train import rf_loss
+        from mingunivision_tpu.models.rf_head import init_rf_head_params, rf_sample
+
+        cfg = RFHeadConfig(target_channels=4, z_channels=8, width=64, depth=2, mlp_mult=4, num_sampling_steps=32)
+        params = init_rf_head_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        target = jnp.asarray([[1.0, -0.5, 0.25, 2.0]], jnp.float32)
+        z = jnp.asarray(np.random.default_rng(0).standard_normal((1, 8)), jnp.float32)
+
+        opt = optax.adam(3e-3)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(params, opt_state, key):
+            data = jnp.tile(target, (64, 1))
+            zz = jnp.tile(z, (64, 1))
+            loss, grads = jax.value_and_grad(rf_loss)(params, cfg, data, zz, key)
+            updates, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        key = jax.random.PRNGKey(1)
+        for i in range(400):
+            key, sub = jax.random.split(key)
+            params, opt_state, loss = step(params, opt_state, sub)
+        sample = rf_sample(params, cfg, z, jax.random.PRNGKey(2), temperature=0.01)
+        np.testing.assert_allclose(np.asarray(sample), np.asarray(target), atol=0.15)
+
+    def test_image_gen_train_step_reduces_loss(self):
+        from mingunivision_tpu.engine.train import TrainState, make_image_gen_train_step, make_optimizer
+        from mingunivision_tpu.engine.generate import init_linear_proj_params
+        from mingunivision_tpu.models.rf_head import init_rf_head_params, init_vis_head_params
+        from mingunivision_tpu.config import RFHeadConfig
+
+        llm_cfg = tiny_llm_config()
+        rf_cfg = RFHeadConfig(target_channels=4, z_channels=16, width=32, depth=1, mlp_mult=4, num_sampling_steps=2)
+        ks = jax.random.split(jax.random.PRNGKey(0), 4)
+        feat_dim = 24
+        params = {
+            "llm": init_bailing_moe_params(ks[0], llm_cfg, dtype=jnp.float32),
+            "rf_head": init_rf_head_params(ks[1], rf_cfg, dtype=jnp.float32),
+            "vis_head": init_vis_head_params(ks[2], llm_cfg.hidden_size, rf_cfg.z_channels, dtype=jnp.float32),
+            "linear_proj": init_linear_proj_params(ks[3], feat_dim, llm_cfg.hidden_size, 2, dtype=jnp.float32),
+        }
+        opt = make_optimizer(3e-3)
+        state = TrainState(params, opt.init(params), jnp.int32(0))
+        step = make_image_gen_train_step(llm_cfg, rf_cfg, opt)
+
+        rng = np.random.default_rng(2)
+        text_ids = jnp.asarray(rng.integers(0, 400, (2, 5)))
+        text_mask = jnp.ones((2, 5), jnp.int32)
+        sem = jnp.asarray(rng.standard_normal((2, 3, feat_dim)), jnp.float32)
+        lat = jnp.asarray(rng.standard_normal((2, 3, 4)), jnp.float32)
+
+        key = jax.random.PRNGKey(3)
+        state, l0 = step(state, text_ids, text_mask, sem, lat, key)
+        for _ in range(8):
+            state, l1 = step(state, text_ids, text_mask, sem, lat, key)
+        assert np.isfinite(float(l0)) and float(l1) < float(l0)
+
+    def test_grad_accumulation_matches_full_batch(self):
+        from mingunivision_tpu.engine.train import TrainState, make_optimizer, make_train_step
+
+        cfg = tiny_llm_config()
+        params = init_bailing_moe_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        opt = make_optimizer(1e-2)
+        ids = jnp.asarray(np.random.default_rng(4).integers(0, cfg.vocab_size, (4, 12)))
+        mask = jnp.ones((4, 12), jnp.int32)
+
+        s1 = TrainState(params, opt.init(params), jnp.int32(0))
+        s1, loss1 = make_train_step(cfg, opt)(s1, ids, mask)
+        s2 = TrainState(params, opt.init(params), jnp.int32(0))
+        s2, loss2 = make_train_step(cfg, opt, accum_steps=2)(s2, ids, mask)
+        np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+        a = jax.tree_util.tree_leaves(s1.params)
+        b = jax.tree_util.tree_leaves(s2.params)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-5)
+
+    def test_warmup_cosine_schedule(self):
+        from mingunivision_tpu.engine.train import warmup_cosine_schedule
+
+        sched = warmup_cosine_schedule(1e-3, warmup_steps=10, total_steps=100)
+        assert float(sched(0)) == 0.0
+        assert abs(float(sched(10)) - 1e-3) < 1e-9
+        assert float(sched(99)) < 3e-4
