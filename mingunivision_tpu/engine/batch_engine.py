@@ -33,7 +33,7 @@ from mingunivision_tpu.ops.rope import apply_rope, rope_cos_sin
 
 
 class BatchState(NamedTuple):
-    k: jax.Array  # (L, B, S, Hkv, D)
+    k: jax.Array  # (L, B, Hkv, S, D) head-major (matches LLMCache)
     v: jax.Array
     mask: jax.Array  # (B, S) bool — valid positions per slot
     lengths: jax.Array  # (B,) int32 — tokens in cache per slot
@@ -42,7 +42,7 @@ class BatchState(NamedTuple):
 
     @classmethod
     def create(cls, cfg: BailingMoeConfig, slots: int, max_len: int, dtype=jnp.bfloat16):
-        shape = (cfg.num_hidden_layers, slots, max_len, cfg.num_key_value_heads, cfg.head_dim)
+        shape = (cfg.num_hidden_layers, slots, cfg.num_key_value_heads, max_len, cfg.head_dim)
         return cls(
             jnp.zeros(shape, dtype),
             jnp.zeros(shape, dtype),
@@ -85,9 +85,17 @@ def batched_decode_step(
         qkv = dense(hn, p["attention"]["query_key_value"]).reshape(B, 1, Hq + 2 * Hkv, D)
         q, k, v = jnp.split(qkv, [Hq, Hq + Hkv], axis=2)
         q, k = apply_rope(q, k, cos, sin)
-        kc = kc.at[rows, state.lengths].set(jnp.where(state.active[:, None, None], k[:, 0].astype(kc.dtype), kc[rows, state.lengths]))
-        vc = vc.at[rows, state.lengths].set(jnp.where(state.active[:, None, None], v[:, 0].astype(vc.dtype), vc[rows, state.lengths]))
-        a = mha(q, kc, vc, mask=mask[:, None, None, :], scale=D**-0.5)
+        # head-major per-slot write: kc (B, Hkv, S, D), new kv k[:, 0] (B, Hkv, D)
+        hidx = jnp.arange(Hkv)[None, :]
+        old_k = kc[rows[:, None], hidx, state.lengths[:, None]]  # (B, Hkv, D)
+        old_v = vc[rows[:, None], hidx, state.lengths[:, None]]
+        kc = kc.at[rows[:, None], hidx, state.lengths[:, None]].set(
+            jnp.where(state.active[:, None, None], k[:, 0].astype(kc.dtype), old_k)
+        )
+        vc = vc.at[rows[:, None], hidx, state.lengths[:, None]].set(
+            jnp.where(state.active[:, None, None], v[:, 0].astype(vc.dtype), old_v)
+        )
+        a = mha(q, kc, vc, mask=mask[:, None, None, :], scale=D**-0.5, kv_head_major=True)
         h = h + dense(a.reshape(B, 1, Hq * D), p["attention"]["dense"])
         hn = rms_norm(h, p["post_attention_layernorm"]["w"], eps=cfg.rms_norm_eps)
         from mingunivision_tpu.models.bailing_moe import moe_block_apply

@@ -1,11 +1,23 @@
-"""Audio encoder for the omni path: log-mel features -> audio embeddings.
+"""Whisper audio encoder for the omni path: log-mel features -> audio embeddings.
 
-Capability analog of the reference's audio hooks (modeling_bailingmm.py:140-150
-wrapping a funasr SANM encoder; the vLLM omni model uses whisper —
-config.json whisper_config): conv subsampling (x4) + bidirectional transformer
-over mel frames + projection into the LLM embedding space, with sequence
-lengths carried through the subsampling. Feeds `prompt_wrap_audio` /
-`audio_mask` multi-gate routing in the engine.
+CHECKPOINT-EXACT against the omni family's audio tower: the vLLM patch builds
+`WhisperAudioEncoder(**whisper_config.whisper_encoder_config)` (ming_lite.patch
+:1457-1485; config.json whisper_config: n_mels 128, n_state 1280, n_head 20,
+n_layer 32, n_ctx 15000) — the standard OpenAI/HF Whisper encoder geometry:
+
+  conv1 (k3, s1, p1) -> gelu -> conv2 (k3, s2, p1) -> gelu
+  + sinusoidal positions (stored; the patch loads `audio.positional_embedding`
+  from the checkpoint shard, :1480-1485)
+  -> n_layer pre-LN blocks (attn q/v/out biased, k unbiased; gelu MLP)
+  -> final layer norm
+
+plus the omni projection into the LLM (`linear_proj_audio`, patch :1496-1510):
+Conv1d(n_state -> hidden, k=ds_kernel_size 3, s=ds_stride 2, p=1) then
+(GELU + Linear(hidden, hidden)) x (mlp_depth-1).
+
+Golden-tested against transformers' WhisperEncoder (same architecture) in
+tests/test_omni_golden.py; weight converter in utils/convert.py
+(`whisper_encoder_params_from_torch`).
 """
 
 from __future__ import annotations
@@ -26,61 +38,103 @@ from mingunivision_tpu.utils.init import linear_init
 
 @dataclass(frozen=True)
 class AudioEncoderConfig:
+    """Whisper encoder geometry (config.json whisper_encoder_config names)."""
+
     n_mels: int = 128
-    d_model: int = 512
-    depth: int = 8
-    num_heads: int = 8
-    mlp_ratio: float = 4.0
-    out_dim: int = 2048  # LLM hidden
-    max_frames: int = 3000
-    ln_eps: float = 1e-6
+    n_state: int = 1280
+    n_head: int = 20
+    n_layer: int = 32
+    n_ctx: int = 1500  # post-conv frames (omni checkpoint: 15000)
+    ln_eps: float = 1e-5  # torch LayerNorm default (whisper uses it)
+
+    # omni projection into the LLM (patch :1496-1510)
+    out_dim: int = 2048
+    ds_kernel_size: int = 3
+    ds_stride: int = 2
+    mlp_depth: int = 2
+
+
+def sinusoid_positions(n_ctx: int, d: int) -> np.ndarray:
+    """Whisper's fixed sinusoidal table ([sin | cos] halves)."""
+    log_timescale = np.log(10000.0) / (d // 2 - 1)
+    inv = np.exp(-log_timescale * np.arange(d // 2))
+    t = np.arange(n_ctx)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(t), np.cos(t)], axis=1).astype(np.float32)
 
 
 def init_audio_encoder_params(key, cfg: AudioEncoderConfig, dtype=jnp.float32):
-    ks = jax.random.split(key, 5)
+    ks = jax.random.split(key, 4)
     return {
-        "conv1": conv1d_init(ks[0], cfg.n_mels, cfg.d_model, 3, dtype),
-        "conv2": conv1d_init(ks[1], cfg.d_model, cfg.d_model, 3, dtype),
-        "pos_embed": 0.02 * jax.random.normal(ks[2], (1, cfg.max_frames // 4, cfg.d_model), jnp.float32).astype(dtype),
-        "blocks": stacked_block_init(ks[3], cfg.depth, cfg.d_model, cfg.num_heads, cfg.mlp_ratio, "mlp", dtype=dtype),
-        "norm": {"w": jnp.ones((cfg.d_model,), dtype), "b": jnp.zeros((cfg.d_model,), dtype)},
-        "proj": linear_init(ks[4], cfg.d_model, cfg.out_dim, dtype=dtype),
+        "conv1": conv1d_init(ks[0], cfg.n_mels, cfg.n_state, 3, dtype),
+        "conv2": conv1d_init(ks[1], cfg.n_state, cfg.n_state, 3, dtype),
+        "pos_embed": jnp.asarray(sinusoid_positions(cfg.n_ctx, cfg.n_state), dtype),
+        "blocks": stacked_block_init(ks[2], cfg.n_layer, cfg.n_state, cfg.n_head, 4.0, "mlp", dtype=dtype),
+        "norm": {"w": jnp.ones((cfg.n_state,), dtype), "b": jnp.zeros((cfg.n_state,), dtype)},
+        "proj": init_audio_proj_params(ks[3], cfg, dtype),
     }
 
 
-def audio_encoder_apply(params, cfg: AudioEncoderConfig, mel, lengths=None):
-    """mel: (B, n_mels, T) -> (embeddings (B, T//4, out_dim), out_lengths (B,)).
+def init_audio_proj_params(key, cfg: AudioEncoderConfig, dtype=jnp.float32):
+    ks = jax.random.split(key, max(cfg.mlp_depth, 2))
+    p = {"ds_conv": conv1d_init(ks[0], cfg.n_state, cfg.out_dim, cfg.ds_kernel_size, dtype)}
+    for i in range(1, cfg.mlp_depth):
+        p[f"fc{i}"] = linear_init(ks[i], cfg.out_dim, cfg.out_dim, dtype=dtype)
+    return p
 
-    Two stride-2 convs subsample x4 (whisper-style geometry)."""
-    x = gelu_exact(conv1d(mel, params["conv1"], stride=2))
-    x = gelu_exact(conv1d(x, params["conv2"], stride=2))
-    x = x.transpose(0, 2, 1)  # (B, T', D)
+
+def whisper_encode(params, cfg: AudioEncoderConfig, mel):
+    """Whisper encoder trunk. mel: (B, n_mels, T) -> (B, T//2, n_state)."""
+    # explicit symmetric padding=1 (torch Conv1d parity; XLA "SAME" pads
+    # asymmetrically at stride 2)
+    x = gelu_exact(conv1d(mel, params["conv1"], stride=1, padding=1))
+    x = gelu_exact(conv1d(x, params["conv2"], stride=2, padding=1))
+    x = x.transpose(0, 2, 1)  # (B, T', n_state)
     Tp = x.shape[1]
-    x = x + params["pos_embed"][:, :Tp].astype(x.dtype)
-    x = run_blocks(params["blocks"], x, num_heads=cfg.num_heads, ffn_layer="mlp", ln_eps=cfg.ln_eps)
-    x = layer_norm(x, params["norm"]["w"], params["norm"]["b"], eps=cfg.ln_eps)
-    x = dense(x, params["proj"])
+    x = x + params["pos_embed"][:Tp][None].astype(x.dtype)
+    x = run_blocks(params["blocks"], x, num_heads=cfg.n_head, ffn_layer="mlp", ln_eps=cfg.ln_eps)
+    return layer_norm(x, params["norm"]["w"], params["norm"]["b"], eps=cfg.ln_eps)
+
+
+def audio_proj_apply(params, cfg: AudioEncoderConfig, x):
+    """linear_proj_audio (patch :1496-1510): ds conv (stride 2) + GELU/Linear MLP.
+
+    x: (B, T', n_state) -> (B, ceil(T'/2), out_dim)."""
+    y = conv1d(
+        x.transpose(0, 2, 1), params["ds_conv"], stride=cfg.ds_stride, padding=cfg.ds_kernel_size // 2
+    )  # (B, out, T'')
+    y = y.transpose(0, 2, 1)
+    for i in range(1, cfg.mlp_depth):
+        y = dense(gelu_exact(y), params[f"fc{i}"])
+    return y
+
+
+def audio_encoder_apply(params, cfg: AudioEncoderConfig, mel, lengths=None):
+    """Full omni audio tower: mel (B, n_mels, T) -> (embeddings
+    (B, ceil(T/2/ds_stride), out_dim), out_lengths (B,))."""
+    feats = whisper_encode(params, cfg, mel)
+    x = audio_proj_apply(params["proj"], cfg, feats)
+    Tp = x.shape[1]
     if lengths is None:
         out_lengths = jnp.full((mel.shape[0],), Tp, jnp.int32)
     else:
-        out_lengths = ((lengths + 3) // 4).astype(jnp.int32)
+        # conv2 stride 2 (p=1, k=3): floor((T-1)/2)+1; ds conv stride 2 again
+        t1 = (lengths - 1) // 2 + 1
+        out_lengths = ((t1 - 1) // cfg.ds_stride + 1).astype(jnp.int32)
     return x, out_lengths
 
 
 def log_mel_spectrogram(wav: np.ndarray, sr: int = 16000, n_mels: int = 128, n_fft: int = 400, hop: int = 160) -> np.ndarray:
-    """Host-side log-mel features (whisper conventions: 25ms window / 10ms hop)."""
-    wav = np.asarray(wav, np.float32)
-    n_frames = 1 + max(0, (len(wav) - n_fft)) // hop
-    if n_frames <= 0:
-        return np.zeros((n_mels, 0), np.float32)
-    window = np.hanning(n_fft).astype(np.float32)
+    """Whisper-style log-mel features. wav: (T,) float in [-1, 1] -> (n_mels, frames)."""
+    if len(wav) < n_fft:
+        wav = np.pad(wav, (0, n_fft - len(wav)))
+    window = np.hanning(n_fft + 1)[:-1]
+    n_frames = 1 + (len(wav) - n_fft) // hop
     frames = np.stack([wav[i * hop : i * hop + n_fft] * window for i in range(n_frames)])
-    spec = np.abs(np.fft.rfft(frames, axis=-1)) ** 2  # (T, n_fft//2+1)
-    mel_fb = _mel_filterbank(sr, n_fft, n_mels)
-    mel = spec @ mel_fb.T
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    mel = _mel_filterbank(sr, n_fft, n_mels) @ spec.T
     log_mel = np.log10(np.maximum(mel, 1e-10))
     log_mel = np.maximum(log_mel, log_mel.max() - 8.0)
-    return ((log_mel + 4.0) / 4.0).T.astype(np.float32)  # (n_mels, T)
+    return ((log_mel + 4.0) / 4.0).astype(np.float32)
 
 
 def _mel_filterbank(sr: int, n_fft: int, n_mels: int) -> np.ndarray:
@@ -90,17 +144,14 @@ def _mel_filterbank(sr: int, n_fft: int, n_mels: int) -> np.ndarray:
     def mel_to_hz(m):
         return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
 
-    fmax = sr / 2
-    mels = np.linspace(hz_to_mel(0), hz_to_mel(fmax), n_mels + 2)
-    freqs = mel_to_hz(mels)
-    bins = np.floor((n_fft + 1) * freqs / sr).astype(int)
-    fb = np.zeros((n_mels, n_fft // 2 + 1), np.float32)
+    freqs = np.linspace(0, sr / 2, n_fft // 2 + 1)
+    mel_pts = mel_to_hz(np.linspace(hz_to_mel(0.0), hz_to_mel(sr / 2), n_mels + 2))
+    fb = np.zeros((n_mels, len(freqs)))
     for i in range(n_mels):
-        lo, ce, hi = bins[i], bins[i + 1], bins[i + 2]
-        if ce > lo:
-            fb[i, lo:ce] = (np.arange(lo, ce) - lo) / (ce - lo)
-        if hi > ce:
-            fb[i, ce:hi] = (hi - np.arange(ce, hi)) / (hi - ce)
+        lo, c, hi = mel_pts[i], mel_pts[i + 1], mel_pts[i + 2]
+        up = (freqs - lo) / max(c - lo, 1e-9)
+        down = (hi - freqs) / max(hi - c, 1e-9)
+        fb[i] = np.maximum(0.0, np.minimum(up, down))
     return fb
 
 
@@ -108,9 +159,18 @@ def patch_audio_features(inputs_embeds, input_ids, audio_embeds, audio_lengths, 
     """prompt_wrap_audio equivalent (modeling_bailingmm.py:184-190 /
     patch_continuous_features): place audio embeddings at audioPatch positions.
 
+    With `audio_lengths`, only each clip's first `length` frames are scattered
+    (right-padding from the batched encoder is dropped).
     Returns (embeds, audio_router_mask (B, T) bool)."""
     from mingunivision_tpu.engine.generate import scatter_image_embeds
 
-    flat = audio_embeds.reshape(-1, audio_embeds.shape[-1])
+    h = audio_embeds.shape[-1]
+    flat = audio_embeds.reshape(-1, h)
+    if audio_lengths is not None:
+        Bf, Tf, _ = audio_embeds.shape
+        valid = (jnp.arange(Tf)[None, :] < audio_lengths[:, None]).reshape(-1)
+        order = jnp.cumsum(valid) - 1
+        # compact the valid frames to the front; invalid writes are dropped
+        flat = jnp.zeros_like(flat).at[jnp.where(valid, order, Bf * Tf)].set(flat, mode="drop")
     out, mask = scatter_image_embeds(inputs_embeds, input_ids, flat, audio_patch_token)
     return out, mask

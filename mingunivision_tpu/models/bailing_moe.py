@@ -53,7 +53,11 @@ def _prec(x):
 
 
 class LLMCache(NamedTuple):
-    """Preallocated KV cache: k/v (num_layers, B, max_len, Hkv, D) + scalar length."""
+    """Preallocated KV cache: k/v (num_layers, B, Hkv, max_len, D) + scalar length.
+
+    HEAD-MAJOR sequence layout: the decode-step attention contracts (G, D) x
+    (D, S) per kv-head — with S innermost the cache streams without relayout
+    (XLA AUTO-layout probe, BENCHMARKS.md round 1)."""
 
     k: jax.Array
     v: jax.Array
@@ -61,12 +65,12 @@ class LLMCache(NamedTuple):
 
     @classmethod
     def create(cls, cfg: BailingMoeConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
-        shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, cfg.head_dim)
+        shape = (cfg.num_hidden_layers, batch, cfg.num_key_value_heads, max_len, cfg.head_dim)
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), jnp.zeros((), jnp.int32))
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
     @property
     def batch(self) -> int:
@@ -277,12 +281,12 @@ def _use_pallas_decode(smax: int) -> bool:
 def attention_apply(params, cfg: BailingMoeConfig, x, cos, sin, k_cache, v_cache, length, attn_mask, use_flash: bool = False):
     """Fused-QKV GQA attention over the static cache.
 
-    x: (B, T, h); cos/sin: (B, T, head_dim); k_cache/v_cache: (B, Smax, Hkv, D);
-    length: scalar int32 positions already in cache (before this call);
-    attn_mask: bool (B, Smax) — per-row allowed positions (padding / CFG masks);
-    use_flash: first-round prefill fast path — new keys ARE the whole context,
-    so the Pallas flash kernel runs over (q, k, v) directly (O(T) memory instead
-    of the XLA (B,H,T,S) score materialization).
+    x: (B, T, h); cos/sin: (B, T, head_dim); k_cache/v_cache: (B, Hkv, Smax, D)
+    head-major; length: scalar int32 positions already in cache (before this
+    call); attn_mask: bool (B, Smax) — per-row allowed positions (padding / CFG
+    masks); use_flash: first-round prefill fast path — new keys ARE the whole
+    context, so the Pallas flash kernel runs over (q, k, v) directly (O(T)
+    memory instead of the XLA (B,H,T,S) score materialization).
     Returns (out, new_k_cache, new_v_cache).
     """
     B, T, _ = x.shape
@@ -291,29 +295,30 @@ def attention_apply(params, cfg: BailingMoeConfig, x, cos, sin, k_cache, v_cache
     q, k, v = jnp.split(qkv, [Hq, Hq + Hkv], axis=2)
     q, k = apply_rope(q, k, cos, sin)
 
-    k_cache = lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype), (0, length, 0, 0))
-    v_cache = lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), (0, length, 0, 0))
+    # head-major write: (B, T, Hkv, D) -> (B, Hkv, T, D) at sequence offset
+    k_cache = lax.dynamic_update_slice(k_cache, k.swapaxes(1, 2).astype(k_cache.dtype), (0, 0, length, 0))
+    v_cache = lax.dynamic_update_slice(v_cache, v.swapaxes(1, 2).astype(v_cache.dtype), (0, 0, length, 0))
 
     if use_flash:
         from mingunivision_tpu.ops.kernels.flash import flash_prefill_attention
 
         valid = lax.dynamic_slice(attn_mask, (0, length), (B, T))
         out = flash_prefill_attention(q, k, v, valid, scale=D**-0.5)
-    elif T == 1 and _use_pallas_decode(k_cache.shape[1]):
+    elif T == 1 and _use_pallas_decode(k_cache.shape[2]):
         from mingunivision_tpu.ops.kernels.decode_attention import pallas_decode_attention
 
-        Smax = k_cache.shape[1]
+        Smax = k_cache.shape[2]
         pos_ok = jnp.arange(Smax)[None, :] <= length  # causal bound incl. current token
         out = pallas_decode_attention(
-            q, k_cache, v_cache, jnp.logical_and(attn_mask, pos_ok), scale=D**-0.5
+            q, k_cache, v_cache, jnp.logical_and(attn_mask, pos_ok), scale=D**-0.5, kv_head_major=True
         )
     else:
-        Smax = k_cache.shape[1]
+        Smax = k_cache.shape[2]
         k_pos = jnp.arange(Smax)[None, :]
         q_pos = length + jnp.arange(T)[:, None]
         causal = k_pos[None] <= q_pos[None, :, :]  # (1, T, Smax): see past + own position
         allowed = jnp.logical_and(causal, attn_mask[:, None, :])  # (B, T, Smax)
-        out = mha(q, k_cache, v_cache, mask=allowed[:, None], scale=D**-0.5)
+        out = mha(q, k_cache, v_cache, mask=allowed[:, None], scale=D**-0.5, kv_head_major=True)
     out = dense(out.reshape(B, T, Hq * D), params["dense"])
     return out, k_cache, v_cache
 

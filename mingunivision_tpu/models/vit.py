@@ -107,7 +107,8 @@ def ffn_init(key, dim, mlp_ratio: float, ffn_layer: str, bias=True, dtype=jnp.fl
 class ViTCache(NamedTuple):
     """Static-shape KV cache for the causal semantic decoder.
 
-    k, v: (depth, B, max_len, num_heads, head_dim); length: int32 scalar = number
+    k, v: (depth, B, num_heads, max_len, head_dim) HEAD-MAJOR (matches LLMCache;
+    sequence innermost streams without relayout); length: int32 scalar = number
     of positions already written. Replaces HF DynamicCache
     (vision_transformer.py:395-429) with a functional fixed-shape design.
     """
@@ -118,7 +119,7 @@ class ViTCache(NamedTuple):
 
     @classmethod
     def create(cls, depth, batch, max_len, num_heads, head_dim, dtype=jnp.bfloat16):
-        shape = (depth, batch, max_len, num_heads, head_dim)
+        shape = (depth, batch, num_heads, max_len, head_dim)
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), jnp.zeros((), jnp.int32))
 
 
@@ -194,21 +195,22 @@ def run_blocks_with_intermediates(stacked_params, x, *, num_heads: int, ffn_laye
 def block_apply_cached(params, x, k_cache, v_cache, length, *, num_heads: int, ffn_layer: str, ln_eps: float = 1e-6):
     """Causal block with static KV cache; writes T new positions at `length`.
 
-    k_cache/v_cache: (B, max_len, H, D) for THIS layer. Returns (y, new_k, new_v).
+    k_cache/v_cache: (B, H, max_len, D) head-major for THIS layer.
+    Returns (y, new_k, new_v).
     """
     B, T, C = x.shape
     h = layer_norm(x, params["norm1"]["w"], params["norm1"]["b"], eps=ln_eps)
     q, k, v = _qkv(params, h, num_heads)
-    k_cache = lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype), (0, length, 0, 0))
-    v_cache = lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), (0, length, 0, 0))
+    k_cache = lax.dynamic_update_slice(k_cache, k.swapaxes(1, 2).astype(k_cache.dtype), (0, 0, length, 0))
+    v_cache = lax.dynamic_update_slice(v_cache, v.swapaxes(1, 2).astype(v_cache.dtype), (0, 0, length, 0))
     if T == 1:
-        a = cached_decode_attention(q, k_cache, v_cache, length + 1)
+        a = cached_decode_attention(q, k_cache, v_cache, length + 1, kv_head_major=True)
     else:
-        Smax = k_cache.shape[1]
+        Smax = k_cache.shape[2]
         q_pos = length + jnp.arange(T)[:, None]
         k_pos = jnp.arange(Smax)[None, :]
         mask = (k_pos <= q_pos)[None, None]  # causal within valid region
-        a = mha(q, k_cache, v_cache, mask=mask)
+        a = mha(q, k_cache, v_cache, mask=mask, kv_head_major=True)
     a = dense(a.reshape(B, T, C), params["attn"]["proj"])
     x = x + a
     h = layer_norm(x, params["norm2"]["w"], params["norm2"]["b"], eps=ln_eps)

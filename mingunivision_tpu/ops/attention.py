@@ -30,12 +30,15 @@ def mha(
     mask=None,
     is_causal: bool = False,
     q_offset=0,
+    kv_head_major: bool = False,
 ):
     """Multi-head (optionally grouped-query) attention.
 
     Args:
       q: (B, T, Hq, D)
-      k, v: (B, S, Hkv, D) with Hq % Hkv == 0
+      k, v: (B, S, Hkv, D) — or (B, Hkv, S, D) with `kv_head_major=True`, the
+        native layout of the preallocated KV caches (XLA AUTO-layout probe:
+        head-major KV avoids per-step relayout copies in cached attention).
       scale: default D**-0.5
       mask: optional boolean, broadcastable to (B, 1, T, S); True = attend.
       is_causal: apply causal masking with query positions offset by `q_offset`
@@ -44,7 +47,10 @@ def mha(
     Returns (B, T, Hq, D) in q.dtype.
     """
     B, T, Hq, D = q.shape
-    S, Hkv = k.shape[1], k.shape[2]
+    if kv_head_major:
+        Hkv, S = k.shape[1], k.shape[2]
+    else:
+        S, Hkv = k.shape[1], k.shape[2]
     G = Hq // Hkv
     if scale is None:
         scale = D ** -0.5
@@ -53,9 +59,10 @@ def mha(
 
     qg = q.reshape(B, T, Hkv, G, D)
     precision = _FP32_PRECISION.get() if q.dtype == jnp.float32 else None
+    kv_sub = "bhsd" if kv_head_major else "bshd"
     # scores: (B, Hkv, G, T, S), fp32 accumulation
     scores = jnp.einsum(
-        "bthgd,bshd->bhgts", qg, k, preferred_element_type=jnp.float32, precision=precision
+        f"bthgd,{kv_sub}->bhgts", qg, k, preferred_element_type=jnp.float32, precision=precision
     )
     scores = scores * jnp.float32(scale)
 
@@ -71,7 +78,7 @@ def mha(
     probs = jnp.exp(scores - lax.stop_gradient(jnp.max(scores, axis=-1, keepdims=True)))
     probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
     out = jnp.einsum(
-        "bhgts,bshd->bthgd",
+        f"bhgts,{kv_sub}->bthgd",
         probs.astype(v.dtype),
         v,
         preferred_element_type=jnp.float32,
@@ -80,12 +87,13 @@ def mha(
     return out.reshape(B, T, Hq, D).astype(q.dtype)
 
 
-def cached_decode_attention(q, k_cache, v_cache, cache_len, *, scale=None, extra_mask=None):
+def cached_decode_attention(q, k_cache, v_cache, cache_len, *, scale=None, extra_mask=None, kv_head_major: bool = False):
     """Single-step attention over a preallocated KV cache.
 
     Args:
       q: (B, 1, Hq, D)
-      k_cache, v_cache: (B, Smax, Hkv, D) — only the first `cache_len` entries valid.
+      k_cache, v_cache: (B, Smax, Hkv, D) — or head-major (B, Hkv, Smax, D) with
+        `kv_head_major=True` — only the first `cache_len` entries valid.
       cache_len: int32 scalar or (B,) — number of valid cache positions
         (INCLUDING the current step, which must already be written).
       extra_mask: optional boolean (B, Smax) of additionally-allowed positions
@@ -94,9 +102,9 @@ def cached_decode_attention(q, k_cache, v_cache, cache_len, *, scale=None, extra
     Returns (B, 1, Hq, D).
     """
     B, _, Hq, D = q.shape
-    Smax = k_cache.shape[1]
+    Smax = k_cache.shape[2] if kv_head_major else k_cache.shape[1]
     valid = jnp.arange(Smax)[None, :] < jnp.reshape(jnp.asarray(cache_len), (-1, 1))  # (B or 1, Smax)
     valid = jnp.broadcast_to(valid, (B, Smax))
     if extra_mask is not None:
         valid = jnp.logical_and(valid, extra_mask)
-    return mha(q, k_cache, v_cache, scale=scale, mask=valid[:, None, None, :])
+    return mha(q, k_cache, v_cache, scale=scale, mask=valid[:, None, None, :], kv_head_major=kv_head_major)

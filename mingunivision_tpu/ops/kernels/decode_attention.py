@@ -72,21 +72,26 @@ def _decode_attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float, t
     o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-def pallas_decode_attention(q, k_cache, v_cache, mask, *, scale=None, tile_s: int = 512, interpret: bool = False):
-    """q: (B, 1, Hq, D); k/v_cache: (B, S, Hkv, D); mask: bool (B, S).
+def pallas_decode_attention(q, k_cache, v_cache, mask, *, scale=None, tile_s: int = 512, interpret: bool = False, kv_head_major: bool = False):
+    """q: (B, 1, Hq, D); k/v_cache: (B, S, Hkv, D) — or the caches' native
+    head-major (B, Hkv, S, D) with `kv_head_major=True` (zero-copy); mask:
+    bool (B, S).
 
     Returns (B, 1, Hq, D). S must be a multiple of tile_s.
     """
     B, _, Hq, D = q.shape
-    S, Hkv = k_cache.shape[1], k_cache.shape[2]
+    if kv_head_major:
+        Hkv, S = k_cache.shape[1], k_cache.shape[2]
+    else:
+        S, Hkv = k_cache.shape[1], k_cache.shape[2]
     G = Hq // Hkv
     if scale is None:
         scale = D**-0.5
     assert S % tile_s == 0, f"S={S} not a multiple of tile_s={tile_s}"
 
     qg = q.reshape(B, Hkv, G, D)  # group query heads by kv head
-    kt = k_cache.transpose(0, 2, 1, 3)  # (B, Hkv, S, D)
-    vt = v_cache.transpose(0, 2, 1, 3)
+    kt = k_cache if kv_head_major else k_cache.transpose(0, 2, 1, 3)  # (B, Hkv, S, D)
+    vt = v_cache if kv_head_major else v_cache.transpose(0, 2, 1, 3)
     mask_i = mask.astype(jnp.int32)[:, None, :]  # (B, 1, S)
 
     kernel = functools.partial(_decode_attn_kernel, scale=float(scale), tile_s=tile_s)

@@ -88,13 +88,14 @@ def shard_llm_params(params, mesh: Mesh):
 
 
 def cache_sharding(mesh: Mesh, cache=None):
-    """KV cache (L, B, S, Hkv, D): kv-heads over `model`, batch over `data`.
+    """KV cache (L, B, Hkv, S, D) head-major: kv-heads over `model`, batch over
+    `data`.
 
     With a concrete `cache`, the spec is fitted to its shapes (batch 1 or
     odd kv-head counts fall back to replication on that axis)."""
     from mingunivision_tpu.models.bailing_moe import LLMCache
 
-    spec = P(None, "data", None, "model", None)
+    spec = P(None, "data", "model", None, None)
     if cache is not None:
         spec = fit_spec(spec, cache.k.shape, mesh)
     kv = NamedSharding(mesh, spec)

@@ -81,7 +81,8 @@ def qwen2_embed(params, ids):
 
 
 def make_qwen2_cache(cfg: Qwen2Config, batch: int, max_len: int, dtype=jnp.bfloat16) -> LLMCache:
-    shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, cfg.head_dim)
+    # head-major (L, B, Hkv, S, D), matching LLMCache
+    shape = (cfg.num_hidden_layers, batch, cfg.num_key_value_heads, max_len, cfg.head_dim)
     return LLMCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), jnp.zeros((), jnp.int32))
 
 
@@ -101,13 +102,13 @@ def qwen2_forward(params, cfg: Qwen2Config, inputs_embeds, cache: LLMCache, attn
         k = dense(hnorm, p["attn"]["k_proj"]).reshape(B, T, Hkv, D)
         v = dense(hnorm, p["attn"]["v_proj"]).reshape(B, T, Hkv, D)
         q, k = apply_rope(q, k, cos, sin)
-        kc = lax.dynamic_update_slice(kc, k.astype(kc.dtype), (0, cache.length, 0, 0))
-        vc = lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, cache.length, 0, 0))
-        Smax = kc.shape[1]
+        kc = lax.dynamic_update_slice(kc, k.swapaxes(1, 2).astype(kc.dtype), (0, 0, cache.length, 0))
+        vc = lax.dynamic_update_slice(vc, v.swapaxes(1, 2).astype(vc.dtype), (0, 0, cache.length, 0))
+        Smax = kc.shape[2]
         k_pos = jnp.arange(Smax)[None, :]
         q_pos = cache.length + jnp.arange(T)[:, None]
         allowed = jnp.logical_and((k_pos[None] <= q_pos[None, :, :]), attn_mask[:, None, :])
-        a = mha(q, kc, vc, mask=allowed[:, None], scale=D**-0.5)
+        a = mha(q, kc, vc, mask=allowed[:, None], scale=D**-0.5, kv_head_major=True)
         x = x + dense(a.reshape(B, T, Hq * D), p["attn"]["o_proj"])
         hnorm = rms_norm(x, p["post_attention_layernorm"]["w"], eps=cfg.rms_norm_eps)
         g = dense(hnorm, p["mlp"]["gate_proj"])

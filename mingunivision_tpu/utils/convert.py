@@ -203,3 +203,140 @@ def linear_proj_params_from_torch(sd: Mapping, mlp_depth: int, root: str = "line
         layers.append(_lin(sd, f"{root}.{idx}"))
         idx += 2  # skip GELU
     return {"layers": layers}
+
+
+# ---------------------------------------------------------------------------
+# Omni towers: Whisper audio encoder (ming_lite.patch :1457-1510)
+# ---------------------------------------------------------------------------
+
+
+def _conv1d_from_torch(sd: Mapping, prefix: str):
+    # torch Conv1d weight (out, in, k) — our conv1d uses the same OIH layout
+    return {"w": _np(sd[f"{prefix}.weight"]), "b": _np(sd[f"{prefix}.bias"])}
+
+
+def whisper_encoder_params_from_torch(sd: Mapping, n_layer: int, root: str = ""):
+    """HF WhisperEncoder state_dict -> our audio_encoder tree.
+
+    Whisper's k_proj carries no bias; the fused qkv gets zeros there (identical
+    numerics). Layer names: layers.N.self_attn.{q,k,v,out}_proj,
+    self_attn_layer_norm, fc1/fc2, final_layer_norm; trunk conv1/conv2,
+    embed_positions.weight, layer_norm.
+    """
+    r = (root + ".") if root else ""
+
+    def block(i):
+        p = f"{r}layers.{i}"
+        qw = _np(sd[f"{p}.self_attn.q_proj.weight"]).T
+        kw = _np(sd[f"{p}.self_attn.k_proj.weight"]).T
+        vw = _np(sd[f"{p}.self_attn.v_proj.weight"]).T
+        qb = _np(sd[f"{p}.self_attn.q_proj.bias"])
+        vb = _np(sd[f"{p}.self_attn.v_proj.bias"])
+        return {
+            "norm1": _norm(sd, f"{p}.self_attn_layer_norm"),
+            "attn": {
+                "qkv": {
+                    "w": np.concatenate([qw, kw, vw], axis=1),
+                    "b": np.concatenate([qb, np.zeros_like(qb), vb]),
+                },
+                "proj": _lin(sd, f"{p}.self_attn.out_proj"),
+            },
+            "norm2": _norm(sd, f"{p}.final_layer_norm"),
+            "mlp": {"fc1": _lin(sd, f"{p}.fc1"), "fc2": _lin(sd, f"{p}.fc2")},
+        }
+
+    return {
+        "conv1": _conv1d_from_torch(sd, f"{r}conv1"),
+        "conv2": _conv1d_from_torch(sd, f"{r}conv2"),
+        "pos_embed": _np(sd[f"{r}embed_positions.weight"]),
+        "blocks": _stack([block(i) for i in range(n_layer)]),
+        "norm": _norm(sd, f"{r}layer_norm"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Omni towers: Qwen2.5-VL vision transformer (ming_lite.patch :1456-1476)
+# ---------------------------------------------------------------------------
+
+
+def qwen_vit_params_from_torch(sd: Mapping, depth: int, root: str = ""):
+    """HF Qwen2_5_VisionTransformer state_dict -> our qwen_vit tree.
+
+    patch_embed is a Conv3d whose kernel covers exactly one (t, p, p) patch:
+    flattening its (d, C, t, p, p) weight gives the equivalent (in, d) linear.
+    """
+    r = (root + ".") if root else ""
+
+    def block(i):
+        p = f"{r}blocks.{i}"
+        return {
+            "norm1": {"w": _np(sd[f"{p}.norm1.weight"])},
+            "attn": {
+                "qkv": _lin(sd, f"{p}.attn.qkv"),
+                "proj": _lin(sd, f"{p}.attn.proj"),
+            },
+            "norm2": {"w": _np(sd[f"{p}.norm2.weight"])},
+            "mlp": {
+                "gate_proj": _lin(sd, f"{p}.mlp.gate_proj"),
+                "up_proj": _lin(sd, f"{p}.mlp.up_proj"),
+                "down_proj": _lin(sd, f"{p}.mlp.down_proj"),
+            },
+        }
+
+    pe = _np(sd[f"{r}patch_embed.proj.weight"])  # (d, C, t, p, p)
+    return {
+        "patch_embed": {"w": pe.reshape(pe.shape[0], -1).T},
+        "blocks": _stack([block(i) for i in range(depth)]),
+        "merger": {
+            "ln_q": {"w": _np(sd[f"{r}merger.ln_q.weight"])},
+            "fc1": _lin(sd, f"{r}merger.mlp.0"),
+            "fc2": _lin(sd, f"{r}merger.mlp.2"),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# Talker: Qwen2 core + projection heads (modeling_bailing_talker.py:58-72)
+# ---------------------------------------------------------------------------
+
+
+def qwen2_params_from_torch(sd: Mapping, num_layers: int, root: str = "model"):
+    """HF Qwen2ForCausalLM state_dict -> our talker/qwen2 tree."""
+    r = (root + ".") if root else ""
+
+    def layer(i):
+        p = f"{r}model.layers.{i}"
+        return {
+            "input_layernorm": {"w": _np(sd[f"{p}.input_layernorm.weight"])},
+            "attn": {
+                "q_proj": _lin(sd, f"{p}.self_attn.q_proj"),
+                "k_proj": _lin(sd, f"{p}.self_attn.k_proj"),
+                "v_proj": _lin(sd, f"{p}.self_attn.v_proj"),
+                "o_proj": _lin(sd, f"{p}.self_attn.o_proj"),
+            },
+            "post_attention_layernorm": {"w": _np(sd[f"{p}.post_attention_layernorm.weight"])},
+            "mlp": {
+                "gate_proj": _lin(sd, f"{p}.mlp.gate_proj"),
+                "up_proj": _lin(sd, f"{p}.mlp.up_proj"),
+                "down_proj": _lin(sd, f"{p}.mlp.down_proj"),
+            },
+        }
+
+    out = {
+        "embed_tokens": {"w": _np(sd[f"{r}model.embed_tokens.weight"])},
+        "layers": _stack([layer(i) for i in range(num_layers)]),
+        "norm": {"w": _np(sd[f"{r}model.norm.weight"])},
+    }
+    if f"{r}lm_head.weight" in sd:
+        out["lm_head"] = {"w": _np(sd[f"{r}lm_head.weight"]).T}
+    return out
+
+
+def talker_params_from_torch(sd: Mapping, num_layers: int):
+    """Full talker checkpoint (modeling_bailing_talker layout: model.* = Qwen2,
+    thinker_to_talker_proj, vp_head) -> our talker tree."""
+    return {
+        "qwen2": qwen2_params_from_torch(sd, num_layers, root="model"),
+        "thinker_to_talker_proj": _lin(sd, "thinker_to_talker_proj"),
+        "vp_head": _conv1d_from_torch(sd, "vp_head"),
+    }

@@ -61,7 +61,13 @@ def _scale_axes(ndim: int):
 
 def quantize_array(w, bits: int = 8) -> QuantizedArray:
     """Symmetric per-channel quantization; int4 packs two nibbles per byte along
-    the contraction axis (offset-binary, values in [-7, 7])."""
+    the contraction axis (offset-binary, values in [-7, 7]).
+
+    int4 packing pairs element i with element i + n/2 ("split-halves"): the low
+    nibble plane IS rows [0, n/2), the high plane rows [n/2, n) — unpacking is a
+    concat, and the fused Pallas MoE kernel needs only contiguous slices of the
+    activations (no lane/sublane interleave on the TPU hot path).
+    """
     w = jnp.asarray(w, jnp.float32)
     ax = _scale_axes(w.ndim)
     amax = jnp.max(jnp.abs(w), axis=ax, keepdims=True)
@@ -69,10 +75,11 @@ def quantize_array(w, bits: int = 8) -> QuantizedArray:
     s = jnp.maximum(amax / qmax, 1e-8)
     q = jnp.clip(jnp.round(w / s), -qmax, qmax).astype(jnp.int8)
     if bits == 4:
-        assert w.shape[ax] % 2 == 0, "int4 needs an even contraction dim"
+        n = w.shape[ax]
+        assert n % 2 == 0, "int4 needs an even contraction dim"
         qo = (q + 8).astype(jnp.uint8)  # [1, 15]
-        lo = jnp.take(qo, jnp.arange(0, w.shape[ax], 2), axis=ax)
-        hi = jnp.take(qo, jnp.arange(1, w.shape[ax], 2), axis=ax)
+        lo = jnp.take(qo, jnp.arange(0, n // 2), axis=ax)
+        hi = jnp.take(qo, jnp.arange(n // 2, n), axis=ax)
         q = (lo | (hi << 4)).astype(jnp.uint8)
     return QuantizedArray(q, s.astype(jnp.float32), bits)
 
@@ -84,11 +91,8 @@ def dequant_weight(w, dtype):
             ax = _scale_axes(w.q.ndim)
             lo = (w.q & 0xF).astype(jnp.int8) - 8
             hi = (w.q >> 4).astype(jnp.int8) - 8
-            # interleave back along the packing axis
-            stacked = jnp.stack([lo, hi], axis=ax + 1)  # (..., in/2, 2, ...)
-            shape = list(w.q.shape)
-            shape[ax] *= 2
-            q = stacked.reshape(shape)
+            # split-halves packing: low plane is the first half, high the second
+            q = jnp.concatenate([lo, hi], axis=ax)
             return (q.astype(jnp.float32) * w.s).astype(dtype)
         return (w.q.astype(jnp.float32) * w.s).astype(dtype)
     return w.astype(dtype)

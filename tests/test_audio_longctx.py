@@ -18,10 +18,11 @@ from mingunivision_tpu.utils.longcontext import SlidingMemCache, generate_passke
 
 class TestAudioEncoder:
     def test_shapes_and_subsampling(self):
-        cfg = AudioEncoderConfig(n_mels=16, d_model=32, depth=1, num_heads=2, out_dim=64, max_frames=256)
+        cfg = AudioEncoderConfig(n_mels=16, n_state=32, n_layer=1, n_head=2, n_ctx=128, out_dim=64)
         params = init_audio_encoder_params(jax.random.PRNGKey(0), cfg)
         mel = jnp.asarray(np.random.default_rng(0).standard_normal((2, 16, 64)), jnp.float32)
         emb, lengths = audio_encoder_apply(params, cfg, mel, lengths=jnp.asarray([64, 40]))
+        # whisper conv2 (s2, p1): (64-1)//2+1 = 32; ds conv (s2, p1): (32-1)//2+1 = 16
         assert emb.shape == (2, 16, 64)
         np.testing.assert_array_equal(np.asarray(lengths), [16, 10])
 

@@ -133,3 +133,68 @@ class TestMoEStreamKernel:
         assert not stream_supported(bad, x, idx)
         # too many slots -> unsupported
         assert not stream_supported(experts, x, jnp.zeros((10, 6), jnp.int32))
+
+
+class TestMoEStreamInt8:
+    def _quant_experts(self, rng, E, d, m):
+        from mingunivision_tpu.utils.quantize import quantize_array
+
+        dense = {
+            "gate_proj": jnp.asarray(rng.standard_normal((E, d, m)) * 0.05, jnp.float32),
+            "up_proj": jnp.asarray(rng.standard_normal((E, d, m)) * 0.05, jnp.float32),
+            "down_proj": jnp.asarray(rng.standard_normal((E, m, d)) * 0.05, jnp.float32),
+        }
+        quant = {k: quantize_array(v, bits=8) for k, v in dense.items()}
+        return dense, quant
+
+    def test_int8_matches_xla_dequant(self):
+        """Dequant-fused kernel == XLA dequant-then-gather on the SAME int8
+        tables (exact same quantized numerics, only the fusion differs)."""
+        from mingunivision_tpu.models.bailing_moe import moe_experts_gather
+        from mingunivision_tpu.ops.kernels.moe_stream import moe_experts_stream, stream_supported
+
+        rng = np.random.default_rng(2)
+        E, d, m, N, k = 8, 256, 384, 3, 4
+        _, quant = self._quant_experts(rng, E, d, m)
+        x = jnp.asarray(rng.standard_normal((N, d)), jnp.float32)
+        idx = jnp.asarray(rng.integers(0, E, (N, k)), jnp.int32)
+        idx = idx.at[2, 1].set(idx[0, 2])  # duplicate -> DMA-elision path
+        w = jax.nn.softmax(jnp.asarray(rng.standard_normal((N, k)), jnp.float32), -1)
+        assert stream_supported(quant, x, idx)
+        want = np.asarray(moe_experts_gather(quant, x, idx, w))
+        got = np.asarray(moe_experts_stream(quant, x, idx, w, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+    def test_mixed_bits_not_supported(self):
+        from mingunivision_tpu.ops.kernels.moe_stream import stream_supported
+        from mingunivision_tpu.utils.quantize import quantize_array
+
+        rng = np.random.default_rng(3)
+        E, d, m = 4, 256, 384
+        mixed = {
+            "gate_proj": quantize_array(rng.standard_normal((E, d, m)).astype(np.float32), bits=4),
+            "up_proj": quantize_array(rng.standard_normal((E, d, m)).astype(np.float32), bits=8),
+            "down_proj": quantize_array(rng.standard_normal((E, m, d)).astype(np.float32), bits=4),
+        }
+        assert not stream_supported(mixed, jnp.zeros((2, d)), jnp.zeros((2, 4), jnp.int32))
+
+    def test_int4_matches_xla_dequant(self):
+        """int4 split-halves fused kernel == XLA dequant on the same tables."""
+        from mingunivision_tpu.models.bailing_moe import moe_experts_gather
+        from mingunivision_tpu.ops.kernels.moe_stream import moe_experts_stream, stream_supported
+        from mingunivision_tpu.utils.quantize import quantize_array
+
+        rng = np.random.default_rng(4)
+        E, d, m, N, k = 8, 256, 384, 3, 4
+        quant = {
+            "gate_proj": quantize_array(jnp.asarray(rng.standard_normal((E, d, m)) * 0.05, jnp.float32), bits=4),
+            "up_proj": quantize_array(jnp.asarray(rng.standard_normal((E, d, m)) * 0.05, jnp.float32), bits=4),
+            "down_proj": quantize_array(jnp.asarray(rng.standard_normal((E, m, d)) * 0.05, jnp.float32), bits=4),
+        }
+        x = jnp.asarray(rng.standard_normal((N, d)), jnp.float32)
+        idx = jnp.asarray(rng.integers(0, E, (N, k)), jnp.int32)
+        w = jax.nn.softmax(jnp.asarray(rng.standard_normal((N, k)), jnp.float32), -1)
+        assert stream_supported(quant, x, idx)
+        want = np.asarray(moe_experts_gather(quant, x, idx, w))
+        got = np.asarray(moe_experts_stream(quant, x, idx, w, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)

@@ -1,4 +1,6 @@
-"""Qwen-VL-style vision tower tests (omni family)."""
+"""Qwen2.5-VL vision tower tests (omni family). Checkpoint-exactness is proven
+in tests/test_omni_golden.py; these cover the dynamic-resolution plumbing and
+the host-side geometry helpers."""
 
 import numpy as np
 import pytest
@@ -11,13 +13,23 @@ from mingunivision_tpu.models.qwen_vit import (
     init_query_tokens,
     init_qwen_vit_params,
     qwen_vit_apply,
-    rot_pos_2d,
+    rot_pos_ids,
+    window_partition,
 )
 from mingunivision_tpu.processing.dynamic_image import DynamicImageProcessor, DynamicImageProcessorConfig
 
 
 def tiny_cfg():
-    return QwenViTConfig(patch_size=14, embed_dim=64, depth=2, num_heads=2, out_dim=48)
+    return QwenViTConfig(
+        patch_size=14,
+        embed_dim=64,
+        depth=2,
+        num_heads=2,
+        intermediate_size=96,
+        out_dim=48,
+        window_size=56,  # merger window = 56/2/14 = 2 groups per side
+        fullatt_block_indexes=(1,),
+    )
 
 
 class TestQwenViT:
@@ -35,14 +47,18 @@ class TestQwenViT:
         assert emb.shape == (t * (h // 2) * (w // 2), cfg.out_dim)
         assert np.isfinite(np.asarray(emb)).all()
 
-    def test_rot_pos_2d_splits_row_col(self):
-        cos, sin = rot_pos_2d((2, 3), 8, 1e4)
-        assert cos.shape == (6, 8)
-        # first token (0,0) has zero phase -> cos 1, sin 0
-        np.testing.assert_allclose(np.asarray(cos[0]), np.ones(8), atol=1e-6)
-        np.testing.assert_allclose(np.asarray(sin[0]), np.zeros(8), atol=1e-6)
-        # row plane differs from col plane for (1, 0) vs (0, 1)
-        assert not np.allclose(np.asarray(cos[3]), np.asarray(cos[1]))
+    def test_rot_pos_ids_merge_order(self):
+        # merge-window order: the first 4 tokens are the 2x2 block at (0,0)
+        pos = rot_pos_ids(np.array([[1, 4, 4]]), merge_size=2)
+        np.testing.assert_array_equal(pos[:4], [[0, 0], [0, 1], [1, 0], [1, 1]])
+        assert pos.shape == (16, 2)
+
+    def test_window_partition_covers_all_groups(self):
+        cfg = tiny_cfg()
+        idx, win_ids, img_ids = window_partition(np.array([[1, 8, 6]]), cfg)
+        # 8x6 patches -> 4x3 merger groups; permutation covers each exactly once
+        assert sorted(idx.tolist()) == list(range(12))
+        assert len(win_ids) == 12 and (img_ids == 0).all()
 
     def test_video_grid(self):
         cfg = tiny_cfg()
@@ -54,5 +70,6 @@ class TestQwenViT:
 
     def test_query_tokens(self):
         q = init_query_tokens(jax.random.PRNGKey(0), hidden=32)
-        assert set(q.keys()) == {"scale_4", "scale_8", "scale_16"}
-        assert q["scale_16"].shape == (256, 32)
+        assert set(q.keys()) == {"4x4", "8x8", "16x16"}
+        assert q["16x16"].shape == (256, 32)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(q["8x8"]), axis=-1), 1.0, atol=1e-5)

@@ -100,6 +100,6 @@ class TestSessionVision:
         assert out1.token_ids == out3.token_ids  # deterministic
         # different image content must be able to change the rollout OR at least
         # the cache contents; compare first-layer cache rows
-        k1 = np.asarray(s1.cache.k[0, 0, :8])
-        k2 = np.asarray(s2.cache.k[0, 0, :8])
+        k1 = np.asarray(s1.cache.k[0, 0, :, :8])
+        k2 = np.asarray(s2.cache.k[0, 0, :, :8])
         assert not np.allclose(k1, k2, atol=1e-5)
