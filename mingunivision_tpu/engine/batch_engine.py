@@ -78,9 +78,13 @@ def batched_decode_step(
 
     x = embed_tokens(params, state.cur[:, None]).astype(state.k.dtype)
 
+    layers = params["layers"]
+    experts_stacked = layers["mlp"]["experts"]
+    scanned = {**layers, "mlp": {k: v for k, v in layers["mlp"].items() if k != "experts"}}
+
     def layer(carry, inp):
         h = carry
-        p, kc, vc = inp
+        p, layer_idx, kc, vc = inp
         hn = rms_norm(h, p["input_layernorm"]["w"], eps=cfg.rms_norm_eps)
         qkv = dense(hn, p["attention"]["query_key_value"]).reshape(B, 1, Hq + 2 * Hkv, D)
         q, k, v = jnp.split(qkv, [Hq, Hq + Hkv], axis=2)
@@ -100,10 +104,11 @@ def batched_decode_step(
         hn = rms_norm(h, p["post_attention_layernorm"]["w"], eps=cfg.rms_norm_eps)
         from mingunivision_tpu.models.bailing_moe import moe_block_apply
 
-        h = h + moe_block_apply(p["mlp"], cfg, hn)
+        h = h + moe_block_apply(p["mlp"], cfg, hn, experts_stacked=experts_stacked, layer_idx=layer_idx)
         return h, (kc, vc)
 
-    h, (nk, nv) = lax.scan(layer, x, (params["layers"], state.k, state.v))
+    layer_ids = jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)
+    h, (nk, nv) = lax.scan(layer, x, (scanned, layer_ids, state.k, state.v))
     from mingunivision_tpu.models.bailing_moe import compute_logits as _logits
 
     logits = _logits(params, cfg, rms_norm(h, params["norm"]["w"], eps=cfg.rms_norm_eps))[:, -1]

@@ -209,14 +209,29 @@ def moe_experts_dense(experts, x_flat, topk_idx, topk_w, num_experts: int):
 MOE_GATHER_MAX_TOKENS = 16  # trace-time threshold: below this, gather beats dense
 
 
-def moe_block_apply(params, cfg: BailingMoeConfig, x, image_mask=None, audio_mask=None):
+def moe_block_apply(params, cfg: BailingMoeConfig, x, image_mask=None, audio_mask=None, experts_stacked=None, layer_idx=None):
     """Sparse MoE block with multi-gate routing + shared experts.
 
     x: (B, T, h); image_mask/audio_mask: optional bool (B, T) selecting tokens
     routed by the modality gates (reference :556-605).
+
+    `experts_stacked`/`layer_idx`: when the caller is a `lax.scan` layer loop,
+    the DEPTH-STACKED (L, E, ...) expert tables are passed whole and this layer
+    is selected inside the dispatch — the Pallas stream kernel block-indexes
+    (layer, expert) directly, avoiding a per-layer table copy that XLA emits
+    when a scan-sliced operand feeds a kernel call (~2 ms/layer on v5e).
     """
     B, T, h = x.shape
     x_flat = x.reshape(-1, h)
+
+    def sliced_experts():
+        """Per-layer tables for the XLA dispatch paths (same dynamic_slice a
+        scanned xs would produce — XLA fuses reads of these)."""
+        if experts_stacked is None:
+            return params["experts"]
+        return jax.tree_util.tree_map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, layer_idx, keepdims=False), experts_stacked
+        )
 
     topk_idx, topk_w, _ = moe_route(params["gate"]["w"], x_flat, cfg.num_experts_per_tok, cfg.norm_topk_prob)
     if cfg.multi_gate and image_mask is not None:
@@ -232,28 +247,32 @@ def moe_block_apply(params, cfg: BailingMoeConfig, x, image_mask=None, audio_mas
 
     topk_w = topk_w.astype(x.dtype)
     on_tpu = jax.default_backend() == "tpu"
+    probe = params["experts"] if experts_stacked is None else experts_stacked
     if B * T <= MOE_GATHER_MAX_TOKENS:
-        # decode-shape dispatch. Measured on v5e (18 assignments, 64 experts):
-        # the fused gather-stream kernel (chunked, DMA-eliding, silu+combine
-        # in-kernel) reads only the routed experts' weights; masked-dense
-        # full-table streaming (1.89 ms/layer) is the fallback for quantized
-        # tables and unaligned dims; XLA row-gather (8.7 ms) and the full-slab
-        # scalar-prefetch gather (4.2 ms) are DMA-latency bound.
+        # decode-shape dispatch. Measured on v5e (18 assignments, 64 experts,
+        # full-expert blocks, round 2): fused stream kernel bf16 ~1.5-2.1 /
+        # int8 1.23 ms/layer vs masked-dense bf16 1.88 / int8-XLA 1.95; the
+        # stream kernel reads only the routed experts' weights and, stacked,
+        # is immune to the scan-slice copy. XLA row-gather (8.7 ms) and the
+        # full-slab scalar-prefetch gather (4.2 ms) are DMA-latency bound.
         from mingunivision_tpu.ops.kernels.moe_stream import moe_experts_stream, stream_supported
 
-        if on_tpu and stream_supported(params["experts"], x_flat, topk_idx):
-            y = moe_experts_stream(params["experts"], x_flat, topk_idx, topk_w)
+        if on_tpu and stream_supported(probe, x_flat, topk_idx):
+            if experts_stacked is not None:
+                y = moe_experts_stream(experts_stacked, x_flat, topk_idx, topk_w, layer_idx=layer_idx)
+            else:
+                y = moe_experts_stream(params["experts"], x_flat, topk_idx, topk_w)
         elif on_tpu:
-            y = moe_experts_dense(params["experts"], x_flat, topk_idx, topk_w, cfg.num_experts)
+            y = moe_experts_dense(sliced_experts(), x_flat, topk_idx, topk_w, cfg.num_experts)
         else:
-            y = moe_experts_gather(params["experts"], x_flat, topk_idx, topk_w)
+            y = moe_experts_gather(sliced_experts(), x_flat, topk_idx, topk_w)
     else:
         from mingunivision_tpu.ops.kernels.moe_gmm import GMM_AVAILABLE, moe_experts_gmm
 
         if GMM_AVAILABLE and on_tpu:
-            y = moe_experts_gmm(params["experts"], x_flat, topk_idx, topk_w, cfg.num_experts)
+            y = moe_experts_gmm(sliced_experts(), x_flat, topk_idx, topk_w, cfg.num_experts)
         else:
-            y = moe_experts_dense(params["experts"], x_flat, topk_idx, topk_w, cfg.num_experts)
+            y = moe_experts_dense(sliced_experts(), x_flat, topk_idx, topk_w, cfg.num_experts)
 
     y = y.reshape(B, T, h)
     # shared experts: dense SwiGLU over the identity input (reference :604-605)
@@ -328,12 +347,17 @@ def attention_apply(params, cfg: BailingMoeConfig, x, cos, sin, k_cache, v_cache
 # ---------------------------------------------------------------------------
 
 
-def decoder_layer_apply(layer_params, cfg, x, cos, sin, k_cache, v_cache, length, attn_mask, image_mask, audio_mask, use_flash: bool = False):
+def decoder_layer_apply(
+    layer_params, cfg, x, cos, sin, k_cache, v_cache, length, attn_mask, image_mask, audio_mask,
+    use_flash: bool = False, experts_stacked=None, layer_idx=None,
+):
     h = rms_norm(x, layer_params["input_layernorm"]["w"], eps=cfg.rms_norm_eps)
     a, nk, nv = attention_apply(layer_params["attention"], cfg, h, cos, sin, k_cache, v_cache, length, attn_mask, use_flash=use_flash)
     x = x + a
     h = rms_norm(x, layer_params["post_attention_layernorm"]["w"], eps=cfg.rms_norm_eps)
-    x = x + moe_block_apply(layer_params["mlp"], cfg, h, image_mask, audio_mask)
+    x = x + moe_block_apply(
+        layer_params["mlp"], cfg, h, image_mask, audio_mask, experts_stacked=experts_stacked, layer_idx=layer_idx
+    )
     return x, nk, nv
 
 
@@ -368,16 +392,24 @@ def bailing_forward(
 
     attn_mask = attn_mask.astype(bool)
 
+    # The expert tables stay OUT of the scanned xs: the stream kernel indexes
+    # the full depth-stacked tables by (layer, expert) via scalar prefetch,
+    # avoiding the per-layer copy XLA emits for scan-sliced kernel operands.
+    layers = params["layers"]
+    experts_stacked = layers["mlp"]["experts"]
+    scanned = {**layers, "mlp": {k: v for k, v in layers["mlp"].items() if k != "experts"}}
+
     def body(carry, inp):
         x = carry
-        layer_params, kc, vc = inp
+        layer_params, layer_idx, kc, vc = inp
         x, nk, nv = decoder_layer_apply(
             layer_params, cfg, x, cos, sin, kc, vc, cache.length, attn_mask, image_mask, audio_mask,
-            use_flash=use_flash,
+            use_flash=use_flash, experts_stacked=experts_stacked, layer_idx=layer_idx,
         )
         return x, (nk, nv)
 
-    x, (nk, nv) = lax.scan(body, inputs_embeds, (params["layers"], cache.k, cache.v))
+    layer_ids = jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)
+    x, (nk, nv) = lax.scan(body, inputs_embeds, (scanned, layer_ids, cache.k, cache.v))
     x = rms_norm(x, params["norm"]["w"], eps=cfg.rms_norm_eps)
     return x, LLMCache(nk, nv, cache.length + T)
 

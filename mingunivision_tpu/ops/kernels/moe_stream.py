@@ -53,10 +53,13 @@ def _kernel(ids_ref, x_ref, w1_ref, w3_ref, w2_ref, g_ref, o_ref, acc_ref):
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     x = x_ref[...]  # (Np, d)
-    a = jax.lax.dot_general(x, w1_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    b = jax.lax.dot_general(x, w3_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    w1 = w1_ref[...].reshape(w1_ref.shape[-2], w1_ref.shape[-1])
+    w3 = w3_ref[...].reshape(w3_ref.shape[-2], w3_ref.shape[-1])
+    w2 = w2_ref[...].reshape(w2_ref.shape[-2], w2_ref.shape[-1])
+    a = jax.lax.dot_general(x, w1, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    b = jax.lax.dot_general(x, w3, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     h = (jax.nn.silu(a) * b).astype(x.dtype)  # (Np, CH)
-    po = jax.lax.dot_general(h, w2_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    po = jax.lax.dot_general(h, w2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     acc_ref[...] += g_ref[0, 0][:, None] * po  # gate weight per row; 0 for rows not using this expert
 
     @pl.when((c == pl.num_programs(0) - 1) & (s == pl.num_programs(1) - 1))
@@ -77,16 +80,16 @@ def _kernel_q8(ids_ref, x_ref, q1_ref, s1_ref, q3_ref, s3_ref, q2_ref, s2_ref, g
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     x = x_ref[...]  # (Np, d)
-    w1 = q1_ref[0].astype(x.dtype)  # int8 -> compute dtype, in VMEM
-    w3 = q3_ref[0].astype(x.dtype)
+    w1 = q1_ref[...].reshape(q1_ref.shape[-2], q1_ref.shape[-1]).astype(x.dtype)  # int8 -> compute dtype, in VMEM
+    w3 = q3_ref[...].reshape(q3_ref.shape[-2], q3_ref.shape[-1]).astype(x.dtype)
     a = jax.lax.dot_general(x, w1, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     b = jax.lax.dot_general(x, w3, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    a = a * s1_ref[0, 0][None, :]
-    b = b * s3_ref[0, 0][None, :]
+    a = a * s1_ref[...].reshape(s1_ref.shape[-1])[None, :]
+    b = b * s3_ref[...].reshape(s3_ref.shape[-1])[None, :]
     h = (jax.nn.silu(a) * b).astype(x.dtype)  # (Np, CH)
-    w2 = q2_ref[0].astype(x.dtype)
+    w2 = q2_ref[...].reshape(q2_ref.shape[-2], q2_ref.shape[-1]).astype(x.dtype)
     po = jax.lax.dot_general(h, w2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    po = po * s2_ref[0, 0][None, :]
+    po = po * s2_ref[...].reshape(s2_ref.shape[-1])[None, :]
     acc_ref[...] += g_ref[0, 0][:, None] * po
 
     @pl.when((c == pl.num_programs(0) - 1) & (s == pl.num_programs(1) - 1))
@@ -107,23 +110,24 @@ def _kernel_q4(ids_ref, x_ref, q1_ref, s1_ref, q3_ref, s3_ref, q2_ref, s2_ref, g
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     x = x_ref[...]  # (Np, d)
-    d_half = q1_ref.shape[1]  # d/2 packed rows
+    d_half = q1_ref.shape[-2]  # d/2 packed rows
     x_lo = x[:, :d_half]
     x_hi = x[:, d_half:]
 
     def half_mm(xl, xh, q_ref):
-        qb = q_ref[0]  # (n/2, cols) uint8
-        lo = (qb & 0xF).astype(jnp.int8) - 8
-        hi = (qb >> 4).astype(jnp.int8) - 8
-        out = jax.lax.dot_general(xl, lo.astype(x.dtype), (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        out += jax.lax.dot_general(xh, hi.astype(x.dtype), (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        qb = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1]).astype(jnp.int32)  # (n/2, cols)
+        # int32 nibble unpack (VPU-native width; int8 bit-ops don't lower in Mosaic)
+        lo = ((qb & 0xF) - 8).astype(x.dtype)
+        hi = (((qb >> 4) & 0xF) - 8).astype(x.dtype)
+        out = jax.lax.dot_general(xl, lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        out += jax.lax.dot_general(xh, hi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         return out
 
-    a = half_mm(x_lo, x_hi, q1_ref) * s1_ref[0, 0][None, :]
-    b = half_mm(x_lo, x_hi, q3_ref) * s3_ref[0, 0][None, :]
+    a = half_mm(x_lo, x_hi, q1_ref) * s1_ref[...].reshape(s1_ref.shape[-1])[None, :]
+    b = half_mm(x_lo, x_hi, q3_ref) * s3_ref[...].reshape(s3_ref.shape[-1])[None, :]
     h = (jax.nn.silu(a) * b).astype(x.dtype)  # (Np, m)
-    m_half = q2_ref.shape[1]  # m/2 packed rows
-    po = half_mm(h[:, :m_half], h[:, m_half:], q2_ref) * s2_ref[0, 0][None, :]
+    m_half = q2_ref.shape[-2]  # m/2 packed rows
+    po = half_mm(h[:, :m_half], h[:, m_half:], q2_ref) * s2_ref[...].reshape(s2_ref.shape[-1])[None, :]
     acc_ref[...] += g_ref[0, 0][:, None] * po
 
     @pl.when(s == pl.num_programs(0) - 1)
@@ -153,18 +157,18 @@ def stream_supported(experts, x_flat, topk_idx) -> bool:
         return False
     gp = experts["gate_proj"].q if (quant8 or quant4) else experts["gate_proj"]
     if quant4:
-        E, d_half, m = gp.shape
+        E, d_half, m = gp.shape[-3:]  # tolerate a leading depth-stack axis
         d = d_half * 2
         # the h split at m/2 must stay a legal (if unaligned) lane slice
         if m % 2:
             return False
     else:
-        E, d, m = gp.shape
+        E, d, m = gp.shape[-3:]
     N, k = topk_idx.shape
     return PALLAS_TPU and d % 128 == 0 and m % 128 == 0 and N * k <= MAX_STREAM_SLOTS
 
 
-def moe_experts_stream(experts, x_flat, topk_idx, topk_w, *, chunk: int = 0, interpret: bool = False):
+def moe_experts_stream(experts, x_flat, topk_idx, topk_w, *, chunk: int = 0, interpret: bool = False, layer_idx=None):
     """Decode-path MoE dispatch. x_flat (N, d); topk_idx/topk_w (N, k) -> (N, d).
 
     HBM traffic = unique routed experts' w1/w3/w2 once (duplicates across rows
@@ -174,18 +178,23 @@ def moe_experts_stream(experts, x_flat, topk_idx, topk_w, *, chunk: int = 0, int
 
     chunk=0 (default) streams FULL experts per grid step — measured 1.6x faster
     than 128-wide chunks on v5e (fewer, larger DMAs; double-buffered in VMEM).
+
+    With `layer_idx`, `experts` are the FULL depth-stacked (L, E, ...) tables
+    and the kernel block-indexes (layer, expert) directly via scalar prefetch —
+    inside a `lax.scan` layer loop this avoids XLA materializing a per-layer
+    copy of the sliced tables before the kernel call (measured ~2 ms/layer on
+    v5e, the round-1 in-loop regression).
     """
     N, k = topk_idx.shape
     d = x_flat.shape[-1]
+    stacked = layer_idx is not None
     quant8 = _is_q(experts["gate_proj"], 8)
     quant4 = _is_q(experts["gate_proj"], 4)
     w1 = experts["gate_proj"]  # (E, d, m) — int4: (E, d/2, m) split-halves packed
     w3 = experts["up_proj"]  # (E, d, m)
     w2 = experts["down_proj"]  # (E, m, d) — int4: (E, m/2, d)
-    if quant4:
-        E, _, m = w1.q.shape
-    else:
-        E, _, m = (w1.q if quant8 else w1).shape
+    shape = (w1.q if (quant8 or quant4) else w1).shape
+    E, m = shape[-3], shape[-1]
     if chunk == 0 or quant4:
         CH = m  # full expert per step (int4 kernel requires it: h splits at m/2)
     else:
@@ -205,46 +214,94 @@ def moe_experts_stream(experts, x_flat, topk_idx, topk_w, *, chunk: int = 0, int
     gates = (slot_w[:, None] * jax.nn.one_hot(slot_row, Np, dtype=jnp.float32))[:, None, :]  # (A, 1, Np)
     xp = jnp.zeros((Np, d), x_flat.dtype).at[:N].set(x_flat)
 
-    x_spec = pl.BlockSpec((Np, d), lambda c, s, ids: (0, 0))
-    w1_spec = pl.BlockSpec((1, d, CH), lambda c, s, ids: (ids[s], 0, c))
-    w2_spec = pl.BlockSpec((1, CH, d), lambda c, s, ids: (ids[s], c, 0))
-    g_spec = pl.BlockSpec((1, 1, Np), lambda c, s, ids: (s, 0, 0))
-    out_spec = pl.BlockSpec((Np, d), lambda c, s, ids: (0, 0))
+    # spec factories: `two_axis` grids are (chunk, slot); q4 uses (slot,) only.
+    # With stacked tables a leading layer axis is indexed via the second
+    # prefetched scalar (`lay`); block tuples gain a leading (1, lay[0]).
+    def wspec(block, index):
+        """block: tuple WITHOUT the expert axis; index(c_or_s, ids) -> tuple."""
+
+        def make(two_axis: bool):
+            if stacked:
+                if two_axis:
+                    return pl.BlockSpec((1, 1) + block, lambda c, s, ids, lay: (lay[0], ids[s]) + index(c))
+                return pl.BlockSpec((1, 1) + block, lambda s, ids, lay: (lay[0], ids[s]) + index(0))
+            if two_axis:
+                return pl.BlockSpec((1,) + block, lambda c, s, ids: (ids[s],) + index(c))
+            return pl.BlockSpec((1,) + block, lambda s, ids: (ids[s],) + index(0))
+
+        return make
+
+    def fixed(block, index):
+        def make(two_axis: bool):
+            if two_axis:
+                return pl.BlockSpec(block, lambda c, s, *_: index(c, s))
+            return pl.BlockSpec(block, lambda s, *_: index(0, s))
+
+        return make
+
+    x_specf = fixed((Np, d), lambda c, s: (0, 0))
+    g_specf = fixed((1, 1, Np), lambda c, s: (s, 0, 0))
+    out_specf = fixed((Np, d), lambda c, s: (0, 0))
 
     if quant4:
-        # single grid axis (slots); full-expert packed blocks
-        x_spec = pl.BlockSpec((Np, d), lambda s, ids: (0, 0))
-        q1_spec = pl.BlockSpec((1, d // 2, m), lambda s, ids: (ids[s], 0, 0))
-        s1_spec = pl.BlockSpec((1, 1, m), lambda s, ids: (ids[s], 0, 0))
-        q2_spec = pl.BlockSpec((1, m // 2, d), lambda s, ids: (ids[s], 0, 0))
-        s2_spec = pl.BlockSpec((1, 1, d), lambda s, ids: (ids[s], 0, 0))
-        g_spec = pl.BlockSpec((1, 1, Np), lambda s, ids: (s, 0, 0))
-        out_spec = pl.BlockSpec((Np, d), lambda s, ids: (0, 0))
-        kernel = _kernel_q4
+        two = False
         grid = (A,)
-        semantics = ("arbitrary",)
-        in_specs = [x_spec, q1_spec, s1_spec, q1_spec, s1_spec, q2_spec, s2_spec, g_spec]
+        kernel = _kernel_q4
+        in_specs = [
+            x_specf(two),
+            wspec((d // 2, m), lambda c: (0, 0))(two),
+            wspec((1, m), lambda c: (0, 0))(two),
+            wspec((d // 2, m), lambda c: (0, 0))(two),
+            wspec((1, m), lambda c: (0, 0))(two),
+            wspec((m // 2, d), lambda c: (0, 0))(two),
+            wspec((1, d), lambda c: (0, 0))(two),
+            g_specf(two),
+        ]
         operands = (xp, w1.q, w1.s, w3.q, w3.s, w2.q, w2.s, gates)
     elif quant8:
-        s1_spec = pl.BlockSpec((1, 1, CH), lambda c, s, ids: (ids[s], 0, c))
-        s2_spec = pl.BlockSpec((1, 1, d), lambda c, s, ids: (ids[s], 0, 0))
-        kernel = _kernel_q8
+        two = True
         grid = (HC, A)
-        semantics = ("arbitrary", "arbitrary")
-        in_specs = [x_spec, w1_spec, s1_spec, w1_spec, s1_spec, w2_spec, s2_spec, g_spec]
+        kernel = _kernel_q8
+        in_specs = [
+            x_specf(two),
+            wspec((d, CH), lambda c: (0, c))(two),
+            wspec((1, CH), lambda c: (0, c))(two),
+            wspec((d, CH), lambda c: (0, c))(two),
+            wspec((1, CH), lambda c: (0, c))(two),
+            wspec((CH, d), lambda c: (c, 0))(two),
+            wspec((1, d), lambda c: (0, 0))(two),
+            g_specf(two),
+        ]
         operands = (xp, w1.q, w1.s, w3.q, w3.s, w2.q, w2.s, gates)
     else:
-        kernel = _kernel
+        two = True
         grid = (HC, A)
-        semantics = ("arbitrary", "arbitrary")
-        in_specs = [x_spec, w1_spec, w1_spec, w2_spec, g_spec]
+        kernel = _kernel
+        in_specs = [
+            x_specf(two),
+            wspec((d, CH), lambda c: (0, c))(two),
+            wspec((d, CH), lambda c: (0, c))(two),
+            wspec((CH, d), lambda c: (c, 0))(two),
+            g_specf(two),
+        ]
         operands = (xp, w1, w3, w2, gates)
 
+    semantics = ("arbitrary",) * len(grid)
+    scalars = (slot_ids,)
+    if stacked:
+        scalars = (slot_ids, jnp.asarray(layer_idx, jnp.int32).reshape(1))
+
+        # the layer scalar exists only for the BlockSpec index maps — the
+        # kernel body never reads it
+        inner = kernel
+
+        def kernel(ids_ref, _layer_ref, *rest):
+            return inner(ids_ref, *rest)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=len(scalars),
         grid=grid,
         in_specs=in_specs,
-        out_specs=out_spec,
+        out_specs=out_specf(two),
         scratch_shapes=[pltpu.VMEM((Np, d), jnp.float32)],
     )
     kwargs = {}
@@ -259,5 +316,5 @@ def moe_experts_stream(experts, x_flat, topk_idx, topk_w, *, chunk: int = 0, int
         out_shape=jax.ShapeDtypeStruct((Np, d), x_flat.dtype),
         interpret=interpret,
         **kwargs,
-    )(slot_ids, *operands)
+    )(*scalars, *operands)
     return out[:N]

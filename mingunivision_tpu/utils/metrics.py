@@ -104,10 +104,28 @@ def frechet_distance(stats_a: FeatureStats, stats_b: FeatureStats, eps: float = 
     return float(diff @ diff + np.trace(c1) + np.trace(c2) - 2 * np.trace(covmean))
 
 
-def recon_metrics(original, reconstructed) -> dict:
-    """The BASELINE.md gate triple (LPIPS requires a learned net; reported when
-    a feature extractor is supplied to `frechet_distance` pipelines)."""
-    return {
+def rfid(feature_fn, real_images, recon_images) -> float:
+    """rFID over any feature extractor (`feature_fn: (B,3,H,W) -> (B,dim)`) —
+    utils.feature_net.TinyConvFeatures runs today; InceptionV3 pool3 features
+    reproduce the published number once weights are available."""
+    fa = np.asarray(feature_fn(real_images))
+    fb = np.asarray(feature_fn(recon_images))
+    sa, sb = FeatureStats(fa.shape[1]), FeatureStats(fb.shape[1])
+    sa.update(fa)
+    sb.update(fb)
+    return frechet_distance(sa, sb)
+
+
+def recon_metrics(original, reconstructed, lpips_params=None) -> dict:
+    """The BASELINE.md gate triple. LPIPS is included when `lpips_params` is
+    supplied (utils.feature_net: real weights via lpips_params_from_torch, or
+    random_lpips_params for pipeline tests)."""
+    out = {
         "psnr": psnr(original, reconstructed),
         "ssim": ssim(original, reconstructed),
     }
+    if lpips_params is not None:
+        from mingunivision_tpu.utils.feature_net import lpips_distance
+
+        out["lpips"] = float(np.mean(np.asarray(lpips_distance(lpips_params, original, reconstructed))))
+    return out

@@ -185,9 +185,11 @@ def random_quantized_like(key, params, bits: int = 8, min_size: int = _QUANT_MIN
         if b == 4:
             qshape = list(x.shape)
             qshape[ax] //= 2
-            q = jax.random.randint(k, qshape, 0, 256, jnp.int32).astype(jnp.uint8)
+            # random.bits generates uint8 directly — a randint would materialize
+            # an int32 temp 4x the table (OOMs 28-layer int4 init on one chip)
+            q = jax.random.bits(k, tuple(qshape), jnp.uint8)
         else:
-            q = jax.random.randint(k, x.shape, -127, 128, jnp.int32).astype(jnp.int8)
+            q = jax.random.bits(k, tuple(x.shape), jnp.uint8).astype(jnp.int8)
         return QuantizedArray(q, s, b)
 
     shapes = jax.eval_shape(lambda: params) if callable(params) else params

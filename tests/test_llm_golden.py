@@ -212,3 +212,112 @@ class TestRouterParity:
         np.testing.assert_allclose(
             np.sort(np.asarray(got_w), axis=-1), np.sort(want_w.numpy(), axis=-1), rtol=1e-4, atol=1e-5
         )
+
+
+class TestFullWidthLayerParity:
+    """Real-shape numerics (VERDICT weak #6): one decoder layer at the FULL
+    16B-A3B width (hidden 2048, 64 experts top-6, moe_inter 1408, 16Q/4KV
+    heads x 128) with random weights — exercises fp32 router behavior at 64
+    experts and the true matmul shapes that tiny configs never reach."""
+
+    @pytest.fixture(scope="class")
+    def full_layer(self):
+        import refutil
+
+        mbm = refutil.import_reference_llm()
+        torch.manual_seed(0)
+        cfg = BailingMoeConfig(
+            vocab_size=1024,  # embeddings are irrelevant — layer-level test
+            num_hidden_layers=1,
+        )
+        ref_cfg = mbm.BailingMoeConfig(
+            vocab_size=cfg.vocab_size,
+            hidden_size=cfg.hidden_size,
+            num_hidden_layers=1,
+            num_attention_heads=cfg.num_attention_heads,
+            num_key_value_heads=cfg.num_key_value_heads,
+            head_dim=cfg.head_dim,
+            intermediate_size=cfg.intermediate_size,
+            moe_intermediate_size=cfg.moe_intermediate_size,
+            num_experts=cfg.num_experts,
+            num_experts_per_tok=cfg.num_experts_per_tok,
+            num_shared_experts=cfg.num_shared_experts,
+            first_k_dense_replace=0,
+            norm_topk_prob=True,
+            multi_gate=True,
+            max_position_embeddings=cfg.max_position_embeddings,
+            rope_theta=cfg.rope_theta,
+            rope_scaling={"type": "3D", "factor": None},
+            use_qkv_bias=False,
+            use_bias=False,
+            embedding_dropout=0.0,
+            attention_dropout=0.0,
+            output_dropout=0.0,
+            _attn_implementation="eager",
+            use_cache=False,
+            pad_token_id=0,
+            eos_token_id=0,
+            image_patch_token=1,
+            image_start_token=2,
+            num_image_tokens_for_gen=4,
+        )
+        ref_layer = mbm.BailingMoeDecoderLayer(ref_cfg, layer_idx=0).eval()
+        sd = {f"model.layers.0.{k}": v for k, v in ref_layer.state_dict().items()}
+        # converter needs embeddings/norm/head entries; synthesize minimal ones
+        import torch as _t
+
+        sd["model.word_embeddings.weight"] = _t.zeros(cfg.vocab_size, cfg.hidden_size)
+        sd["model.norm.weight"] = _t.ones(cfg.hidden_size)
+        sd["lm_head.weight"] = _t.zeros(cfg.vocab_size, cfg.hidden_size)
+        params = bailing_moe_params_from_torch(sd, cfg)
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        return mbm, ref_layer, params, cfg
+
+    def test_router_decisions_at_64_experts(self, full_layer):
+        """fp32 softmax top-6-of-64 expert ids + weights match exactly."""
+        mbm, ref_layer, params, cfg = full_layer
+        rng = np.random.default_rng(0)
+        x = (rng.standard_normal((37, cfg.hidden_size)) * 0.5).astype(np.float32)
+        gate = ref_layer.mlp.gate
+        with torch.no_grad():
+            t_idx, t_w, _ = gate(torch.tensor(x)[None])
+        j_idx, j_w, _ = moe_route(
+            params["layers"]["mlp"]["gate"]["w"][0], jnp.asarray(x), cfg.num_experts_per_tok, cfg.norm_topk_prob
+        )
+        np.testing.assert_array_equal(np.asarray(j_idx), t_idx.numpy().reshape(-1, cfg.num_experts_per_tok))
+        np.testing.assert_allclose(np.asarray(j_w), t_w.numpy().reshape(-1, cfg.num_experts_per_tok), rtol=1e-5, atol=1e-6)
+
+    def test_layer_forward_full_width(self, full_layer):
+        mbm, ref_layer, params, cfg = full_layer
+        rng = np.random.default_rng(1)
+        B, T = 1, 5
+        x = (rng.standard_normal((B, T, cfg.hidden_size)) * 0.5).astype(np.float32)
+        pos = torch.arange(T).view(1, 1, T).expand(3, B, T)
+        rot = mbm.BailingMoeRotaryEmbedding(
+            cfg.head_dim, max_position_embeddings=cfg.max_position_embeddings, base=cfg.rope_theta
+        )
+        with torch.no_grad():
+            cos, sin = rot(torch.tensor(x), seq_len=T)
+            causal = torch.full((T, T), torch.finfo(torch.float32).min).triu(1)[None, None]
+            want = ref_layer(
+                torch.tensor(x),
+                attention_mask=causal,
+                position_ids=pos,
+                image_router_mask=None,
+                audio_router_mask=None,
+                position_embeddings=None,
+            )[0].numpy()
+
+        from mingunivision_tpu.models.bailing_moe import decoder_layer_apply
+        from mingunivision_tpu.ops.rope import mrope_cos_sin
+
+        layer0 = jax.tree_util.tree_map(lambda a: a[0], params["layers"])
+        positions = jnp.broadcast_to(jnp.arange(T)[None, None, :], (3, B, T))
+        jcos, jsin = mrope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, cfg.mrope_section)
+        kc = jnp.zeros((B, cfg.num_key_value_heads, T, cfg.head_dim), jnp.float32)
+        vc = jnp.zeros_like(kc)
+        mask = jnp.ones((B, T), bool)
+        got, _, _ = decoder_layer_apply(
+            layer0, cfg, jnp.asarray(x), jcos, jsin, kc, vc, jnp.int32(0), mask, None, None
+        )
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)

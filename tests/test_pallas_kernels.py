@@ -198,3 +198,49 @@ class TestMoEStreamInt8:
         want = np.asarray(moe_experts_gather(quant, x, idx, w))
         got = np.asarray(moe_experts_stream(quant, x, idx, w, interpret=True))
         np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+class TestMoEStreamStacked:
+    def test_stacked_layer_index_matches_sliced(self):
+        """Stacked (L, E, ...) tables + layer_idx == slicing the layer first."""
+        from mingunivision_tpu.models.bailing_moe import moe_experts_dense
+        from mingunivision_tpu.ops.kernels.moe_stream import moe_experts_stream
+
+        rng = np.random.default_rng(5)
+        L, E, d, m, N, k = 3, 8, 256, 384, 3, 4
+        stacked = {
+            "gate_proj": jnp.asarray(rng.standard_normal((L, E, d, m)) * 0.05, jnp.float32),
+            "up_proj": jnp.asarray(rng.standard_normal((L, E, d, m)) * 0.05, jnp.float32),
+            "down_proj": jnp.asarray(rng.standard_normal((L, E, m, d)) * 0.05, jnp.float32),
+        }
+        x = jnp.asarray(rng.standard_normal((N, d)), jnp.float32)
+        idx = jnp.asarray(rng.integers(0, E, (N, k)), jnp.int32)
+        w = jax.nn.softmax(jnp.asarray(rng.standard_normal((N, k)), jnp.float32), -1)
+        for li in (0, 2):
+            sliced = {kk: v[li] for kk, v in stacked.items()}
+            want = np.asarray(moe_experts_dense(sliced, x, idx, w, E))
+            got = np.asarray(moe_experts_stream(stacked, x, idx, w, layer_idx=jnp.int32(li), interpret=True))
+            np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_stacked_int8(self):
+        from mingunivision_tpu.models.bailing_moe import moe_experts_gather
+        from mingunivision_tpu.ops.kernels.moe_stream import moe_experts_stream
+        from mingunivision_tpu.utils.quantize import quantize_array
+
+        rng = np.random.default_rng(6)
+        L, E, d, m, N, k = 2, 4, 128, 256, 2, 3
+        stacked = {
+            "gate_proj": quantize_array(rng.standard_normal((L, E, d, m)).astype(np.float32) * 0.05, bits=8),
+            "up_proj": quantize_array(rng.standard_normal((L, E, d, m)).astype(np.float32) * 0.05, bits=8),
+            "down_proj": quantize_array(rng.standard_normal((L, E, m, d)).astype(np.float32) * 0.05, bits=8),
+        }
+        x = jnp.asarray(rng.standard_normal((N, d)), jnp.float32)
+        idx = jnp.asarray(rng.integers(0, E, (N, k)), jnp.int32)
+        w = jax.nn.softmax(jnp.asarray(rng.standard_normal((N, k)), jnp.float32), -1)
+        from mingunivision_tpu.utils.quantize import QuantizedArray
+
+        li = 1
+        sliced = {kk: QuantizedArray(v.q[li], v.s[li], 8) for kk, v in stacked.items()}
+        want = np.asarray(moe_experts_gather(sliced, x, idx, w))
+        got = np.asarray(moe_experts_stream(stacked, x, idx, w, layer_idx=jnp.int32(li), interpret=True))
+        np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)

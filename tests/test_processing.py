@@ -60,10 +60,12 @@ class TestChatTemplate:
 
     def test_chat_object_render(self):
         chat = Chat.from_json(
-            [{"role": "user", "content": "hi"}, {"role": "assistant", "content": "yo"}]
+            {"messages": [{"role": "HUMAN", "content": "hi"}, {"role": "ASSISTANT", "content": "yo"}]}
         )
-        s = chat.prompt_str()
-        assert s == "<role>HUMAN</role>hi<role>ASSISTANT</role>yo<|endoftext|><role>ASSISTANT</role>"
+        s = chat.prompt_str
+        assert s == "<role>HUMAN</role>hi<role>ASSISTANT</role>yo"
+        io = chat.prompt_inout
+        assert io["input"].endswith("<role>ASSISTANT</role>") and io["output"] == "yo"
 
 
 class TestCfgMasks:
