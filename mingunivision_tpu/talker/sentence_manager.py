@@ -84,26 +84,110 @@ def _number_to_zh(s: str) -> str:
     return _int_to_zh(int(s))
 
 
-def _digits_to_zh(s: str) -> str:
-    """Digit-by-digit reading (phone numbers, codes)."""
-    return "".join(_DIGITS[int(d)] if d.isdigit() else d for d in s)
+def _digits_to_zh(s: str, alt_one: bool = False) -> str:
+    """Digit-by-digit reading (phone numbers, codes). alt_one reads 1 as 幺
+    (reference text_norm/utils/num.py verbalize_digit alt_one, used for phone
+    numbers and room numbers)."""
+    digits = "零幺二三四五六七八九" if alt_one else _DIGITS
+    return "".join(digits[int(d)] if d.isdigit() else d for d in s)
+
+
+# basic English number verbalization (reference text_norm/utils/en_num.py is
+# tacotron-style via `inflect`, which is not in this image — cover the common
+# streamed-TTS cases without it)
+_EN_ONES = "zero one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen".split()
+_EN_TENS = "zero ten twenty thirty forty fifty sixty seventy eighty ninety".split()
+
+
+def _en_int_to_words(n: int) -> str:
+    if n < 0:
+        return "minus " + _en_int_to_words(-n)
+    if n < 20:
+        return _EN_ONES[n]
+    if n < 100:
+        return _EN_TENS[n // 10] + ("" if n % 10 == 0 else " " + _EN_ONES[n % 10])
+    for div, name in ((10**9, "billion"), (10**6, "million"), (10**3, "thousand"), (100, "hundred")):
+        if n >= div:
+            head = _en_int_to_words(n // div) + " " + name
+            rest = n % div
+            return head if rest == 0 else head + " " + _en_int_to_words(rest)
+    return str(n)
+
+
+def normalize_english_numbers(text: str) -> str:
+    """Digits inside English context -> words ($5 -> five dollars, 3rd -> third)."""
+    text = re.sub(r"\$([0-9]+)(?![\d.])", lambda m: _en_int_to_words(int(m.group(1))) + " dollars", text)
+    ordinals = {1: "first", 2: "second", 3: "third", 5: "fifth", 8: "eighth", 9: "ninth", 12: "twelfth"}
+
+    def ordinal(m):
+        n = int(m.group(1))
+        if n in ordinals:
+            return ordinals[n]
+        w = _en_int_to_words(n)
+        if w.endswith("y"):
+            return w[:-1] + "ieth"
+        return w + "th"
+
+    text = re.sub(r"\b([0-9]+)(?:st|nd|rd|th)\b", ordinal, text)
+    text = re.sub(r"(?<=[a-zA-Z] )([0-9]+)(?= ?[a-zA-Z])", lambda m: _en_int_to_words(int(m.group(1))), text)
+    return text
 
 
 class TextNormalizer:
-    """Chinese-oriented TN: currency, percent, dates, phone, plain numbers."""
+    """Chinese-oriented TN (reference text_norm pipeline surface): currency,
+    percent, dates, times, temperature, fractions, ranges, scores, phone/room
+    numbers, units/comparators, plain numbers; basic English numbers."""
 
     def __call__(self, text: str) -> str:
         for k, v in PUNCT_MAP.items():
             text = text.replace(k, v)
+        # preprocess (reference normalizer.preprocess): units + comparators
+        text = re.sub(r"(\d+(?:,\d{3})+)", lambda m: m.group(1).replace(",", ""), text)  # 1,234 -> 1234
+        text = text.replace("㎡", "平方米").replace("m²", "平方米").replace("cm²", "平方厘米")
+        text = re.sub(r">(?=\d)", "大于", text)
+        text = re.sub(r"<(?=\d)", "小于", text)
+        text = re.sub(r"(?<=\d)ml(?![a-zA-Z])", "毫升", text)
+        text = re.sub(r"([0-9.]+元)-([0-9.]+元)", r"\1至\2", text)
+        # temperature (quantifier.py RE_TEMPERATURE): -3°C -> 零下三度
+        text = re.sub(
+            r"(-?)(\d+(?:\.\d+)?)(°C|℃|摄氏度)",
+            lambda m: ("零下" if m.group(1) else "") + _number_to_zh(m.group(2)) + ("摄氏度" if m.group(3) == "摄氏度" else "度"),
+            text,
+        )
+        # currency
         text = re.sub(r"￥\s*(\d+(?:\.\d+)?)", lambda m: _number_to_zh(m.group(1)) + "元", text)
-        text = re.sub(r"\$\s*(\d+(?:\.\d+)?)", lambda m: _number_to_zh(m.group(1)) + "美元", text)
+        text = re.sub(r"\$\s*(\d+(?:\.\d+)?)(?=[一-鿿]|$|[，。！？,.!?])", lambda m: _number_to_zh(m.group(1)) + "美元", text)
+        # percent / fraction
         text = re.sub(r"(\d+(?:\.\d+)?)%", lambda m: "百分之" + _number_to_zh(m.group(1)), text)
+        text = re.sub(r"(\d+)/(\d+)(?=[一-鿿]|$|[，。！？])", lambda m: _number_to_zh(m.group(2)) + "分之" + _number_to_zh(m.group(1)), text)
+        # dates + times
         text = re.sub(
             r"(\d{4})年(\d{1,2})月(\d{1,2})[日号]",
             lambda m: _digits_to_zh(m.group(1)) + "年" + _number_to_zh(m.group(2)) + "月" + _number_to_zh(m.group(3)) + "日",
             text,
         )
-        text = re.sub(r"1[3-9]\d{9}", lambda m: _digits_to_zh(m.group(0)), text)
+        text = re.sub(
+            r"(\d{1,2}):(\d{2})(?!\d)",
+            lambda m: _number_to_zh(m.group(1)) + "点" + ("半" if m.group(2) == "30" else _number_to_zh(m.group(2)) + "分") if int(m.group(1)) < 24 else m.group(0),
+            text,
+        )
+        # score 2比1 (reference num.py RE_VS-style)
+        text = re.sub(r"(\d+)\s*比\s*(\d+)", lambda m: _number_to_zh(m.group(1)) + "比" + _number_to_zh(m.group(2)), text)
+        # ranges 5-8个 -> 五到八个
+        text = re.sub(
+            r"(\d+(?:\.\d+)?)[-~～](\d+(?:\.\d+)?)(?=[一-鿿])",
+            lambda m: _number_to_zh(m.group(1)) + "到" + _number_to_zh(m.group(2)),
+            text,
+        )
+        # phone (幺 reading, reference phonecode.py) + room numbers (address.py)
+        text = re.sub(r"1[3-9]\d{9}", lambda m: _digits_to_zh(m.group(0), alt_one=True), text)
+        text = re.sub(r"(\d{3,})(室|房间?号?)", lambda m: _digits_to_zh(m.group(1), alt_one=True) + m.group(2), text)
+        # ordinal 第3 -> 第三
+        text = re.sub(r"第(\d+)", lambda m: "第" + _int_to_zh(int(m.group(1))), text)
+        # English-context numbers
+        text = normalize_english_numbers(text)
+        # negative + plain numbers
+        text = re.sub(r"-(\d+(?:\.\d+)?)", lambda m: "负" + _number_to_zh(m.group(1)), text)
         text = re.sub(r"\d+(?:\.\d+)?", lambda m: _number_to_zh(m.group(0)), text)
         return text
 

@@ -32,7 +32,7 @@ class TestTextNorm:
         tn = TextNormalizer()
         assert tn("价格是￥35") == "价格是三十五元"
         assert tn("增长了12%") == "增长了百分之十二"
-        assert "一" in tn("电话13812345678")
+        assert "幺" in tn("电话13812345678")  # phone numbers read 1 as 幺 (reference alt_one)
         assert tn("共3个") == "共三个"
 
     def test_punct_mapping(self):
@@ -160,3 +160,49 @@ class TestStreamingPipeline:
         chunks = list(pipe.stream_threaded(iter(["你好。", "世界。"])))
         assert chunks[-1].is_last
         assert len([c for c in chunks if not c.is_last]) == 2
+
+
+class TestTextNormalizerFamilies:
+    """TN families per reference text_norm/utils (temperature, fraction, range,
+    phone 幺-reading, room numbers, ordinals, scores, en-numbers)."""
+
+    def setup_method(self):
+        from mingunivision_tpu.talker.sentence_manager import TextNormalizer
+
+        self.tn = TextNormalizer()
+
+    def test_temperature(self):
+        assert self.tn("今天-3°C。") == "今天零下三度。"
+        assert self.tn("水温25摄氏度") == "水温二十五摄氏度"
+
+    def test_fraction_and_percent(self):
+        assert self.tn("占3/4的") == "占四分之三的"
+        assert self.tn("涨了12.5%") == "涨了百分之十二点五"
+
+    def test_time_and_score(self):
+        assert self.tn("12:30开始") == "十二点半开始"
+        assert self.tn("9:05出发") == "九点五分出发"
+        assert self.tn("2比1获胜") == "二比一获胜"
+
+    def test_range_and_currency_range(self):
+        assert self.tn("需要5-8个") == "需要五到八个"
+        out = self.tn("价格30元-50元")
+        assert "至" in out and "三十元" in out
+
+    def test_phone_alt_one_and_room(self):
+        assert self.tn("电话13811111234") == "电话幺三八幺幺幺幺幺二三四"
+        assert self.tn("在201室") == "在二零幺室"
+
+    def test_ordinal_and_comma_numbers(self):
+        assert self.tn("第3名") == "第三名"
+        assert self.tn("共1,234人") == "共一千二百三十四人"
+
+    def test_units_and_compare(self):
+        assert self.tn("面积50㎡") == "面积五十平方米"
+        assert self.tn(">5次") == "大于五次"
+        assert self.tn("用量250ml") == "用量二百五十毫升"
+
+    def test_english_numbers(self):
+        assert self.tn("the 3rd time") == "the third time"
+        assert self.tn("costs $25 total") == "costs twenty five dollars total"
+        assert self.tn("has 42 items") == "has forty two items"
