@@ -184,6 +184,56 @@ def make_train_step(cfg: BailingMoeConfig, optimizer, accum_steps: int = 1):
     return train_step
 
 
+def mingtok_train_loss(
+    params,
+    cfg,
+    images,
+    teacher_features=None,
+    *,
+    pixel_weight: float = 1.0,
+    feature_weight: float = 1.0,
+    compute_dtype=jnp.bfloat16,
+):
+    """MingTok joint pretraining loss: pixel reconstruction + semantic
+    feature-distillation.
+
+    The reference trains MingTok with a pixel reconstruction objective
+    (vision_transformer.py:529-562) plus a semantic-distillation target (the
+    tech report's joint training; LPIPS hook :564-570 is a separate perceptual
+    term added via utils.feature_net). `teacher_features`: (B, N, feature_dim)
+    targets for x_norm_patchtokens (e.g. a frozen CLIP/DINO teacher); omitted ->
+    pixel-only.
+    """
+    from mingunivision_tpu.models.mingtok import (
+        expand_sem_to_pix_tokens,
+        mingtok_encode,
+        pixel_decoder_apply,
+        pixel_reconstruction_loss,
+    )
+    from mingunivision_tpu.ops.linear import dense
+
+    feats = mingtok_encode(params, cfg, images, compute_dtype=compute_dtype)
+    sem = feats["x_norm_patchtokens"].astype(jnp.float32)
+
+    # pixel decode from the semantic tokens (mingtok_pixel_decoder path, kept
+    # at the patch level for the loss)
+    ratio = cfg.semantic_decoder.patch_size // cfg.pixel_decoder.patch_size
+    pix_in = expand_sem_to_pix_tokens(dense(sem, params["sem_to_pix"]), ratio)
+    pred_patches = pixel_decoder_apply(params["pixel_decoder"], cfg.pixel_decoder, pix_in)
+
+    loss = jnp.float32(0.0)
+    metrics = {}
+    if pixel_weight:
+        pl = pixel_reconstruction_loss(pred_patches, images.astype(jnp.float32), cfg)
+        loss = loss + pixel_weight * pl
+        metrics["pixel_loss"] = pl
+    if teacher_features is not None and feature_weight:
+        fl = jnp.mean(jnp.square(sem - teacher_features.astype(jnp.float32)))
+        loss = loss + feature_weight * fl
+        metrics["feature_distill_loss"] = fl
+    return loss, metrics
+
+
 def make_image_gen_train_step(llm_cfg: BailingMoeConfig, rf_cfg: RFHeadConfig, optimizer):
     """Jitted image-gen train step over {llm, rf_head, vis_head, linear_proj}."""
 

@@ -165,3 +165,49 @@ class TestRFTraining:
         assert float(sched(0)) == 0.0
         assert abs(float(sched(10)) - 1e-3) < 1e-9
         assert float(sched(99)) < 3e-4
+
+
+class TestMingTokTraining:
+    def test_joint_loss_decreases(self):
+        import optax
+
+        from mingunivision_tpu.engine.train import mingtok_train_loss
+        from mingunivision_tpu.models.mingtok import init_mingtok_params
+        from tests.test_engine import tiny_mm
+
+        cfg = tiny_mm().mingtok
+        params = init_mingtok_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+        images = jnp.asarray(rng.uniform(-1, 1, (2, 3, 32, 32)), jnp.float32)
+        n_tok = (32 // cfg.encoder.patch_size) ** 2
+        teacher = jnp.asarray(rng.standard_normal((2, n_tok, cfg.feature_dim)), jnp.float32)
+
+        def loss_fn(p):
+            loss, metrics = mingtok_train_loss(p, cfg, images, teacher, compute_dtype=jnp.float32)
+            return loss
+
+        opt = optax.adam(1e-3)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(p, s):
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, s = opt.update(grads, s)
+            return optax.apply_updates(p, updates), s, loss
+
+        p, s, l0 = step(params, opt_state)
+        for _ in range(5):
+            p, s, l1 = step(p, s)
+        assert np.isfinite(float(l0)) and float(l1) < float(l0)
+
+    def test_pixel_only_mode(self):
+        from mingunivision_tpu.engine.train import mingtok_train_loss
+        from mingunivision_tpu.models.mingtok import init_mingtok_params
+        from tests.test_engine import tiny_mm
+
+        cfg = tiny_mm().mingtok
+        params = init_mingtok_params(jax.random.PRNGKey(1), cfg, dtype=jnp.float32)
+        images = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, (1, 3, 32, 32)), jnp.float32)
+        loss, metrics = mingtok_train_loss(params, cfg, images, None, compute_dtype=jnp.float32)
+        assert np.isfinite(float(loss))
+        assert "pixel_loss" in metrics and "feature_distill_loss" not in metrics
