@@ -61,3 +61,85 @@ def build_glm_attention_mask(seq_len: int, sep: int) -> List[List[int]]:
             if j < sep or j <= i:
                 mask[i][j] = 1
     return mask
+
+
+def build_inputs_for_generation(
+    input_ids: List[int],
+    *,
+    eos_token_id: int,
+    bos_token_id: int,
+    cls_token_id: int,
+    gmask_token_id: int,
+    add_bos_token: bool = False,
+    max_input_length: int = None,
+    left_truncate: bool = True,
+    max_output_length: int = 1024,
+    rotary_type: str = "none",
+    unidirectional_attention: bool = True,
+    window_size: int = 1024,
+):
+    """Full GLM-legacy generation-input builder
+    (tokenization_bailing.py:322-407 `_build_inputs_for_generation`):
+    truncation, left-padding detection, [CLS]/[gMASK] insertion for
+    bidirectional prefixes, bos handling, dual-plane position ids and the
+    prefix-bidirectional mask matrix.
+
+    Returns {"input_ids": List[int], "position_ids": [pos, block],
+    "attention_mask": (T, T) list-of-lists} — framework-free (callers wrap in
+    jnp/np as needed).
+    """
+    import numpy as np
+
+    input_ids = list(input_ids)
+    if max_input_length and len(input_ids) > max_input_length:
+        input_ids = input_ids[-max_input_length:] if left_truncate else input_ids[:max_input_length]
+
+    is_left_padding = input_ids[0] == eos_token_id
+    if not unidirectional_attention:
+        if input_ids[0] != cls_token_id:
+            input_ids = [cls_token_id] + input_ids
+        if gmask_token_id not in set(input_ids):
+            input_ids = input_ids + [gmask_token_id]
+        mask_pos = input_ids.index(gmask_token_id)
+        sep = len(input_ids)
+    else:
+        if add_bos_token:
+            input_ids = input_ids + [bos_token_id]
+            mask_pos = (input_ids.index(eos_token_id) - 1) if eos_token_id in input_ids else len(input_ids) - 1
+            sep = len(input_ids) - 1
+        else:
+            sep = len(input_ids)
+            if eos_token_id in input_ids:
+                if is_left_padding:
+                    rev = input_ids[::-1]
+                    mask_pos = max(0, rev.index(eos_token_id) - 1)
+                    mask_pos = sep - 1 - mask_pos  # first non-eos token
+                else:
+                    mask_pos = max(0, input_ids.index(eos_token_id) - 1)
+            else:
+                mask_pos = len(input_ids) - 1
+
+    position_ids = build_glm_position_ids(mask_pos, sep, max_output_length, rotary_type, window_size)
+    if is_left_padding:
+        position_ids[0] = [max(0, i - mask_pos) for i in range(len(position_ids[0]))]
+
+    total_length = sep + max_output_length + (1 if add_bos_token else 0)
+    sep_eff = sep + 1 if add_bos_token else sep
+
+    if unidirectional_attention:
+        attn = np.tril(np.ones((total_length, total_length), np.int64))
+        if is_left_padding:
+            attn[:, :mask_pos] = 0
+        else:
+            attn[:, mask_pos + 1 : sep_eff] = 0
+    else:
+        attn = np.zeros((total_length, total_length), np.int64)
+        attn[:, : mask_pos + 1] = 1
+        for i in range(sep_eff, total_length):
+            attn[i, sep_eff : i + 1] = 1
+
+    return {
+        "input_ids": input_ids,
+        "position_ids": position_ids,
+        "attention_mask": attn.tolist(),
+    }
