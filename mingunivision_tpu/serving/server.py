@@ -248,15 +248,24 @@ class InferenceServer:
                 payload = await request.json()
             except json.JSONDecodeError:
                 return web.json_response({"ret_code": int(RetCode.BAD_REQUEST)}, status=400)
-            resp = web.StreamResponse(headers={"Content-Type": "text/plain; charset=utf-8"})
+            sse = bool(payload.get("sse", False))
+            ctype = "text/event-stream" if sse else "text/plain; charset=utf-8"
+            resp = web.StreamResponse(headers={"Content-Type": ctype, "Cache-Control": "no-cache"})
             await resp.prepare(request)
+
+            def frame(piece: str, done: bool = False) -> bytes:
+                if not sse:
+                    return piece.encode()
+                event = {"text": piece, "done": done}
+                return f"data: {json.dumps(event, ensure_ascii=False)}\n\n".encode()
+
             loop = asyncio.get_running_loop()
             chunk = int(payload.get("stream_chunk_tokens", 16))
             total = int(payload.get("max_new_tokens", 512))
             first = dict(payload)
             first["max_new_tokens"] = min(chunk, total)
             result = await loop.run_in_executor(self.executor, self._run_generate, first)
-            await resp.write(result["text"].encode())
+            await resp.write(frame(result["text"]))
             eos = self.infer.config.llm.eos_token_id
             emitted = chunk
             # bind this stream's session: interleaved requests may swap
@@ -277,10 +286,12 @@ class InferenceServer:
                     self.executor, _continue, min(chunk, total - emitted)
                 )
                 if piece:
-                    await resp.write(piece.encode())
+                    await resp.write(frame(piece))
                 emitted += chunk
                 if done:
                     break
+            if sse:
+                await resp.write(frame("", done=True))
             await resp.write_eof()
             return resp
 

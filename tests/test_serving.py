@@ -137,3 +137,35 @@ def test_generate_batch_endpoint(tiny_infer):
 
     asyncio.run(run())
     srv.batch_worker.stop()
+
+
+def test_generate_stream_sse(tiny_infer):
+    """SSE framing: data: {json}\\n\\n events with a done flag."""
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from mingunivision_tpu.serving.server import InferenceServer
+
+    srv = InferenceServer(tiny_infer)
+    app = srv.build_app()
+
+    async def run():
+        async with TestClient(TestServer(app)) as client:
+            r = await client.post(
+                "/generate_stream",
+                json={
+                    "messages": [{"role": "HUMAN", "content": [{"type": "text", "text": "hi"}]}],
+                    "max_new_tokens": 8,
+                    "stream_chunk_tokens": 4,
+                    "sse": True,
+                    "reset": True,
+                },
+            )
+            assert r.status == 200
+            assert r.headers["Content-Type"].startswith("text/event-stream")
+            body = (await r.read()).decode()
+            events = [json.loads(line[len("data: "):]) for line in body.splitlines() if line.startswith("data: ")]
+            assert events, body
+            assert all("text" in e and "done" in e for e in events)
+            assert events[-1]["done"] is True
+
+    asyncio.run(run())
