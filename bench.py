@@ -95,9 +95,9 @@ if __name__ == "__main__":
     assert jax.default_backend() == "tpu", f"expected TPU backend, got {jax.default_backend()}"
     ips = bench_mingtok_recon()
     extra = {}
-    # T2I tiers, best first: full-depth int8 single-chip; else the round-1
-    # 8-layer bf16 proxy (BENCHMARKS.md:89 extrapolation basis)
-    for layers, bits, tag in ((28, 8, "int8_28layer"), (8, 16, "bf16_8layer_proxy")):
+    # T2I tiers, best first: full-depth int4-LLM single-chip (int8 16B weighs
+    # ~16.4 GB and exceeds v5e HBM); else the 8-layer bf16 proxy
+    for layers, bits, tag in ((28, 4, "int4llm_28layer"), (8, 16, "bf16_8layer_proxy")):
         try:
             ms = bench_t2i_per_token(layers=layers, bits=bits)
             extra = {
