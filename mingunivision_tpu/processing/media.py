@@ -225,3 +225,36 @@ def process_vision_info(conversations: List[dict], num_video_frames: int = 8):
                     reader = VideoReader()
                 videos.append(reader.load(c["video"], num_frames=num_video_frames))
     return (images or None), (videos or None)
+
+
+def select_frames_by_relevance(frames: np.ndarray, num_keep: int, query: Optional[str] = None, scorer=None) -> np.ndarray:
+    """Query-adaptive frame selection (reference bailingmm_utils.py:307-360
+    `select_frames_based_on_query`, which delegates to an EXTERNAL LongVU
+    cross-modal model that is not shipped — "can also be replaced with other
+    text/visual encoders").
+
+    `scorer(frames, query) -> (T,) relevance scores` plugs any cross-modal
+    model in; the built-in fallback scores content CHANGE (mean abs frame
+    difference) so static stretches collapse and visually distinct moments
+    survive — query-agnostic but checkpoint-free.
+
+    frames: (T, H, W, 3) uint8. Returns sorted indices of the kept frames.
+    """
+    T = frames.shape[0]
+    if num_keep >= T:
+        return np.arange(T)
+    if scorer is not None:
+        scores = np.asarray(scorer(frames, query), np.float64)
+    else:
+        f = frames.astype(np.float32) / 255.0
+        diff = np.abs(np.diff(f, axis=0)).mean(axis=(1, 2, 3))
+        scores = np.concatenate([[diff[0] if len(diff) else 1.0], diff])
+    # always keep the first frame; then highest-relevance others
+    order = np.argsort(-scores)
+    keep = [0]
+    for i in order:
+        if len(keep) >= num_keep:
+            break
+        if i not in keep:
+            keep.append(int(i))
+    return np.sort(np.asarray(keep))

@@ -164,3 +164,28 @@ class TestGlmLegacy:
         m = build_glm_attention_mask(5, sep=3)
         assert m[0][:3] == [1, 1, 1] and m[0][3:] == [0, 0]  # prefix bidirectional
         assert m[4] == [1, 1, 1, 1, 1]
+
+
+class TestAdaptiveFrameSelection:
+    def test_content_change_fallback(self):
+        import numpy as np
+
+        from mingunivision_tpu.processing.media import select_frames_by_relevance
+
+        T, H, W = 10, 8, 8
+        frames = np.zeros((T, H, W, 3), np.uint8)
+        frames[5:] = 200  # one big scene cut at frame 5
+        keep = select_frames_by_relevance(frames, num_keep=3)
+        assert len(keep) == 3 and keep[0] == 0
+        assert 5 in keep  # the cut frame is the most relevant
+
+    def test_custom_scorer_and_passthrough(self):
+        import numpy as np
+
+        from mingunivision_tpu.processing.media import select_frames_by_relevance
+
+        frames = np.zeros((6, 4, 4, 3), np.uint8)
+        keep = select_frames_by_relevance(frames, num_keep=2, query="q", scorer=lambda f, q: [0, 0, 9, 0, 8, 0])
+        assert list(keep) == [0, 2]
+        # num_keep >= T passes everything through
+        assert list(select_frames_by_relevance(frames, num_keep=10)) == list(range(6))
