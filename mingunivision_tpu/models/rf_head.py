@@ -111,18 +111,27 @@ def precompute_modulations(params, cfg: RFHeadConfig, ts, z):
 def rf_net_apply_premod(params, cfg: RFHeadConfig, x, block_mods_i, final_mods_i):
     """Velocity field with precomputed per-step modulations.
 
-    x: (B, C); block_mods_i: (depth, B, 3w); final_mods_i: (B, 2w)."""
+    x: (B, C); block_mods_i: (depth, B, 3w); final_mods_i: (B, 2w).
+
+    int8-quantized res_blocks on TPU take the fused Pallas MLP-stack kernel
+    (one call per Euler step; int8 weights cross HBM once, scales/biases and
+    the AdaLN modulate/residual applied in-register)."""
     h = dense(x, params["input_proj"])
 
-    def body(carry, inp):
-        hx = carry
-        blk, mod = inp
-        shift, scale, gate = jnp.split(mod.astype(hx.dtype), 3, axis=-1)
-        hh = _modulate(layer_norm(hx, blk["in_ln"]["w"], blk["in_ln"]["b"], eps=cfg.ln_eps), shift, scale)
-        hh = dense(swiglu(dense(hh, blk["mlp"]["w12"])), blk["mlp"]["w3"])
-        return hx + gate * hh, None
+    from mingunivision_tpu.ops.kernels.rf_mlp import rf_mlp_stack, rf_mlp_supported
 
-    h, _ = lax.scan(body, h, (params["res_blocks"], block_mods_i))
+    if jax.default_backend() == "tpu" and rf_mlp_supported(params["res_blocks"]):
+        h = rf_mlp_stack(params["res_blocks"], h, block_mods_i, ln_eps=cfg.ln_eps)
+    else:
+        def body(carry, inp):
+            hx = carry
+            blk, mod = inp
+            shift, scale, gate = jnp.split(mod.astype(hx.dtype), 3, axis=-1)
+            hh = _modulate(layer_norm(hx, blk["in_ln"]["w"], blk["in_ln"]["b"], eps=cfg.ln_eps), shift, scale)
+            hh = dense(swiglu(dense(hh, blk["mlp"]["w12"])), blk["mlp"]["w3"])
+            return hx + gate * hh, None
+
+        h, _ = lax.scan(body, h, (params["res_blocks"], block_mods_i))
     shift, scale = jnp.split(final_mods_i.astype(h.dtype), 2, axis=-1)
     h = _modulate(layer_norm(h, eps=cfg.ln_eps), shift, scale)
     return dense(h, params["final_layer"]["linear"])

@@ -1,0 +1,207 @@
+"""Fused rectified-flow MLP-stack kernel (int8, dequant-fused).
+
+The RF head dominates single-chip T2I: 16 Euler steps each stream ~1 GB of
+int8 MLP weights (12 AdaLN-SwiGLU ResBlocks at width 3072 / hidden 8192 —
+reference SimpleMLPAdaLN, diff_loss_rf_swiglu.py:295-385). The XLA premod path
+measured 25.7 ms/token (~1.5x the HBM roofline); this kernel runs ONE pallas
+call per Euler step covering all 12 blocks:
+
+  grid = (block, hidden-chunk). Per block: at chunk 0 the running activation
+  (VMEM scratch, carried across the whole grid) is layer-normed and
+  AdaLN-modulated with the PRECOMPUTED (shift, scale, gate) rows
+  (rf_head.precompute_modulations); each chunk streams the int8 w12 gate/up
+  column tiles + the w3 row tile, computes silu(x@w1+b1)*(x@w2+b2) @ w3 with
+  the per-output-channel scales applied to the matmul RESULTS, and accumulates
+  into an fp32 scratch; at the last chunk the gated residual updates the
+  running activation. Weights cross HBM exactly once per step at int8 width.
+
+The same array is passed twice with different index maps to read the gate and
+up halves of the fused w12 table — no repacking of the checkpoint layout.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+
+    PALLAS_TPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    PALLAS_TPU = False
+
+
+def _kernel(
+    x_ref,  # (Np, w) input activations
+    lnw_ref,  # (1, w)
+    lnb_ref,  # (1, w)
+    q1_ref,  # (1, w, CH) int8 — w12 gate columns
+    s1_ref,  # (1, 1, CH)
+    b1_ref,  # (1, 1, CH)
+    q2_ref,  # (1, w, CH) int8 — w12 up columns
+    s2_ref,
+    b2_ref,
+    q3_ref,  # (1, CH, w) int8 — w3 rows
+    s3_ref,  # (1, 1, w)
+    b3_ref,  # (1, 1, w)
+    mods_ref,  # (1, Np, 3w) f32 premod rows
+    o_ref,  # (Np, w)
+    xcur_ref,  # VMEM f32 scratch: running activation
+    xs_ref,  # VMEM scratch: modulated input (compute dtype)
+    acc_ref,  # VMEM f32 scratch: block output accumulator
+    *,
+    ln_eps: float,
+    compute_dtype,
+):
+    l = pl.program_id(0)
+    c = pl.program_id(1)
+    w = x_ref.shape[-1]
+
+    @pl.when((l == 0) & (c == 0))
+    def _load_x():
+        xcur_ref[...] = x_ref[...].astype(jnp.float32)
+
+    @pl.when(c == 0)
+    def _modulate():
+        x = xcur_ref[...]
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+        ln = (x - mu) * jax.lax.rsqrt(var + ln_eps)
+        ln = ln * lnw_ref[0][None, :] + lnb_ref[0][None, :]
+        mods = mods_ref[0]  # (Np, 3w)
+        shift = mods[:, :w]
+        scale = mods[:, w : 2 * w]
+        xs_ref[...] = (ln * (1.0 + scale) + shift).astype(xs_ref.dtype)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    xs = xs_ref[...]
+    w1 = q1_ref[...].reshape(q1_ref.shape[-2], q1_ref.shape[-1]).astype(compute_dtype)
+    w2 = q2_ref[...].reshape(q2_ref.shape[-2], q2_ref.shape[-1]).astype(compute_dtype)
+    g = jax.lax.dot_general(xs, w1, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    u = jax.lax.dot_general(xs, w2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    g = g * s1_ref[...].reshape(-1)[None, :] + b1_ref[...].reshape(-1)[None, :]
+    u = u * s2_ref[...].reshape(-1)[None, :] + b2_ref[...].reshape(-1)[None, :]
+    h = (jax.nn.silu(g) * u).astype(compute_dtype)  # (Np, CH)
+    w3 = q3_ref[...].reshape(q3_ref.shape[-2], q3_ref.shape[-1]).astype(compute_dtype)
+    po = jax.lax.dot_general(h, w3, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    acc_ref[...] += po * s3_ref[...].reshape(-1)[None, :]
+
+    @pl.when(c == pl.num_programs(1) - 1)
+    def _residual():
+        mods = mods_ref[0]
+        gate = mods[:, 2 * w :]
+        # w3 bias is added ONCE per block (not per chunk)
+        xcur_ref[...] += gate * (acc_ref[...] + b3_ref[...].reshape(-1)[None, :])
+
+        @pl.when(l == pl.num_programs(0) - 1)
+        def _flush():
+            o_ref[...] = xcur_ref[...].astype(o_ref.dtype)
+
+
+def rf_mlp_supported(blocks) -> bool:
+    """int8-quantized w12/w3 with 128-aligned dims."""
+    from mingunivision_tpu.utils.quantize import QuantizedArray
+
+    w12 = blocks["mlp"]["w12"]["w"]
+    w3 = blocks["mlp"]["w3"]["w"]
+    if not (isinstance(w12, QuantizedArray) and w12.bits == 8 and isinstance(w3, QuantizedArray) and w3.bits == 8):
+        return False
+    L, w, h2 = w12.q.shape
+    H = h2 // 2
+    return PALLAS_TPU and w % 128 == 0 and H % 128 == 0
+
+
+def rf_mlp_stack(blocks, x, mods, *, ln_eps: float = 1e-6, chunk: int = 4096, interpret: bool = False):
+    """Run the full ResBlock stack for one Euler step.
+
+    blocks: depth-stacked res_blocks params (in_ln{w,b}, mlp{w12,w3} int8);
+    x: (B, w); mods: (L, B, 3w) precomputed AdaLN rows. Returns (B, w).
+    """
+    w12 = blocks["mlp"]["w12"]["w"]
+    w3 = blocks["mlp"]["w3"]["w"]
+    b12 = blocks["mlp"]["w12"]["b"]  # (L, 2H)
+    b3 = blocks["mlp"]["w3"]["b"]  # (L, w)
+    L, w, h2 = w12.q.shape
+    H = h2 // 2
+    CH = min(chunk, H)
+    while H % CH:
+        CH //= 2
+    HC = H // CH
+
+    B = x.shape[0]
+    Np = max(8, -(-B // 8) * 8)
+    xp = jnp.zeros((Np, w), x.dtype).at[:B].set(x)
+    mods_p = jnp.zeros((L, Np, 3 * w), jnp.float32).at[:, :B].set(mods.astype(jnp.float32))
+    s12 = w12.s.astype(jnp.float32)  # (L, 1, 2H)
+    s3 = w3.s.astype(jnp.float32)  # (L, 1, w)
+    b12r = b12.astype(jnp.float32).reshape(L, 1, h2)
+    b3r = b3.astype(jnp.float32).reshape(L, 1, w)
+
+    def ws(spec_cols_up: bool):
+        off = HC if spec_cols_up else 0
+        return pl.BlockSpec((1, w, CH), lambda l, c: (l, 0, off + c))
+
+    def srow(spec_cols_up: bool, width=CH):
+        off = HC if spec_cols_up else 0
+        return pl.BlockSpec((1, 1, width), lambda l, c: (l, 0, off + c))
+
+    kernel = functools.partial(_kernel, ln_eps=ln_eps, compute_dtype=x.dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(L, HC),
+        in_specs=[
+            pl.BlockSpec((Np, w), lambda l, c: (0, 0)),
+            pl.BlockSpec((1, w), lambda l, c: (l, 0)),
+            pl.BlockSpec((1, w), lambda l, c: (l, 0)),
+            ws(False),
+            srow(False),
+            srow(False),
+            ws(True),
+            srow(True),
+            srow(True),
+            pl.BlockSpec((1, CH, w), lambda l, c: (l, c, 0)),
+            pl.BlockSpec((1, 1, w), lambda l, c: (l, 0, 0)),
+            pl.BlockSpec((1, 1, w), lambda l, c: (l, 0, 0)),
+            pl.BlockSpec((1, Np, 3 * w), lambda l, c: (l, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((Np, w), lambda l, c: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((Np, w), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((Np, w), jnp.float32),
+            pltpu.VMEM((Np, w), x.dtype),
+            pltpu.VMEM((Np, w), jnp.float32),
+        ]
+        if PALLAS_TPU
+        else [],
+        interpret=interpret,
+        **(
+            {
+                "compiler_params": pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary", "arbitrary"),
+                    vmem_limit_bytes=110 * 1024 * 1024,
+                )
+            }
+            if (PALLAS_TPU and not interpret)
+            else {}
+        ),
+    )(
+        xp,
+        blocks["in_ln"]["w"].astype(jnp.float32),
+        blocks["in_ln"]["b"].astype(jnp.float32),
+        w12.q,
+        s12,
+        b12r,
+        w12.q,
+        s12,
+        b12r,
+        w3.q,
+        s3,
+        b3r,
+        mods_p,
+    )
+    return out[:B]

@@ -13,6 +13,7 @@ interchangeable everywhere (models, engine, sharding).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -148,6 +149,13 @@ def quantize_tree(params, bits: int = 8, min_size: int = _QUANT_MIN_SIZE):
     return jax.tree_util.tree_map_with_path(visit, params)
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def _gen_u8(key, shape):
+    # jitted so the threefry u32 intermediates fuse into the store — the eager
+    # path materializes ~4x the output (OOMs depth-stacked int8 tables)
+    return jax.random.bits(key, shape, jnp.uint8)
+
+
 def random_quantized_like(key, params, bits: int = 8, min_size: int = _QUANT_MIN_SIZE):
     """Create random QUANTIZED params with the same tree/shape structure as
     `params` directly on the default device — no full-precision intermediate and
@@ -185,11 +193,9 @@ def random_quantized_like(key, params, bits: int = 8, min_size: int = _QUANT_MIN
         if b == 4:
             qshape = list(x.shape)
             qshape[ax] //= 2
-            # random.bits generates uint8 directly — a randint would materialize
-            # an int32 temp 4x the table (OOMs 28-layer int4 init on one chip)
-            q = jax.random.bits(k, tuple(qshape), jnp.uint8)
+            q = _gen_u8(k, tuple(qshape))
         else:
-            q = jax.random.bits(k, tuple(x.shape), jnp.uint8).astype(jnp.int8)
+            q = _gen_u8(k, tuple(x.shape)).astype(jnp.int8)
         return QuantizedArray(q, s, b)
 
     shapes = jax.eval_shape(lambda: params) if callable(params) else params

@@ -244,3 +244,53 @@ class TestMoEStreamStacked:
         want = np.asarray(moe_experts_gather(sliced, x, idx, w))
         got = np.asarray(moe_experts_stream(stacked, x, idx, w, layer_idx=jnp.int32(li), interpret=True))
         np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+class TestRFMLPStack:
+    def test_matches_xla_premod_path(self):
+        """Fused RF block-stack kernel == the scanned XLA premod path on the
+        same int8 tables (fp32 activations, interpret mode)."""
+        from mingunivision_tpu.config import RFHeadConfig
+        from mingunivision_tpu.models.rf_head import (
+            init_rf_head_params,
+            precompute_modulations,
+        )
+        from mingunivision_tpu.ops.activations import swiglu
+        from mingunivision_tpu.ops.kernels.rf_mlp import rf_mlp_stack, rf_mlp_supported
+        from mingunivision_tpu.ops.linear import dense
+        from mingunivision_tpu.ops.norms import layer_norm
+        from mingunivision_tpu.utils.quantize import quantize_tree
+
+        cfg = RFHeadConfig(target_channels=8, z_channels=32, width=128, depth=3, mlp_mult=3, num_sampling_steps=2)  # hidden=256 (128-aligned)
+        params = init_rf_head_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        # make adaLN non-zero so the modulations actually do something
+        params["res_blocks"]["adaLN"]["w"] = 0.1 * jax.random.normal(
+            jax.random.PRNGKey(1), params["res_blocks"]["adaLN"]["w"].shape, jnp.float32
+        )
+        qparams = dict(params)
+        qparams["res_blocks"] = quantize_tree(params["res_blocks"], bits=8, min_size=1024)
+        blocks = qparams["res_blocks"]
+        assert rf_mlp_supported(blocks)
+
+        B = 3
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((B, cfg.width)), jnp.float32)
+        z = jnp.asarray(rng.standard_normal((B, cfg.z_channels)), jnp.float32)
+        ts = jnp.asarray([0.7], jnp.float32)
+        block_mods, _ = precompute_modulations(qparams, cfg, ts, z)
+        mods = block_mods[:, 0]  # (depth, B, 3w)
+
+        # XLA oracle on the SAME quantized tables
+        def xla_stack(h):
+            for l in range(cfg.depth):
+                blk = jax.tree_util.tree_map(lambda a: a[l], blocks)
+                shift, scale, gate = jnp.split(mods[l].astype(h.dtype), 3, axis=-1)
+                hh = layer_norm(h, blk["in_ln"]["w"], blk["in_ln"]["b"], eps=cfg.ln_eps)
+                hh = hh * (1 + scale) + shift
+                hh = dense(swiglu(dense(hh, blk["mlp"]["w12"])), blk["mlp"]["w3"])
+                h = h + gate * hh
+            return h
+
+        want = np.asarray(xla_stack(x))
+        got = np.asarray(rf_mlp_stack(blocks, x, mods, ln_eps=cfg.ln_eps, chunk=128, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
