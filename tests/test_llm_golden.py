@@ -229,6 +229,9 @@ class TestFullWidthLayerParity:
         cfg = BailingMoeConfig(
             vocab_size=1024,  # embeddings are irrelevant — layer-level test
             num_hidden_layers=1,
+            # the numerics VERDICT flagged live in hidden width 2048 and the
+            # 64-expert fp32 router; a narrower expert FFN keeps the suite fast
+            moe_intermediate_size=512,
         )
         ref_cfg = mbm.BailingMoeConfig(
             vocab_size=cfg.vocab_size,
