@@ -48,6 +48,14 @@ class MingUniVisionInfer:
         self.config = config or MingUniVisionConfig()
         self.runtime = runtime or RuntimeConfig()
         self.mesh = mesh
+        if mesh is not None and mesh.shape.get("expert", 1) * mesh.shape.get("model", 1) > 1:
+            import dataclasses
+
+            # sharded expert tables: dispatch masked-dense (GSPMD-partitioned)
+            # instead of the Pallas stream kernel (would imply an all-gather)
+            self.config = dataclasses.replace(
+                self.config, llm=dataclasses.replace(self.config.llm, expert_tables_sharded=True)
+            )
         if params is None:
             if model_path is None:
                 raise ValueError("need model_path or params")

@@ -204,6 +204,10 @@ class BailingMoeConfig(_JsonMixin):
     image_start_token: int = 126347
     video_start_token: int = 126349
     num_image_tokens_for_gen: int = 256
+    # set True when serving with expert/model-sharded tables (api.py does):
+    # the Pallas stream kernel would force GSPMD to all-gather the tables, so
+    # sharded decode dispatches masked-dense (partitioned + psum'd by GSPMD)
+    expert_tables_sharded: bool = False
 
     @property
     def num_kv_groups(self) -> int:

@@ -257,7 +257,7 @@ def moe_block_apply(params, cfg: BailingMoeConfig, x, image_mask=None, audio_mas
         # full-slab scalar-prefetch gather (4.2 ms) are DMA-latency bound.
         from mingunivision_tpu.ops.kernels.moe_stream import moe_experts_stream, stream_supported
 
-        if on_tpu and stream_supported(probe, x_flat, topk_idx):
+        if on_tpu and not cfg.expert_tables_sharded and stream_supported(probe, x_flat, topk_idx):
             if experts_stacked is not None:
                 y = moe_experts_stream(experts_stacked, x_flat, topk_idx, topk_w, layer_idx=layer_idx)
             else:

@@ -38,8 +38,8 @@ except Exception:  # pragma: no cover
 
 def _kernel(
     x_ref,  # (Np, w) input activations
-    lnw_ref,  # (1, w)
-    lnb_ref,  # (1, w)
+    lnw_ref,  # (1, 1, w)
+    lnb_ref,  # (1, 1, w)
     q1_ref,  # (1, w, CH) int8 — w12 gate columns
     s1_ref,  # (1, 1, CH)
     b1_ref,  # (1, 1, CH)
@@ -72,7 +72,7 @@ def _kernel(
         mu = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
         ln = (x - mu) * jax.lax.rsqrt(var + ln_eps)
-        ln = ln * lnw_ref[0][None, :] + lnb_ref[0][None, :]
+        ln = ln * lnw_ref[...].reshape(-1)[None, :] + lnb_ref[...].reshape(-1)[None, :]
         mods = mods_ref[0]  # (Np, 3w)
         shift = mods[:, :w]
         scale = mods[:, w : 2 * w]
@@ -156,8 +156,10 @@ def rf_mlp_stack(blocks, x, mods, *, ln_eps: float = 1e-6, chunk: int = 4096, in
         grid=(L, HC),
         in_specs=[
             pl.BlockSpec((Np, w), lambda l, c: (0, 0)),
-            pl.BlockSpec((1, w), lambda l, c: (l, 0)),
-            pl.BlockSpec((1, w), lambda l, c: (l, 0)),
+            # (L, 1, w) with a singleton middle axis: a (1, w) block of an
+            # (L, w) array is TPU-illegal (sublane dim 1 != full L)
+            pl.BlockSpec((1, 1, w), lambda l, c: (l, 0, 0)),
+            pl.BlockSpec((1, 1, w), lambda l, c: (l, 0, 0)),
             ws(False),
             srow(False),
             srow(False),
@@ -191,8 +193,8 @@ def rf_mlp_stack(blocks, x, mods, *, ln_eps: float = 1e-6, chunk: int = 4096, in
         ),
     )(
         xp,
-        blocks["in_ln"]["w"].astype(jnp.float32),
-        blocks["in_ln"]["b"].astype(jnp.float32),
+        blocks["in_ln"]["w"].astype(jnp.float32).reshape(L, 1, w),
+        blocks["in_ln"]["b"].astype(jnp.float32).reshape(L, 1, w),
         w12.q,
         s12,
         b12r,
