@@ -192,3 +192,95 @@ def normalize_images_chw(batch_hwc: np.ndarray, mean=(0.5, 0.5, 0.5), std=(0.5, 
     x = batch_hwc.astype(np.float32) / 255.0
     x = (x - np.asarray(mean)) / np.asarray(std)
     return np.transpose(x, (0, 3, 1, 2)).astype(np.float32)
+
+
+class PrefetchQueue:
+    """Background-threaded image normalize pipeline (native worker threads).
+
+    `submit(batch_hwc)` copies the uint8 batch into the native queue and
+    returns a ticket; workers convert to normalized fp32 CHW off the Python
+    thread; `get()` pops a completed batch (ticket, array). Python-level
+    fallback (no native lib): synchronous conversion.
+    """
+
+    def __init__(self, num_threads: int = 0, mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5)):
+        self._lib = load_native()
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+        self._next_ticket = 0
+        self._shapes = {}
+        if self._lib is not None:
+            self._lib.pq_create.restype = ctypes.c_void_p
+            self._lib.pq_create.argtypes = [ctypes.c_int]
+            self._lib.pq_submit.argtypes = [
+                ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p,
+                ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
+                ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            self._lib.pq_pop.argtypes = [
+                ctypes.c_void_p, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+                ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+                ctypes.c_void_p, ctypes.c_uint64,
+            ]
+            self._lib.pq_destroy.argtypes = [ctypes.c_void_p]
+            self._q = self._lib.pq_create(num_threads)
+            self._fallback = None
+        else:  # pure-python fallback
+            self._q = None
+            self._fallback = []
+
+    def submit(self, batch_hwc: np.ndarray) -> int:
+        batch_hwc = np.ascontiguousarray(batch_hwc, np.uint8)
+        assert batch_hwc.ndim == 4 and batch_hwc.shape[-1] == 3, batch_hwc.shape
+        t = self._next_ticket
+        self._next_ticket += 1
+        b, h, w, _ = batch_hwc.shape
+        self._shapes[t] = (b, h, w)
+        if self._q is None:
+            out = ((batch_hwc.astype(np.float32) / 255.0 - self.mean) / self.std).transpose(0, 3, 1, 2)
+            self._fallback.append((t, np.ascontiguousarray(out)))
+            return t
+        rc = self._lib.pq_submit(
+            self._q, t, batch_hwc.ctypes.data_as(ctypes.c_void_p), b, h, w,
+            self.mean.ctypes.data_as(ctypes.c_void_p), self.std.ctypes.data_as(ctypes.c_void_p),
+        )
+        if rc != 0:
+            raise RuntimeError(f"pq_submit failed rc={rc}")
+        return t
+
+    def get(self, block: bool = True):
+        """-> (ticket, (B, 3, H, W) fp32 array) or None when idle/empty."""
+        if self._q is None:
+            return self._fallback.pop(0) if self._fallback else None
+        # capacity: largest outstanding shape
+        if not self._shapes:
+            return None
+        cap = max(b * 3 * h * w for b, h, w in self._shapes.values())
+        dest = np.empty((cap,), np.float32)
+        t = ctypes.c_uint64()
+        b = ctypes.c_uint64()
+        h = ctypes.c_uint64()
+        w = ctypes.c_uint64()
+        rc = self._lib.pq_pop(
+            self._q, 1 if block else 0, ctypes.byref(t), ctypes.byref(b), ctypes.byref(h),
+            ctypes.byref(w), dest.ctypes.data_as(ctypes.c_void_p), cap,
+        )
+        if rc <= 0:
+            return None
+        ticket = int(t.value)
+        self._shapes.pop(ticket, None)
+        shape = (int(b.value), 3, int(h.value), int(w.value))
+        n = shape[0] * 3 * shape[2] * shape[3]
+        return ticket, dest[:n].reshape(shape).copy()
+
+    def close(self):
+        if self._q is not None and self._lib is not None:
+            self._lib.pq_destroy(self._q)
+            self._q = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

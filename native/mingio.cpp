@@ -16,10 +16,14 @@
 // Exposed as a plain C ABI consumed via ctypes (no pybind11 in this image).
 // Build: make -C native   (produces libmingio.so)
 
+#include <algorithm>
 #include <atomic>
+#include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#include <deque>
 #include <fcntl.h>
+#include <mutex>
 #include <sys/mman.h>
 #include <sys/stat.h>
 #include <thread>
@@ -181,6 +185,126 @@ int img_normalize_chw(const uint8_t* src, uint64_t batch, uint64_t height, uint6
   return 0;
 }
 
-int mingio_version() { return 1; }
+// ---------------------------------------------------------------------------
+// prefetch queue: background-threaded image decode+normalize pipeline
+// (the data-loader feeding the chip runs off the Python thread; ROADMAP P2)
+// ---------------------------------------------------------------------------
+
+struct PrefetchJob {
+  uint64_t ticket;
+  std::vector<uint8_t> src;  // owned copy of the HWC batch
+  uint64_t batch, height, width;
+  float mean[3], stdv[3];
+  std::vector<float> out;  // filled by a worker
+};
+
+struct PrefetchQueue {
+  std::mutex mu;
+  std::condition_variable cv_in;   // workers wait for jobs
+  std::condition_variable cv_out;  // consumers wait for results
+  std::deque<PrefetchJob*> pending;
+  std::deque<PrefetchJob*> done;
+  std::vector<std::thread> workers;
+  int in_flight = 0;  // submitted, not yet popped
+  bool stop = false;
+
+  explicit PrefetchQueue(int num_threads) {
+    int nt = num_threads > 0 ? num_threads : std::max(1, hw_threads() / 2);
+    for (int t = 0; t < nt; ++t) {
+      workers.emplace_back([this]() { worker_loop(); });
+    }
+  }
+
+  void worker_loop() {
+    for (;;) {
+      PrefetchJob* job = nullptr;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_in.wait(lk, [&] { return stop || !pending.empty(); });
+        if (stop && pending.empty()) return;
+        job = pending.front();
+        pending.pop_front();
+      }
+      job->out.resize(job->batch * 3 * job->height * job->width);
+      img_normalize_chw(job->src.data(), job->batch, job->height, job->width, job->mean,
+                        job->stdv, job->out.data(), 1);
+      job->src.clear();
+      job->src.shrink_to_fit();
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        done.push_back(job);
+      }
+      cv_out.notify_all();
+    }
+  }
+
+  ~PrefetchQueue() {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      stop = true;
+    }
+    cv_in.notify_all();
+    for (auto& th : workers) th.join();
+    for (auto* j : pending) delete j;
+    for (auto* j : done) delete j;
+  }
+};
+
+void* pq_create(int num_threads) { return new PrefetchQueue(num_threads); }
+
+void pq_destroy(void* q) { delete static_cast<PrefetchQueue*>(q); }
+
+int pq_submit(void* qh, uint64_t ticket, const uint8_t* src, uint64_t batch, uint64_t height,
+              uint64_t width, const float* mean, const float* stdv) {
+  if (!qh || !src) return -1;
+  auto* q = static_cast<PrefetchQueue*>(qh);
+  auto* job = new PrefetchJob();
+  job->ticket = ticket;
+  job->batch = batch;
+  job->height = height;
+  job->width = width;
+  std::memcpy(job->mean, mean, sizeof(job->mean));
+  std::memcpy(job->stdv, stdv, sizeof(job->stdv));
+  job->src.assign(src, src + batch * height * width * 3);
+  {
+    std::lock_guard<std::mutex> lk(q->mu);
+    q->pending.push_back(job);
+    ++q->in_flight;
+  }
+  q->cv_in.notify_one();
+  return 0;
+}
+
+// Pop ANY completed job. Blocks when `block` != 0 and work is in flight.
+// Returns 1 and fills (ticket, batch, height, width) + copies the floats into
+// dest (must hold batch*3*h*w floats; pass dest_capacity to guard); 0 when
+// nothing is ready; -1 when the queue is empty and idle.
+int pq_pop(void* qh, int block, uint64_t* ticket, uint64_t* batch, uint64_t* height,
+           uint64_t* width, float* dest, uint64_t dest_capacity) {
+  if (!qh) return -1;
+  auto* q = static_cast<PrefetchQueue*>(qh);
+  std::unique_lock<std::mutex> lk(q->mu);
+  if (q->done.empty() && q->in_flight == 0) return -1;
+  if (block) {
+    q->cv_out.wait(lk, [&] { return !q->done.empty(); });
+  } else if (q->done.empty()) {
+    return 0;
+  }
+  PrefetchJob* job = q->done.front();
+  uint64_t n = job->batch * 3 * job->height * job->width;
+  if (n > dest_capacity) return -2;
+  q->done.pop_front();
+  --q->in_flight;
+  lk.unlock();
+  *ticket = job->ticket;
+  *batch = job->batch;
+  *height = job->height;
+  *width = job->width;
+  std::memcpy(dest, job->out.data(), n * sizeof(float));
+  delete job;
+  return 1;
+}
+
+int mingio_version() { return 2; }
 
 }  // extern "C"

@@ -28,7 +28,7 @@ class TestNativeBuild:
     def test_library_builds_and_loads(self):
         lib = load_native()
         assert lib is not None, "libmingio.so failed to build (g++ expected in image)"
-        assert lib.mingio_version() == 1
+        assert lib.mingio_version() >= 2
 
 
 class TestSafetensorsFile:
@@ -76,3 +76,25 @@ class TestImageNormalize:
         got = normalize_images_chw(batch, mean, std)
         want = np.transpose((batch.astype(np.float32) / 255.0 - np.asarray(mean)) / np.asarray(std), (0, 3, 1, 2))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+class TestPrefetchQueue:
+    def test_async_matches_sync(self):
+        from mingunivision_tpu.utils.native_io import PrefetchQueue, normalize_images_chw
+
+        rng = np.random.default_rng(0)
+        q = PrefetchQueue(num_threads=2)
+        batches = [rng.integers(0, 255, (2, 16, 12, 3), np.uint8) for _ in range(4)]
+        tickets = [q.submit(b) for b in batches]
+        got = {}
+        for _ in range(4):
+            res = q.get(block=True)
+            assert res is not None
+            t, arr = res
+            got[t] = arr
+        assert sorted(got) == tickets
+        for t, b in zip(tickets, batches):
+            want = normalize_images_chw(b)
+            np.testing.assert_allclose(got[t], want, rtol=1e-6, atol=1e-6)
+        assert q.get(block=False) is None
+        q.close()
