@@ -103,16 +103,96 @@ def _kernel(
             o_ref[...] = xcur_ref[...].astype(o_ref.dtype)
 
 
+def _kernel_q4(
+    x_ref,
+    lnw_ref,
+    lnb_ref,
+    q1_ref,  # (1, w/2, CH) uint8 split-halves packed (gate cols)
+    s1_ref,
+    b1_ref,
+    q2_ref,  # (1, w/2, CH) (up cols)
+    s2_ref,
+    b2_ref,
+    q3_ref,  # (1, H/2, w) uint8 packed on the hidden axis — FULL per block
+    s3_ref,  # (1, 1, w)
+    b3_ref,  # (1, 1, w)
+    mods_ref,
+    o_ref,
+    xcur_ref,
+    xs_ref,
+    h_ref,  # VMEM scratch (Np, H): hidden activations accumulate per chunk
+    *,
+    ln_eps: float,
+    compute_dtype,
+):
+    """int4 variant: w12 split-halves packed on the w axis (xs splits into
+    contiguous halves), w3 packed on the hidden axis and consumed as ONE full
+    block per ResBlock after the hidden scratch is complete."""
+    l = pl.program_id(0)
+    c = pl.program_id(1)
+    w = x_ref.shape[-1]
+    CH = q1_ref.shape[-1]
+
+    @pl.when((l == 0) & (c == 0))
+    def _load_x():
+        xcur_ref[...] = x_ref[...].astype(jnp.float32)
+
+    @pl.when(c == 0)
+    def _modulate():
+        x = xcur_ref[...]
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+        ln = (x - mu) * jax.lax.rsqrt(var + ln_eps)
+        ln = ln * lnw_ref[...].reshape(-1)[None, :] + lnb_ref[...].reshape(-1)[None, :]
+        mods = mods_ref[0]
+        xs_ref[...] = (ln * (1.0 + mods[:, w : 2 * w]) + mods[:, :w]).astype(xs_ref.dtype)
+
+    xs = xs_ref[...]
+    half = xs.shape[-1] // 2
+    xl, xh = xs[:, :half], xs[:, half:]
+
+    def unpack_mm(q_ref, a_lo, a_hi):
+        qb = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1]).astype(jnp.int32)
+        lo = ((qb & 0xF) - 8).astype(compute_dtype)
+        hi = (((qb >> 4) & 0xF) - 8).astype(compute_dtype)
+        out = jax.lax.dot_general(a_lo, lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        out += jax.lax.dot_general(a_hi, hi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return out
+
+    g = unpack_mm(q1_ref, xl, xh) * s1_ref[...].reshape(-1)[None, :] + b1_ref[...].reshape(-1)[None, :]
+    u = unpack_mm(q2_ref, xl, xh) * s2_ref[...].reshape(-1)[None, :] + b2_ref[...].reshape(-1)[None, :]
+    h_ref[:, pl.ds(c * CH, CH)] = (jax.nn.silu(g) * u).astype(h_ref.dtype)
+
+    @pl.when(c == pl.num_programs(1) - 1)
+    def _down_and_residual():
+        h = h_ref[...]
+        Hh = h.shape[-1] // 2
+        po = unpack_mm(q3_ref, h[:, :Hh], h[:, Hh:])
+        po = po * s3_ref[...].reshape(-1)[None, :] + b3_ref[...].reshape(-1)[None, :]
+        mods = mods_ref[0]
+        xcur_ref[...] += mods[:, 2 * w :] * po
+
+        @pl.when(l == pl.num_programs(0) - 1)
+        def _flush():
+            o_ref[...] = xcur_ref[...].astype(o_ref.dtype)
+
+
 def rf_mlp_supported(blocks) -> bool:
-    """int8-quantized w12/w3 with 128-aligned dims."""
+    """int8/int4-quantized w12/w3 with 128-aligned dims."""
     from mingunivision_tpu.utils.quantize import QuantizedArray
 
     w12 = blocks["mlp"]["w12"]["w"]
     w3 = blocks["mlp"]["w3"]["w"]
-    if not (isinstance(w12, QuantizedArray) and w12.bits == 8 and isinstance(w3, QuantizedArray) and w3.bits == 8):
+    if not (isinstance(w12, QuantizedArray) and isinstance(w3, QuantizedArray)):
         return False
-    L, w, h2 = w12.q.shape
+    if w12.bits != w3.bits or w12.bits not in (8, 4):
+        return False
+    L, wq, h2 = w12.q.shape
+    w = wq * 2 if w12.bits == 4 else wq
     H = h2 // 2
+    if w12.bits == 4:
+        # xs splits at w/2 and h at H/2 — both must stay lane-aligned
+        return PALLAS_TPU and (w // 2) % 128 == 0 and (H // 2) % 128 == 0
     return PALLAS_TPU and w % 128 == 0 and H % 128 == 0
 
 
@@ -126,7 +206,9 @@ def rf_mlp_stack(blocks, x, mods, *, ln_eps: float = 1e-6, chunk: int = 4096, in
     w3 = blocks["mlp"]["w3"]["w"]
     b12 = blocks["mlp"]["w12"]["b"]  # (L, 2H)
     b3 = blocks["mlp"]["w3"]["b"]  # (L, w)
-    L, w, h2 = w12.q.shape
+    bits = w12.bits
+    L, wq, h2 = w12.q.shape
+    w = wq * 2 if bits == 4 else wq
     H = h2 // 2
     CH = min(chunk, H)
     while H % CH:
@@ -144,13 +226,20 @@ def rf_mlp_stack(blocks, x, mods, *, ln_eps: float = 1e-6, chunk: int = 4096, in
 
     def ws(spec_cols_up: bool):
         off = HC if spec_cols_up else 0
-        return pl.BlockSpec((1, w, CH), lambda l, c: (l, 0, off + c))
+        return pl.BlockSpec((1, wq, CH), lambda l, c: (l, 0, off + c))
 
     def srow(spec_cols_up: bool, width=CH):
         off = HC if spec_cols_up else 0
         return pl.BlockSpec((1, 1, width), lambda l, c: (l, 0, off + c))
 
-    kernel = functools.partial(_kernel, ln_eps=ln_eps, compute_dtype=x.dtype)
+    if bits == 4:
+        kernel = functools.partial(_kernel_q4, ln_eps=ln_eps, compute_dtype=x.dtype)
+        w3_spec = pl.BlockSpec((1, H // 2, w), lambda l, c: (l, 0, 0))  # full, once per block
+        third_scratch = pltpu.VMEM((Np, H), x.dtype)
+    else:
+        kernel = functools.partial(_kernel, ln_eps=ln_eps, compute_dtype=x.dtype)
+        w3_spec = pl.BlockSpec((1, CH, w), lambda l, c: (l, c, 0))
+        third_scratch = pltpu.VMEM((Np, w), jnp.float32)
     out = pl.pallas_call(
         kernel,
         grid=(L, HC),
@@ -166,7 +255,7 @@ def rf_mlp_stack(blocks, x, mods, *, ln_eps: float = 1e-6, chunk: int = 4096, in
             ws(True),
             srow(True),
             srow(True),
-            pl.BlockSpec((1, CH, w), lambda l, c: (l, c, 0)),
+            w3_spec,
             pl.BlockSpec((1, 1, w), lambda l, c: (l, 0, 0)),
             pl.BlockSpec((1, 1, w), lambda l, c: (l, 0, 0)),
             pl.BlockSpec((1, Np, 3 * w), lambda l, c: (l, 0, 0)),
@@ -176,7 +265,7 @@ def rf_mlp_stack(blocks, x, mods, *, ln_eps: float = 1e-6, chunk: int = 4096, in
         scratch_shapes=[
             pltpu.VMEM((Np, w), jnp.float32),
             pltpu.VMEM((Np, w), x.dtype),
-            pltpu.VMEM((Np, w), jnp.float32),
+            third_scratch,
         ]
         if PALLAS_TPU
         else [],

@@ -294,3 +294,46 @@ class TestRFMLPStack:
         want = np.asarray(xla_stack(x))
         got = np.asarray(rf_mlp_stack(blocks, x, mods, ln_eps=cfg.ln_eps, chunk=128, interpret=True))
         np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+    def test_int4_matches_xla_premod_path(self):
+        """int4 split-halves RF stack kernel vs the XLA path on the same tables."""
+        from mingunivision_tpu.config import RFHeadConfig
+        from mingunivision_tpu.models.rf_head import init_rf_head_params, precompute_modulations
+        from mingunivision_tpu.ops.activations import swiglu
+        from mingunivision_tpu.ops.kernels.rf_mlp import rf_mlp_stack, rf_mlp_supported
+        from mingunivision_tpu.ops.linear import dense
+        from mingunivision_tpu.ops.norms import layer_norm
+        from mingunivision_tpu.utils.quantize import quantize_tree
+
+        # width 256 (halves 128-aligned), hidden = int(1024*2/3)=680 -> NOT aligned;
+        # use mlp_mult=3: int(768*2/3)=512, halves 256 -> aligned
+        cfg = RFHeadConfig(target_channels=8, z_channels=32, width=256, depth=2, mlp_mult=3, num_sampling_steps=2)
+        params = init_rf_head_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        params["res_blocks"]["adaLN"]["w"] = 0.1 * jax.random.normal(
+            jax.random.PRNGKey(1), params["res_blocks"]["adaLN"]["w"].shape, jnp.float32
+        )
+        blocks = quantize_tree(params["res_blocks"], bits=4, min_size=1024)
+        assert rf_mlp_supported(blocks)
+
+        rng = np.random.default_rng(3)
+        B = 3
+        x = jnp.asarray(rng.standard_normal((B, cfg.width)), jnp.float32)
+        z = jnp.asarray(rng.standard_normal((B, cfg.z_channels)), jnp.float32)
+        qp = dict(params)
+        qp["res_blocks"] = blocks
+        block_mods, _ = precompute_modulations(qp, cfg, jnp.asarray([0.4], jnp.float32), z)
+        mods = block_mods[:, 0]
+
+        def xla_stack(h):
+            for l in range(cfg.depth):
+                blk = jax.tree_util.tree_map(lambda a: a[l], blocks)
+                shift, scale, gate = jnp.split(mods[l].astype(h.dtype), 3, axis=-1)
+                hh = layer_norm(h, blk["in_ln"]["w"], blk["in_ln"]["b"], eps=cfg.ln_eps)
+                hh = hh * (1 + scale) + shift
+                hh = dense(swiglu(dense(hh, blk["mlp"]["w12"])), blk["mlp"]["w3"])
+                h = h + gate * hh
+            return h
+
+        want = np.asarray(xla_stack(x))
+        got = np.asarray(rf_mlp_stack(blocks, x, mods, ln_eps=cfg.ln_eps, chunk=256, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
