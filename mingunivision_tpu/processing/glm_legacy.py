@@ -143,3 +143,165 @@ def build_inputs_for_generation(
         "position_ids": position_ids,
         "attention_mask": attn.tolist(),
     }
+
+
+def build_inputs_for_train(
+    encode,  # callable: str -> List[int]
+    inputs,
+    outputs,
+    *,
+    eos_token_id: int,
+    pad_token_id: int,
+    sop_token_id: int,
+    cls_token_id: int,
+    gmask_token_id: int,
+    add_bos_token: bool = False,
+    new_conversation_offset=None,
+    max_length: int = 2048,
+    rotary_type: str = "1d",
+    left_truncate: bool = True,
+    unidirectional_attention: bool = True,
+    isolation_position_ids: bool = False,
+    padding: bool = True,
+    use_fa2: bool = True,
+    use_packed: bool = True,
+):
+    """GLM-legacy TRAINING-input builder (tokenization_bailing.py:492-741
+    `_build_inputs_for_train`): multi-sample packing with the reference's
+    truncation policy, -100-masked labels, dual-plane position ids and the
+    fa2/full attention-mask variants. Framework-free (numpy lists).
+    """
+    import numpy as np
+
+    if isinstance(inputs, str):
+        inputs = [inputs]
+    if isinstance(outputs, str):
+        outputs = [outputs]
+    assert len(inputs) == len(outputs)
+
+    input_ids = [list(encode(item.replace("\\n", "\n"))) for item in inputs]
+    output_ids = [list(encode(item.replace("\\n", "\n"))) for item in outputs]
+
+    packed_input_ids = []
+    packed_output_ids = []
+    current_len = 0
+    for idx, (inp, out) in enumerate(zip(input_ids, output_ids)):
+        if not unidirectional_attention:
+            first = idx == 0 or not new_conversation_offset or idx in (new_conversation_offset or [])
+            num_special = 2 if first else 1
+        else:
+            num_special = 2 if add_bos_token else 1
+
+        truncated = False
+        if len(inp) + len(out) + current_len > max_length - num_special:
+            left_len = max_length - num_special - current_len
+            if len(inp) > left_len // 2 and len(out) > left_len // 2:
+                # reference quirk (tokenization_bailing.py:562): `input[-left_len // 2:]`
+                # parses as (-left_len)//2 — floor of the NEGATIVE, i.e. one more
+                # token than left_len//2 for odd left_len
+                inp = inp[(-left_len) // 2 :] if left_truncate else inp[: left_len // 2]
+                out = out[: left_len // 2]
+            elif len(inp) >= len(out):
+                inp = inp[-(left_len - len(out)) :] if left_truncate else inp[: left_len - len(out)]
+            else:
+                out = out[: left_len - len(inp)]
+            truncated = True
+
+        if unidirectional_attention:
+            packed_input_ids.append(list(inp))
+        elif num_special == 4:  # reference quirk: this branch never fires (num_special is 1/2)
+            packed_input_ids.append([cls_token_id] + list(inp) + [gmask_token_id])
+        else:
+            packed_input_ids.append(list(inp) + [gmask_token_id])
+        packed_output_ids.append(list(out) + [eos_token_id])
+        current_len += len(inp) + len(out) + num_special
+        if truncated:
+            break
+
+    if use_packed:
+        tokens = []
+        attn_sizes = []
+        input_lengths = []
+        pos_lists = []
+        block_lists = []
+        for inp, out in zip(packed_input_ids, packed_output_ids):
+            if add_bos_token:
+                data = inp + [sop_token_id] + out
+                mask_pos = len(inp) - 1
+            else:
+                data = inp + out
+                mask_pos = len(inp) - 2
+            tokens += data
+            attn_sizes.append(len(data))
+            input_lengths.append(len(inp))
+            pos, block = build_glm_position_ids(mask_pos, mask_pos + 1, len(out), rotary_type)
+            pos_lists.append(pos)
+            block_lists.append(block)
+
+        labels = []
+        for i in range(len(packed_input_ids)):
+            head = len(packed_input_ids[i]) if add_bos_token else len(packed_input_ids[i]) - 1
+            labels += [-100] * head + packed_output_ids[i] + [-100]
+
+        if use_fa2:
+            pack_attention_mask = -1 * np.ones((2, current_len))
+        else:
+            pack_attention_mask = np.tril(np.ones((current_len, current_len)))
+        pack_pos = []
+        pack_block = []
+        total_len = 0
+        max_index = 0
+        for i, size in enumerate(attn_sizes):
+            if use_fa2:
+                pack_attention_mask[0][i] = total_len
+                pack_attention_mask[1][i] = total_len + input_lengths[i]
+            else:
+                sep = 0 if unidirectional_attention else input_lengths[i]
+                block_mask = np.tril(np.ones((size, size)))
+                block_mask[:, :sep] = 1
+                pack_attention_mask[total_len : total_len + size, total_len : total_len + size] = block_mask
+            pack_pos.extend([p + max_index for p in pos_lists[i]])
+            pack_block.extend(block_lists[i])
+            if not isolation_position_ids:
+                max_index = pack_pos[-1] + 1
+            total_len += size
+        position_ids = [pack_pos, pack_block]
+        attention_mask = pack_attention_mask
+    else:
+        inp, out = packed_input_ids[0], packed_output_ids[0]
+        if add_bos_token:
+            tokens = inp + [sop_token_id] + out
+            labels = [-100] * len(inp) + out + [-100]
+            position_ids = build_glm_position_ids(len(inp) - 1, len(inp), len(out), rotary_type)
+        else:
+            tokens = inp + out
+            labels = [-100] * (len(inp) - 1) + out + [-100]
+            position_ids = build_glm_position_ids(len(inp) - 2, len(inp) - 1, len(out), rotary_type)
+        attention_mask = len(inp)
+
+    assert len(tokens) == current_len
+
+    if max_length > 0 and len(tokens) < max_length and padding:
+        pad = max_length - len(tokens)
+        tokens += [pad_token_id] * pad
+        labels.extend([-100] * pad)
+        position_ids[0] = list(position_ids[0]) + [0] * pad
+        position_ids[1] = list(position_ids[1]) + [0] * pad
+        if use_packed:
+            if use_fa2:
+                new_mask = -1 * np.ones((2, max_length))
+                new_mask[:, :current_len] = attention_mask
+            else:
+                new_mask = np.tril(np.ones((max_length, max_length)))
+                new_mask[:current_len, :current_len] = attention_mask
+            attention_mask = new_mask
+
+    if use_packed and use_fa2 and unidirectional_attention:
+        attention_mask = 0  # fa2 path carries no mask (reference :726-728)
+
+    return {
+        "input_ids": tokens,
+        "position_ids": [list(position_ids[0]), list(position_ids[1])],
+        "attention_mask": attention_mask,
+        "labels": labels,
+    }
