@@ -165,9 +165,24 @@ def _kernel_q4(
 
     @pl.when(c == pl.num_programs(1) - 1)
     def _down_and_residual():
-        h = h_ref[...]
-        Hh = h.shape[-1] // 2
-        po = unpack_mm(q3_ref, h[:, :Hh], h[:, Hh:])
+        Hh = h_ref.shape[-1] // 2  # packed rows of q3
+        # chunk the unpack over packed rows: a full-block int32 unpack would
+        # materialize ~50 MB of VMEM temporaries at the real (4096, 3072) size
+        KC = min(512, Hh)
+        n_k = Hh // KC
+
+        def body(k, po):
+            qb = q3_ref[0, pl.ds(k * KC, KC), :].astype(jnp.int32)
+            lo = ((qb & 0xF) - 8).astype(compute_dtype)
+            hi = (((qb >> 4) & 0xF) - 8).astype(compute_dtype)
+            h_lo = h_ref[:, pl.ds(k * KC, KC)]
+            h_hi = h_ref[:, pl.ds(Hh + k * KC, KC)]
+            po += jax.lax.dot_general(h_lo, lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            po += jax.lax.dot_general(h_hi, hi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            return po
+
+        po0 = jnp.zeros((h_ref.shape[0], w), jnp.float32)
+        po = jax.lax.fori_loop(0, n_k, body, po0)
         po = po * s3_ref[...].reshape(-1)[None, :] + b3_ref[...].reshape(-1)[None, :]
         mods = mods_ref[0]
         xcur_ref[...] += mods[:, 2 * w :] * po
@@ -210,6 +225,8 @@ def rf_mlp_stack(blocks, x, mods, *, ln_eps: float = 1e-6, chunk: int = 4096, in
     L, wq, h2 = w12.q.shape
     w = wq * 2 if bits == 4 else wq
     H = h2 // 2
+    if bits == 4:
+        chunk = min(chunk, 2048)  # bound the in-kernel int32 unpack temporaries
     CH = min(chunk, H)
     while H % CH:
         CH //= 2
