@@ -80,3 +80,20 @@ class TestContinuousBatching:
         assert r2.done
         # same prompt, same deterministic decode
         assert r1.tokens == r2.tokens
+
+
+class TestQuantizedBatching:
+    def test_int8_engine_matches_int8_sequential(self, llm):
+        """Continuous batching over int8-quantized params (the serving tier):
+        token-identical to the single-request decode on the same tables."""
+        from mingunivision_tpu.utils.quantize import quantize_tree
+
+        cfg, params = llm
+        qparams = quantize_tree(params, bits=8, min_size=1024)
+        eng = ContinuousBatchingEngine(qparams, cfg, slots=2, max_len=256, dtype=jnp.float32)
+        ids = np.random.default_rng(7).integers(0, 400, (5,))
+        req = eng.add_request(ids, max_new_tokens=6)
+        eng.run_to_completion(max_steps=12)
+        assert req.done
+        want = sequential_generate(qparams, cfg, ids, 6)
+        assert req.tokens[: len(want)] == want
