@@ -109,3 +109,36 @@ def restore_pytree(path: str, template=None):
     if template is not None:
         return ckptr.restore(path, target=template)
     return ckptr.restore(path)
+
+
+class AsyncTrainCheckpointer:
+    """Async training checkpoints: `save()` snapshots device state and returns
+    immediately (Orbax serializes in background threads); the train loop keeps
+    stepping while the previous checkpoint writes. `wait()`/close() join.
+
+    TPU-native replacement for blocking torch.save-style checkpointing in a
+    training loop (the reference has no training checkpointing at all —
+    SURVEY §5 checkpoint/resume)."""
+
+    def __init__(self):
+        import orbax.checkpoint as ocp
+
+        self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+
+    def save(self, path: str, state) -> None:
+        import orbax.checkpoint as ocp
+
+        self._ckptr.save(os.path.abspath(path), args=ocp.args.StandardSave(state))
+
+    def wait(self) -> None:
+        self._ckptr.wait_until_finished()
+
+    def restore(self, path: str, template):
+        import orbax.checkpoint as ocp
+
+        self.wait()
+        return self._ckptr.restore(os.path.abspath(path), args=ocp.args.StandardRestore(template))
+
+    def close(self) -> None:
+        self.wait()
+        self._ckptr.close()

@@ -57,3 +57,19 @@ class TestTorchFormats:
         torch.save(sd, str(p))
         out = load_torch_state_dict(str(p))
         assert "encoder.w" in out and "target_backbone.x" not in out
+
+
+class TestAsyncCheckpointer:
+    def test_async_save_restore_roundtrip(self, tmp_path):
+        import jax.numpy as jnp
+
+        from mingunivision_tpu.utils.checkpoint import AsyncTrainCheckpointer
+
+        state = {"w": jnp.arange(12.0).reshape(3, 4), "step": jnp.int32(7)}
+        ck = AsyncTrainCheckpointer()
+        ck.save(str(tmp_path / "step7"), state)
+        ck.wait()  # join the background write
+        restored = ck.restore(str(tmp_path / "step7"), template=state)
+        np.testing.assert_array_equal(np.asarray(restored["w"]), np.asarray(state["w"]))
+        assert int(restored["step"]) == 7
+        ck.close()
