@@ -36,7 +36,7 @@ def bench_mingtok_recon(batch: int = 8, iters: int = 10, warmup: int = 2):
     return batch / dt
 
 
-def bench_t2i_per_token(layers: int = 28, tokens: int = 8, iters: int = 2, bits: int = 8):
+def bench_t2i_per_token(layers: int = 28, tokens: int = 8, iters: int = 2, bits: int = 8, rf_bits: int = 8):
     """Full-size T2I AR loop per-token cost, int8 LLM+RF (fits 28 layers on one
     v5e chip); see benchmarks/bench_t2i.py for the full sweep."""
     from mingunivision_tpu.config import BailingMoeConfig, ImageGenConfig, MingUniVisionConfig
@@ -59,7 +59,7 @@ def bench_t2i_per_token(layers: int = 28, tokens: int = 8, iters: int = 2, bits:
             if bits < 16
             else init_bailing_moe_params(ks[0], llm_cfg, dtype=dtype)
         ),
-        "rf_head": random_quantized_like(ks[2], rf_shapes, bits=8) if bits < 16 else init_rf_head_params(ks[2], mm.rf_head, dtype=dtype),
+        "rf_head": random_quantized_like(ks[2], rf_shapes, bits=rf_bits) if bits < 16 else init_rf_head_params(ks[2], mm.rf_head, dtype=dtype),
         "mingtok": init_mingtok_params(ks[1], mm.mingtok, dtype=dtype),
         "vis_head": init_vis_head_params(ks[3], llm_cfg.hidden_size, mm.rf_head.z_channels, dtype=dtype),
         "linear_proj": init_linear_proj_params(ks[4], mm.mingtok.feature_dim, llm_cfg.hidden_size, mm.mlp_depth, dtype=dtype),
@@ -95,11 +95,15 @@ if __name__ == "__main__":
     assert jax.default_backend() == "tpu", f"expected TPU backend, got {jax.default_backend()}"
     ips = bench_mingtok_recon()
     extra = {}
-    # T2I tiers, best first: full-depth int4-LLM single-chip (int8 16B weighs
-    # ~16.4 GB and exceeds v5e HBM); else the 8-layer bf16 proxy
-    for layers, bits, tag in ((28, 4, "int4llm_28layer"), (8, 16, "bf16_8layer_proxy")):
+    # T2I tiers, best first: full-depth full-int4 single chip, then the
+    # int8-RF quality-margin tier, then the 8-layer bf16 proxy
+    for layers, bits, rf_bits, tag in (
+        (28, 4, 4, "int4llm_int4rf_28layer"),
+        (28, 4, 8, "int4llm_int8rf_28layer"),
+        (8, 16, 16, "bf16_8layer_proxy"),
+    ):
         try:
-            ms = bench_t2i_per_token(layers=layers, bits=bits)
+            ms = bench_t2i_per_token(layers=layers, bits=bits, rf_bits=rf_bits)
             extra = {
                 "t2i_config": tag,
                 "t2i_per_token_ms": round(ms, 1),

@@ -108,8 +108,9 @@ class MingUniVisionInfer:
                 # MingTok stays bf16 (recon parity)
                 from mingunivision_tpu.utils.quantize import quantize_tree
 
+                rf_bits = {"int8": 8, "int4": 4}.get(self.runtime.rf_param_dtype or self.runtime.param_dtype, quant_bits)
                 params["llm"] = quantize_tree(params["llm"], bits=quant_bits)
-                params["rf_head"] = quantize_tree(params["rf_head"], bits=quant_bits)
+                params["rf_head"] = quantize_tree(params["rf_head"], bits=rf_bits)
         else:
             # sharded load: keep leaves on the HOST (ml_dtypes bf16 numpy) so the
             # 33 GB bf16 16B tree never materializes on one 16 GB chip — __init__'s

@@ -323,6 +323,10 @@ class RuntimeConfig(_JsonMixin):
     max_semdec_len: int = 257  # semantic-decoder cache (256 latents + headroom)
     cfg_rows: int = 3  # cond / uncond / text-uncond
     param_dtype: str = "bfloat16"
+    # RF-head tier override (None = follow param_dtype). The velocity field is
+    # the most quantization-sensitive module; int4 LLM + int8 RF trades
+    # ~4 ms/token for safety margin (BENCHMARKS round-2 T2I table).
+    rf_param_dtype: Optional[str] = None
     compute_dtype: str = "bfloat16"
     use_pallas_attention: bool = True
     use_pallas_moe: bool = True
