@@ -31,7 +31,8 @@ def main():
     ap.add_argument("--layers", type=int, default=8)
     ap.add_argument("--tokens", type=int, default=16, help="loop length to time (full image = 256)")
     ap.add_argument("--int8", action="store_true")
-    ap.add_argument("--int4", action="store_true", help="int4 LLM + int8 RF: the FULL 28-layer model fits one v5e chip")
+    ap.add_argument("--int4", action="store_true", help="int4 LLM: the FULL 28-layer model fits one v5e chip")
+    ap.add_argument("--rf-bits", type=int, default=8, choices=[4, 8], help="RF head tier (4 = fused int4 kernel, fastest)")
     ap.add_argument("--seq", type=int, default=1024)
     args = ap.parse_args()
 
@@ -68,7 +69,7 @@ def main():
         llm_shapes = jax.eval_shape(lambda k: init_bailing_moe_params(k, llm_cfg, dtype=dtype), ks[0])
         params["llm"] = random_quantized_like(ks[0], llm_shapes, bits=bits)
         rf_shapes = jax.eval_shape(lambda k: init_rf_head_params(k, mm.rf_head, dtype=dtype), ks[2])
-        params["rf_head"] = random_quantized_like(ks[2], rf_shapes, bits=8)
+        params["rf_head"] = random_quantized_like(ks[2], rf_shapes, bits=args.rf_bits)
     else:
         params["llm"] = init_bailing_moe_params(ks[0], llm_cfg, dtype=dtype)
         params["rf_head"] = init_rf_head_params(ks[2], mm.rf_head, dtype=dtype)

@@ -211,7 +211,7 @@ def rf_mlp_supported(blocks) -> bool:
     return PALLAS_TPU and w % 128 == 0 and H % 128 == 0
 
 
-def rf_mlp_stack(blocks, x, mods, *, ln_eps: float = 1e-6, chunk: int = 4096, interpret: bool = False):
+def rf_mlp_stack(blocks, x, mods, *, ln_eps: float = 1e-6, chunk: int = 2048, interpret: bool = False):
     """Run the full ResBlock stack for one Euler step.
 
     blocks: depth-stacked res_blocks params (in_ln{w,b}, mlp{w12,w3} int8);
