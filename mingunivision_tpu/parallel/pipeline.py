@@ -140,7 +140,7 @@ def pipeline_decode_step(stage_params, cfg: BailingMoeConfig, embeds, cache: LLM
         mesh=mesh,
         in_specs=(spec_p, P(), P("stage"), P("stage"), P(), P(), P(), P()),
         out_specs=(P(), P("stage"), P("stage")),
-        check_rep=False,
+        check_vma=False,
     )(stage_params, embeds, cache.k, cache.v, cache.length, mask, cos, sin)
     return hidden, LLMCache(nk, nv, cache.length + T)
 
@@ -205,5 +205,5 @@ def pipeline_forward_microbatched(stage_params, cfg: BailingMoeConfig, embeds_mb
         mesh=mesh,
         in_specs=(spec_p, P(), P(), P(), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )(stage_params, embeds_mb, mask, cos, sin)
