@@ -29,6 +29,7 @@ def main():
     ap.add_argument("--layers", type=int, default=8)
     ap.add_argument("--slots", type=int, nargs="+", default=[1, 4, 8, 16])
     ap.add_argument("--max-len", type=int, default=1024)
+    ap.add_argument("--bits", type=int, default=16, choices=[4, 8, 16], help="weight tier (4 fits the full 28-layer model on one chip)")
     args = ap.parse_args()
     assert jax.default_backend() == "tpu", jax.default_backend()
 
@@ -38,7 +39,13 @@ def main():
     from mingunivision_tpu.utils.profiling import bench_fn
 
     cfg = BailingMoeConfig(num_hidden_layers=args.layers)
-    params = init_bailing_moe_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    if args.bits == 16:
+        params = init_bailing_moe_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    else:
+        from mingunivision_tpu.utils.quantize import random_quantized_like
+
+        shapes = jax.eval_shape(lambda k: init_bailing_moe_params(k, cfg, dtype=jnp.bfloat16), jax.random.PRNGKey(0))
+        params = random_quantized_like(jax.random.PRNGKey(0), shapes, bits=args.bits)
     rng = np.random.default_rng(0)
 
     for B in args.slots:
@@ -79,6 +86,7 @@ def main():
                     "bench": "batched_decode",
                     "slots": B,
                     "layers": args.layers,
+                    "bits": args.bits,
                     "step_ms": round(dt * 1e3, 2),
                     "tokens_per_s": round(B / dt, 1),
                     "tokens_per_s_per_slot": round(1 / dt, 1),
