@@ -42,6 +42,11 @@ except Exception:  # pragma: no cover
 # Above this many assignment slots, per-step grid overhead beats the bandwidth
 # saved vs masked-dense full-table streaming (measured crossover on v5e).
 MAX_STREAM_SLOTS = 36
+# Quantized tables have no fast XLA fallback (the dense path pays the nibble/
+# byte unpack on the full 64-expert table every step — 28L int4 B=8 measured
+# 59.7 ms/step vs 15.1 at B=4); the fused kernel reads at most min(A, E)
+# experts with dedup, so it stays ahead far longer.
+MAX_STREAM_SLOTS_QUANT = 128
 
 
 def _kernel(ids_ref, x_ref, w1_ref, w3_ref, w2_ref, g_ref, o_ref, acc_ref):
@@ -165,7 +170,8 @@ def stream_supported(experts, x_flat, topk_idx) -> bool:
     else:
         E, d, m = gp.shape[-3:]
     N, k = topk_idx.shape
-    return PALLAS_TPU and d % 128 == 0 and m % 128 == 0 and N * k <= MAX_STREAM_SLOTS
+    cap = MAX_STREAM_SLOTS_QUANT if (quant8 or quant4) else MAX_STREAM_SLOTS
+    return PALLAS_TPU and d % 128 == 0 and m % 128 == 0 and N * k <= cap
 
 
 def moe_experts_stream(experts, x_flat, topk_idx, topk_w, *, chunk: int = 0, interpret: bool = False, layer_idx=None):
