@@ -71,3 +71,126 @@ def build_test_tokenizer(vocab_size: int = 4096):
     fast = PreTrainedTokenizerFast(tokenizer_object=tok, clean_up_tokenization_spaces=False)
     fast.add_special_tokens({"additional_special_tokens": MULTIMODAL_SPECIAL_TOKENS})
     return fast
+
+
+class BailingTokenizer:
+    """Facade over an HF fast tokenizer with the reference BailingTokenizer's
+    non-jinja surface (tokenization_bailing.py:48-276 + :279-741):
+
+      - gmask/sop/eop special-token properties (:130-188)
+      - `apply_chat_template` falling back to chat_format.Chat rendering with
+        the antglm `<role>` symbol system (:208-276), optional tokenize
+      - GLM-legacy `build_inputs_for_generation` / `build_inputs_for_train`
+        (processing/glm_legacy.py, golden-tested against the reference)
+    """
+
+    def __init__(self, tokenizer, gmask_token="[gMASK]", sop_token="sop", eop_token="eop"):
+        self.tokenizer = tokenizer
+        self.gmask_token = gmask_token
+        self.sop_token = sop_token
+        self.eop_token = eop_token
+        self.add_bos_token = False
+
+    def __getattr__(self, name):
+        return getattr(self.tokenizer, name)
+
+    def __call__(self, *a, **k):
+        return self.tokenizer(*a, **k)
+
+    def __len__(self):
+        return len(self.tokenizer)
+
+    def _special_id(self, token):
+        tid = self.tokenizer.convert_tokens_to_ids(token)
+        return tid if tid is not None else self.tokenizer.unk_token_id
+
+    @property
+    def gmask_token_id(self):
+        return self._special_id(self.gmask_token)
+
+    @property
+    def sop_token_id(self):
+        return self._special_id(self.sop_token)
+
+    @property
+    def eop_token_id(self):
+        return self._special_id(self.eop_token)
+
+    # -- chat templating (reference :208-276) ----------------------------------
+
+    def _chat_from_json(self, chat, chat_format="antglm_chat", system=None):
+        from mingunivision_tpu.processing.chat_format import Chat
+
+        msgs = chat if "messages" not in chat else chat["messages"]
+        _msgs, sys_msg = [], None
+        for msg in msgs:
+            if msg["role"].lower() == "system":
+                sys_msg = msg["content"]
+            else:
+                _msgs.append(msg)
+        payload = {"messages": _msgs}
+        system = system or sys_msg
+        if system:
+            payload["system_message"] = system
+        return Chat.from_json(payload, name=chat_format)
+
+    def apply_chat_template(
+        self,
+        conversation,
+        add_generation_prompt: bool = False,
+        system=None,
+        tokenize: bool = False,
+        chat_format: str = "antglm_chat",
+        **kwargs,
+    ):
+        is_batched = isinstance(conversation, list) and bool(conversation) and (
+            isinstance(conversation[0], (list, tuple)) or "messages" in conversation[0]
+        )
+        conversations = conversation if is_batched else [conversation]
+        rendered = []
+        for chat in conversations:
+            c = self._chat_from_json(chat, chat_format=chat_format, system=system)
+            text = c.prompt_str
+            if add_generation_prompt and not text.endswith(c.role_template.format(c.role_assistant)):
+                text += c.role_template.format(c.role_assistant)
+            rendered.append(text)
+        if not is_batched:
+            rendered = rendered[0]
+        if tokenize:
+            return self.tokenizer(rendered, add_special_tokens=False)["input_ids"]
+        return rendered
+
+    # -- GLM-legacy builders ----------------------------------------------------
+
+    def _ids(self):
+        return dict(
+            eos_token_id=self.tokenizer.eos_token_id or self._special_id("<|endoftext|>"),
+            bos_token_id=self.tokenizer.bos_token_id or self.sop_token_id,
+            cls_token_id=self.tokenizer.cls_token_id or self.gmask_token_id,
+            gmask_token_id=self.gmask_token_id,
+        )
+
+    def build_inputs_for_generation(self, input_ids, **kwargs):
+        from mingunivision_tpu.processing.glm_legacy import build_inputs_for_generation
+
+        return build_inputs_for_generation(
+            list(input_ids), add_bos_token=self.add_bos_token, **self._ids(), **kwargs
+        )
+
+    def build_inputs_for_train(self, inputs, outputs, **kwargs):
+        from mingunivision_tpu.processing.glm_legacy import build_inputs_for_train
+
+        ids = self._ids()
+        ids.pop("bos_token_id")
+        return build_inputs_for_train(
+            lambda t: self.tokenizer(t, add_special_tokens=False)["input_ids"],
+            inputs,
+            outputs,
+            pad_token_id=self.tokenizer.pad_token_id or ids["eos_token_id"],
+            sop_token_id=self.sop_token_id,
+            add_bos_token=self.add_bos_token,
+            eos_token_id=ids["eos_token_id"],
+            cls_token_id=ids["cls_token_id"],
+            gmask_token_id=ids["gmask_token_id"],
+            **kwargs,
+        )

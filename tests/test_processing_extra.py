@@ -189,3 +189,42 @@ class TestAdaptiveFrameSelection:
         assert list(keep) == [0, 2]
         # num_keep >= T passes everything through
         assert list(select_frames_by_relevance(frames, num_keep=10)) == list(range(6))
+
+
+class TestBailingTokenizerFacade:
+    def test_chat_template_and_builders(self):
+        from mingunivision_tpu.processing.tokenizer import BailingTokenizer, build_test_tokenizer
+
+        tok = BailingTokenizer(build_test_tokenizer())
+        convo = {
+            "messages": [
+                {"role": "SYSTEM", "content": "be brief"},
+                {"role": "HUMAN", "content": "hello"},
+                {"role": "ASSISTANT", "content": "hi"},
+                {"role": "HUMAN", "content": "bye"},
+            ]
+        }
+        text = tok.apply_chat_template(convo, add_generation_prompt=True)
+        assert text.startswith("<role>SYSTEM</role>be brief")
+        assert text.endswith("<role>ASSISTANT</role>")
+        ids = tok.apply_chat_template(convo, add_generation_prompt=True, tokenize=True)
+        assert isinstance(ids, list) and len(ids) > 4
+
+        gen = tok.build_inputs_for_generation([5, 6, 7], max_output_length=4, rotary_type="2d")
+        assert len(gen["position_ids"][0]) == 3 + 4 + 1
+
+        train = tok.build_inputs_for_train("a question", "an answer", max_length=32)
+        assert len(train["input_ids"]) == 32
+        assert len(train["labels"]) == 32
+        assert any(l != -100 for l in train["labels"])
+
+    def test_batched_template(self):
+        from mingunivision_tpu.processing.tokenizer import BailingTokenizer, build_test_tokenizer
+
+        tok = BailingTokenizer(build_test_tokenizer())
+        convos = [
+            {"messages": [{"role": "HUMAN", "content": "one"}]},
+            {"messages": [{"role": "HUMAN", "content": "two"}]},
+        ]
+        out = tok.apply_chat_template(convos)
+        assert isinstance(out, list) and len(out) == 2
