@@ -268,11 +268,15 @@ def moe_block_apply(params, cfg: BailingMoeConfig, x, image_mask=None, audio_mas
             y = moe_experts_gather(sliced_experts(), x_flat, topk_idx, topk_w)
     else:
         from mingunivision_tpu.ops.kernels.moe_gmm import GMM_AVAILABLE, moe_experts_gmm
+        from mingunivision_tpu.utils.quantize import QuantizedArray
 
-        if GMM_AVAILABLE and on_tpu:
-            y = moe_experts_gmm(sliced_experts(), x_flat, topk_idx, topk_w, cfg.num_experts)
+        tabs = sliced_experts()
+        # megablox gmm consumes plain arrays; quantized prefill goes masked-dense
+        # (XLA fuses the dequant into the expert einsum stream)
+        if GMM_AVAILABLE and on_tpu and not isinstance(tabs["gate_proj"], QuantizedArray):
+            y = moe_experts_gmm(tabs, x_flat, topk_idx, topk_w, cfg.num_experts)
         else:
-            y = moe_experts_dense(sliced_experts(), x_flat, topk_idx, topk_w, cfg.num_experts)
+            y = moe_experts_dense(tabs, x_flat, topk_idx, topk_w, cfg.num_experts)
 
     y = y.reshape(B, T, h)
     # shared experts: dense SwiGLU over the identity input (reference :604-605)
