@@ -88,6 +88,8 @@ class ProcessorOutput:
     text_uncond_attention_mask: np.ndarray  # (1, T)
     pixel_values: Optional[np.ndarray] = None  # (B, 3, S, S) fp32
     image_grid_thw: Optional[np.ndarray] = None  # (B, 3)
+    pixel_values_videos: Optional[np.ndarray] = None  # (B, T, 3, S, S) fp32
+    video_grid_thw: Optional[np.ndarray] = None  # (B, 3)
 
 
 class BailingMMProcessor:
@@ -204,9 +206,14 @@ class BailingMMProcessor:
         self,
         text: Union[str, List[str]],
         images=None,
+        videos=None,
         for_edit: bool = False,
         image_patch_size: int = 32,
     ) -> ProcessorOutput:
+        """`videos`: list of (T, H, W, 3) uint8 frame stacks (omni-family path:
+        each frame is preprocessed like an understanding image and <VIDEO>
+        expands to prod(grid_thw) frame-patch tokens, reference
+        _expand_video_tokens + video branch of processing_bailingmm)."""
         if isinstance(text, str):
             text = [text]
 
@@ -222,6 +229,28 @@ class BailingMMProcessor:
             )
             text = self._expand_image_tokens(text, grid)
 
+        pixel_values_videos = None
+        video_grid = None
+        if videos is not None:
+            from PIL import Image
+
+            clips = []
+            vgrids = []
+            for frames in videos:
+                frames = np.asarray(frames)
+                proc = [
+                    preprocess_understanding(Image.fromarray(f.astype(np.uint8)), self.und_image_size)
+                    for f in frames
+                ]
+                clip = np.stack(proc)  # (T, 3, S, S)
+                clips.append(clip)
+                vgrids.append(
+                    [clip.shape[0], clip.shape[2] // image_patch_size, clip.shape[3] // image_patch_size]
+                )
+            pixel_values_videos = clips if len(clips) > 1 else clips[0][None]
+            video_grid = np.array(vgrids)
+            text = self._expand_video_tokens(text, video_grid)
+
         assert len(text) == 1, "batch size 1 only (parity with the reference path)"
         ids = list(self.tokenizer.encode(text[0], add_special_tokens=False))
         image_token_ids = {self.image_start_id, self.image_patch_id, self.image_end_id}
@@ -234,6 +263,8 @@ class BailingMMProcessor:
             text_uncond_attention_mask=np.array([text_uncond], np.int64),
             pixel_values=pixel_values,
             image_grid_thw=grid,
+            pixel_values_videos=pixel_values_videos,
+            video_grid_thw=video_grid,
         )
 
     def decode(self, token_ids: Sequence[int], skip_special_tokens: bool = False) -> str:

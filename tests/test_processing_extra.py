@@ -228,3 +228,22 @@ class TestBailingTokenizerFacade:
         ]
         out = tok.apply_chat_template(convos)
         assert isinstance(out, list) and len(out) == 2
+
+
+class TestVideoProcessing:
+    def test_video_expansion_and_grids(self):
+        import numpy as np
+
+        from mingunivision_tpu.processing.processor import BailingMMProcessor
+        from mingunivision_tpu.processing.tokenizer import build_test_tokenizer
+
+        proc = BailingMMProcessor(build_test_tokenizer(), und_image_size=64)
+        frames = np.random.default_rng(0).integers(0, 255, (2, 48, 80, 3), np.uint8)
+        out = proc(text="look <VIDEO> now", videos=[frames], image_patch_size=32)
+        # 64px square resize -> 2x2 patches per frame, 2 frames -> 8 tokens
+        np.testing.assert_array_equal(out.video_grid_thw, [[2, 2, 2]])
+        assert out.pixel_values_videos.shape == (1, 2, 3, 64, 64)
+        fp = proc.tokenizer.convert_tokens_to_ids("<imagePatch>")
+        vs = proc.tokenizer.convert_tokens_to_ids("<video>")
+        ids = out.input_ids[0].tolist()
+        assert ids.count(fp) == 8 and vs in ids
