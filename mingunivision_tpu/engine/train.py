@@ -17,7 +17,7 @@ so the velocity target the net must regress is v* = data - noise.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

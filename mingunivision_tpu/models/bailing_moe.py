@@ -26,7 +26,7 @@ TPU-first design decisions (not a port):
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ cast inside matmuls.
 from __future__ import annotations
 
 import math
-from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ Behavior parity with mingtok/vision_transformer/layers/:
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

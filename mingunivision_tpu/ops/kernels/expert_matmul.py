@@ -16,7 +16,6 @@ it again; future work).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

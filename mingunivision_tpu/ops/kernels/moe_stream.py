@@ -25,7 +25,6 @@ block (constant index) is written once at the final step.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,6 @@ This is the latency-oriented option for topologies where TP+EP saturates ICI
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

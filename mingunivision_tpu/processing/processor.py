@@ -14,7 +14,7 @@ Parity map against reference mingunivision/processing_bailingmm.py:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Union
 
 import numpy as np

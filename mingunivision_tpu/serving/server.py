@@ -25,7 +25,6 @@ import time
 from collections import OrderedDict
 from concurrent.futures import ThreadPoolExecutor
 from enum import IntEnum
-from typing import Optional
 
 
 class RetCode(IntEnum):

@@ -10,7 +10,6 @@ mel/source caches and fade-in-out, modeling_bailing_talker.py:534-614,
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from typing import NamedTuple, Optional
 

@@ -9,7 +9,7 @@ scanned; the static `LLMCache` is shared with the Bailing-MoE engine.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ ready-to-speak sentences with a minimum-length policy.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 # sentence-final + clause-final punctuation (CJK + ASCII)

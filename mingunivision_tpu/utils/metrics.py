@@ -10,8 +10,6 @@ machinery (mean/cov + Frechet distance) is provided so any embedder plugs in.
 
 from __future__ import annotations
 
-import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

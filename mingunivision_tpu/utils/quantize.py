@@ -14,7 +14,6 @@ interchangeable everywhere (models, engine, sharding).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
