@@ -251,3 +251,37 @@ class TestPipelineParallel:
             # un-norm: bailing_forward normed; pipeline returns pre-norm
             got_m = rms_norm(got[m], params["norm"]["w"], eps=cfg.rms_norm_eps)
             np.testing.assert_allclose(np.asarray(got_m), np.asarray(want), rtol=2e-3, atol=2e-3)
+
+    def test_pipeline_decode_quantized_tables(self):
+        """PP stage chunks carry int8 QuantizedArray tables (reshape through
+        split_stage_params) and still match the single-device forward."""
+        from mingunivision_tpu.ops.norms import rms_norm
+        from mingunivision_tpu.parallel.pipeline import (
+            make_stage_cache,
+            make_stage_mesh,
+            pipeline_decode_step,
+            shard_stage_params,
+            split_stage_params,
+        )
+        from mingunivision_tpu.utils.quantize import quantize_tree
+
+        cfg = cfg8()
+        params = init_bailing_moe_params(jax.random.PRNGKey(2), cfg, dtype=jnp.float32)
+        qparams = dict(params)
+        qparams["layers"] = quantize_tree(params["layers"], bits=8, min_size=1024)
+        S = 2
+        mesh = make_stage_mesh(S)
+        stage_params = shard_stage_params(split_stage_params(qparams["layers"], S), mesh)
+
+        B, Smax = 1, 16
+        ids = np.random.default_rng(4).integers(0, cfg.vocab_size, (B, 2))
+        cache_ref = LLMCache.create(cfg, B, Smax, jnp.float32)
+        cache_pp = make_stage_cache(cfg, S, B, Smax, mesh, dtype=jnp.float32)
+        mask = jnp.zeros((B, Smax), bool)
+        for t in range(2):
+            mask = mask.at[:, t].set(True)
+            e = embed_tokens(qparams, jnp.asarray(ids[:, t : t + 1]))
+            h_ref, cache_ref = bailing_forward(qparams, cfg, e, cache_ref, mask)
+            h_pp, cache_pp = pipeline_decode_step(stage_params, cfg, e, cache_pp, mask, mesh=mesh, n_stages=S)
+            h_pp = rms_norm(h_pp, qparams["norm"]["w"], eps=cfg.rms_norm_eps)
+            np.testing.assert_allclose(np.asarray(h_pp), np.asarray(h_ref), rtol=2e-3, atol=2e-3)

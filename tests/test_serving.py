@@ -169,3 +169,53 @@ def test_generate_stream_sse(tiny_infer):
             assert events[-1]["done"] is True
 
     asyncio.run(run())
+
+
+def test_mixed_load(tiny_infer):
+    """Streams, batch requests and one-shots in flight simultaneously: the
+    session swap + batch worker + executor must not cross-corrupt."""
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from mingunivision_tpu.serving.server import InferenceServer
+
+    srv = InferenceServer(tiny_infer, batch_slots=2, batch_max_len=256, max_sessions=4)
+    app = srv.build_app()
+
+    async def run():
+        async with TestClient(TestServer(app)) as client:
+            async def oneshot(sid):
+                r = await client.post(
+                    "/generate",
+                    json={"messages": [{"role": "HUMAN", "content": [{"type": "text", "text": f"hi {sid}"}]}],
+                          "max_new_tokens": 4, "session_id": sid},
+                )
+                assert r.status == 200
+                return (await r.json())["text"]
+
+            async def stream():
+                r = await client.post(
+                    "/generate_stream",
+                    json={"messages": [{"role": "HUMAN", "content": [{"type": "text", "text": "story"}]}],
+                          "max_new_tokens": 12, "stream_chunk_tokens": 4, "session_id": "streamer"},
+                )
+                assert r.status == 200
+                return (await r.read()).decode()
+
+            async def batch(n):
+                r = await client.post(
+                    "/generate_batch",
+                    json={"messages": [{"role": "HUMAN", "content": [{"type": "text", "text": f"batch {n}"}]}],
+                          "max_new_tokens": 5},
+                )
+                assert r.status == 200, await r.text()
+                return (await r.json())["text"]
+
+            results = await asyncio.gather(
+                stream(), oneshot("a"), batch(1), oneshot("b"), batch(2), oneshot("a")
+            )
+            assert all(isinstance(x, str) for x in results)
+            m = await (await client.get("/metrics")).json()
+            assert m["errors"] == 0
+
+    asyncio.run(run())
+    srv.batch_worker.stop()
