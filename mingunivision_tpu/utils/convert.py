@@ -340,3 +340,74 @@ def talker_params_from_torch(sd: Mapping, num_layers: int):
         "thinker_to_talker_proj": _lin(sd, "thinker_to_talker_proj"),
         "vp_head": _conv1d_from_torch(sd, "vp_head"),
     }
+
+
+# ---------------------------------------------------------------------------
+# CosyVoice audio detokenizer: HiFTGenerator (talker/hift.py)
+# ---------------------------------------------------------------------------
+
+
+def _wn_weight(sd: Mapping, prefix: str):
+    """Fold torch weight_norm on load: w = g * v / ||v|| (norm over all dims
+    except 0, torch's default dim=0). Accepts old-style weight_g/weight_v keys,
+    the torch>=2.1 parametrize naming, or an already-fused plain weight."""
+    if f"{prefix}.weight_v" in sd:
+        g, v = _np(sd[f"{prefix}.weight_g"]), _np(sd[f"{prefix}.weight_v"])
+    elif f"{prefix}.parametrizations.weight.original0" in sd:
+        g = _np(sd[f"{prefix}.parametrizations.weight.original0"])
+        v = _np(sd[f"{prefix}.parametrizations.weight.original1"])
+    else:
+        return _np(sd[f"{prefix}.weight"])
+    norm = np.sqrt((v.reshape(v.shape[0], -1) ** 2).sum(axis=1))
+    norm = norm.reshape((-1,) + (1,) * (v.ndim - 1))
+    return g * v / np.maximum(norm, 1e-12)
+
+
+def _wn_conv(sd: Mapping, prefix: str):
+    return {"w": _wn_weight(sd, prefix), "b": _np(sd[f"{prefix}.bias"])}
+
+
+def _hift_resblock_from_torch(sd: Mapping, prefix: str, n_dil: int):
+    return {
+        "convs1": [_wn_conv(sd, f"{prefix}.convs1.{i}") for i in range(n_dil)],
+        "convs2": [_wn_conv(sd, f"{prefix}.convs2.{i}") for i in range(n_dil)],
+        "alpha1": [_np(sd[f"{prefix}.activations1.{i}.alpha"]) for i in range(n_dil)],
+        "alpha2": [_np(sd[f"{prefix}.activations2.{i}.alpha"]) for i in range(n_dil)],
+    }
+
+
+def hift_generator_params_from_torch(sd: Mapping, cfg):
+    """CosyVoice HiFTGenerator state_dict -> talker/hift tree.
+
+    cfg: talker.hift.HiFTGeneratorConfig. Weight-normed convs are folded;
+    ConvTranspose1d weights keep torch's (in, out, k) layout (ops.conv
+    conv1d_transpose expects it). Module names follow the public layout the
+    reference's audio_detokenizer wheel serializes
+    (modeling_bailing_talker.py:585 drives hift.inference)."""
+    n_up = len(cfg.upsample_rates)
+    nk = len(cfg.resblock_kernel_sizes)
+    return {
+        "f0_predictor": {
+            # condnet is Sequential(conv, ELU, conv, ELU, ...) -> even indices
+            "condnet": [_wn_conv(sd, f"f0_predictor.condnet.{2 * i}") for i in range(5)],
+            "classifier": _lin(sd, "f0_predictor.classifier"),
+        },
+        "m_source": {"l_linear": _lin(sd, "m_source.l_linear")},
+        "conv_pre": _wn_conv(sd, "conv_pre"),
+        "ups": [_wn_conv(sd, f"ups.{i}") for i in range(n_up)],
+        "source_downs": [_conv1d_from_torch(sd, f"source_downs.{i}") for i in range(n_up)],
+        "source_resblocks": [
+            _hift_resblock_from_torch(
+                sd, f"source_resblocks.{i}", len(cfg.source_resblock_dilation_sizes[i])
+            )
+            for i in range(n_up)
+        ],
+        "resblocks": [
+            _hift_resblock_from_torch(
+                sd, f"resblocks.{i * nk + j}", len(cfg.resblock_dilation_sizes[j])
+            )
+            for i in range(n_up)
+            for j in range(nk)
+        ],
+        "conv_post": _wn_conv(sd, "conv_post"),
+    }
