@@ -411,3 +411,138 @@ def hift_generator_params_from_torch(sd: Mapping, cfg):
         ],
         "conv_post": _wn_conv(sd, "conv_post"),
     }
+
+
+# ---------------------------------------------------------------------------
+# CosyVoice audio detokenizer: CausalMaskedDiffWithXvec flow (talker/flow.py)
+# ---------------------------------------------------------------------------
+
+
+def _conformer_block_from_torch(sd: Mapping, prefix: str):
+    return {
+        "self_attn": {
+            "linear_q": _lin(sd, f"{prefix}.self_attn.linear_q"),
+            "linear_k": _lin(sd, f"{prefix}.self_attn.linear_k"),
+            "linear_v": _lin(sd, f"{prefix}.self_attn.linear_v"),
+            "linear_out": _lin(sd, f"{prefix}.self_attn.linear_out"),
+            "linear_pos": _lin(sd, f"{prefix}.self_attn.linear_pos", bias=False),
+            "pos_bias_u": _np(sd[f"{prefix}.self_attn.pos_bias_u"]),
+            "pos_bias_v": _np(sd[f"{prefix}.self_attn.pos_bias_v"]),
+        },
+        "feed_forward": {
+            "w_1": _lin(sd, f"{prefix}.feed_forward.w_1"),
+            "w_2": _lin(sd, f"{prefix}.feed_forward.w_2"),
+        },
+        "norm_mha": _norm(sd, f"{prefix}.norm_mha"),
+        "norm_ff": _norm(sd, f"{prefix}.norm_ff"),
+    }
+
+
+def _flow_embed_from_torch(sd: Mapping, prefix: str):
+    # wenet LinearNoSubsampling: out = Sequential(Linear, LayerNorm, Dropout)
+    return {"linear": _lin(sd, f"{prefix}.out.0"), "norm": _norm(sd, f"{prefix}.out.1")}
+
+
+def _cfm_resnet_from_torch(sd: Mapping, prefix: str):
+    return {
+        "mlp": _lin(sd, f"{prefix}.mlp.1"),  # mlp = Sequential(Mish, Linear)
+        "block1": {
+            "conv": _conv1d_from_torch(sd, f"{prefix}.block1.block.0"),
+            "norm": _norm(sd, f"{prefix}.block1.block.1"),
+        },
+        "block2": {
+            "conv": _conv1d_from_torch(sd, f"{prefix}.block2.block.0"),
+            "norm": _norm(sd, f"{prefix}.block2.block.1"),
+        },
+        "res_conv": _conv1d_from_torch(sd, f"{prefix}.res_conv"),
+    }
+
+
+def _cfm_transformer_from_torch(sd: Mapping, prefix: str):
+    return {
+        "norm1": _norm(sd, f"{prefix}.norm1"),
+        "attn": {
+            "to_q": _lin(sd, f"{prefix}.attn1.to_q", bias=False),
+            "to_k": _lin(sd, f"{prefix}.attn1.to_k", bias=False),
+            "to_v": _lin(sd, f"{prefix}.attn1.to_v", bias=False),
+            "to_out": _lin(sd, f"{prefix}.attn1.to_out.0"),
+        },
+        "norm3": _norm(sd, f"{prefix}.norm3"),
+        "ff": {
+            "proj": _lin(sd, f"{prefix}.ff.net.0.proj"),
+            "out": _lin(sd, f"{prefix}.ff.net.2"),
+        },
+    }
+
+
+def _cfm_stage_from_torch(sd: Mapping, resnet_prefix: str, tf_prefix: str, n_blocks: int):
+    return {
+        "resnet": _cfm_resnet_from_torch(sd, resnet_prefix),
+        "transformers": _stack(
+            [_cfm_transformer_from_torch(sd, f"{tf_prefix}.{j}") for j in range(n_blocks)]
+        ),
+    }
+
+
+def flow_params_from_torch(sd: Mapping, cfg):
+    """CosyVoice2 CausalMaskedDiffWithXvec state_dict -> talker/flow tree.
+
+    cfg: talker.flow.FlowConfig. Layout per the public CosyVoice2 modules the
+    reference's audio_detokenizer wheel serializes (flow.inference is driven at
+    modeling_bailing_talker.py:553-568): input_embedding / spk_embed_affine /
+    UpsampleConformerEncoder / encoder_proj / decoder.estimator U-Net."""
+    enc_cfg = cfg.encoder
+    dec_cfg = cfg.decoder
+    e = "encoder"
+    encoder = {
+        "embed": _flow_embed_from_torch(sd, f"{e}.embed"),
+        "pre_lookahead": {
+            "conv1": _conv1d_from_torch(sd, f"{e}.pre_lookahead_layer.conv1"),
+            "conv2": _conv1d_from_torch(sd, f"{e}.pre_lookahead_layer.conv2"),
+        },
+        "encoders": _stack(
+            [_conformer_block_from_torch(sd, f"{e}.encoders.{i}") for i in range(enc_cfg.num_blocks)]
+        ),
+        "up_layer": {"conv": _conv1d_from_torch(sd, f"{e}.up_layer.conv")},
+        "up_embed": _flow_embed_from_torch(sd, f"{e}.up_embed"),
+        "up_encoders": _stack(
+            [
+                _conformer_block_from_torch(sd, f"{e}.up_encoders.{i}")
+                for i in range(enc_cfg.num_up_blocks)
+            ]
+        ),
+        "after_norm": _norm(sd, f"{e}.after_norm"),
+    }
+    d = "decoder.estimator"
+    decoder = {
+        "time_mlp": {
+            "linear_1": _lin(sd, f"{d}.time_mlp.linear_1"),
+            "linear_2": _lin(sd, f"{d}.time_mlp.linear_2"),
+        },
+        "down": {
+            **_cfm_stage_from_torch(sd, f"{d}.down_blocks.0.0", f"{d}.down_blocks.0.1", dec_cfg.n_blocks),
+            "downsample": _conv1d_from_torch(sd, f"{d}.down_blocks.0.2"),
+        },
+        "mid": _stack(
+            [
+                _cfm_stage_from_torch(sd, f"{d}.mid_blocks.{i}.0", f"{d}.mid_blocks.{i}.1", dec_cfg.n_blocks)
+                for i in range(dec_cfg.num_mid_blocks)
+            ]
+        ),
+        "up": {
+            **_cfm_stage_from_torch(sd, f"{d}.up_blocks.0.0", f"{d}.up_blocks.0.1", dec_cfg.n_blocks),
+            "upsample": _conv1d_from_torch(sd, f"{d}.up_blocks.0.2"),
+        },
+        "final_block": {
+            "conv": _conv1d_from_torch(sd, f"{d}.final_block.block.0"),
+            "norm": _norm(sd, f"{d}.final_block.block.1"),
+        },
+        "final_proj": _conv1d_from_torch(sd, f"{d}.final_proj"),
+    }
+    return {
+        "input_embedding": {"w": _np(sd["input_embedding.weight"])},
+        "spk_embed_affine_layer": _lin(sd, "spk_embed_affine_layer"),
+        "encoder": encoder,
+        "encoder_proj": _lin(sd, "encoder_proj"),
+        "decoder": decoder,
+    }
