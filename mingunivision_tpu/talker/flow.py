@@ -356,7 +356,8 @@ def flow_inference(
     mel_len1 = prompt_feat.shape[1]
     Tm = h.shape[1]
     conds = jnp.zeros((h.shape[0], Tm, cfg.output_size), h.dtype)
-    conds = lax.dynamic_update_slice(conds, prompt_feat.astype(h.dtype), (0, 0, 0))
+    if mel_len1 > 0:
+        conds = lax.dynamic_update_slice(conds, prompt_feat.astype(h.dtype), (0, 0, 0))
     feat = cfm_inference(
         params["decoder"],
         cfg.decoder,
