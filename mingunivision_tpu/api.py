@@ -51,10 +51,15 @@ class MingUniVisionInfer:
         if mesh is not None and mesh.shape.get("expert", 1) * mesh.shape.get("model", 1) > 1:
             import dataclasses
 
-            # sharded expert tables: dispatch masked-dense (GSPMD-partitioned)
-            # instead of the Pallas stream kernel (would imply an all-gather)
+            # sharded expert tables: decode dispatches the shard_map stream
+            # wrapper (parallel/moe_shard.py; local-shard Pallas + psum) when
+            # eligible, else masked-dense (GSPMD-partitioned) — never the
+            # plain stream kernel, which would imply a table all-gather
             self.config = dataclasses.replace(
-                self.config, llm=dataclasses.replace(self.config.llm, expert_tables_sharded=True)
+                self.config,
+                llm=dataclasses.replace(
+                    self.config.llm, expert_tables_sharded=True, expert_mesh=mesh
+                ),
             )
         if params is None:
             if model_path is None:

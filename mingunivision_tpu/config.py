@@ -16,11 +16,24 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 
 def _asdict(obj) -> dict:
-    return dataclasses.asdict(obj)
+    # manual recursion (dataclasses.asdict deep-copies values, which chokes on
+    # runtime-only fields like a jax Mesh — those are skipped instead)
+    out = {}
+    for f in dataclasses.fields(obj):
+        v = getattr(obj, f.name)
+        if dataclasses.is_dataclass(v):
+            out[f.name] = _asdict(v)
+            continue
+        try:
+            json.dumps(v)
+        except TypeError:
+            continue
+        out[f.name] = v
+    return out
 
 
 class _JsonMixin:
@@ -205,9 +218,15 @@ class BailingMoeConfig(_JsonMixin):
     video_start_token: int = 126349
     num_image_tokens_for_gen: int = 256
     # set True when serving with expert/model-sharded tables (api.py does):
-    # the Pallas stream kernel would force GSPMD to all-gather the tables, so
-    # sharded decode dispatches masked-dense (partitioned + psum'd by GSPMD)
+    # the Pallas stream kernel fed through GSPMD would force an all-gather of
+    # the tables. With `expert_mesh` also set, decode dispatches through the
+    # manual-SPMD shard_map wrapper (parallel/moe_shard.py) that runs the
+    # stream kernel on each device's local expert shard + psum; otherwise (or
+    # for int4 tables) it goes masked-dense (partitioned + psum'd by GSPMD).
     expert_tables_sharded: bool = False
+    # runtime-only: the jax Mesh for the shard_map decode path (excluded from
+    # JSON / equality; api.py fills it in when constructed with a mesh)
+    expert_mesh: Any = dataclasses.field(default=None, compare=False, repr=False)
 
     @property
     def num_kv_groups(self) -> int:

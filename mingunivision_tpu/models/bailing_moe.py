@@ -209,6 +209,12 @@ def moe_experts_dense(experts, x_flat, topk_idx, topk_w, num_experts: int):
 MOE_GATHER_MAX_TOKENS = 16  # trace-time threshold: below this, gather beats dense
 
 
+def _sharded_stream_ok(mesh, experts, x_flat, topk_idx) -> bool:
+    from mingunivision_tpu.parallel.moe_shard import sharded_stream_supported
+
+    return sharded_stream_supported(mesh, experts, x_flat, topk_idx)
+
+
 def moe_block_apply(params, cfg: BailingMoeConfig, x, image_mask=None, audio_mask=None, experts_stacked=None, layer_idx=None):
     """Sparse MoE block with multi-gate routing + shared experts.
 
@@ -262,6 +268,22 @@ def moe_block_apply(params, cfg: BailingMoeConfig, x, image_mask=None, audio_mas
                 y = moe_experts_stream(experts_stacked, x_flat, topk_idx, topk_w, layer_idx=layer_idx)
             else:
                 y = moe_experts_stream(params["experts"], x_flat, topk_idx, topk_w)
+        elif on_tpu and cfg.expert_tables_sharded and cfg.expert_mesh is not None and _sharded_stream_ok(
+            cfg.expert_mesh, probe, x_flat, topk_idx
+        ):
+            # manual-SPMD: each device streams its local expert shard + psum
+            # (parallel/moe_shard.py) — no table all-gather under GSPMD
+            from mingunivision_tpu.parallel.moe_shard import moe_experts_stream_sharded
+
+            y = moe_experts_stream_sharded(
+                cfg.expert_mesh,
+                probe,
+                x_flat,
+                topk_idx,
+                topk_w,
+                layer_idx=layer_idx if experts_stacked is not None else None,
+                num_experts=cfg.num_experts,
+            )
         elif on_tpu:
             y = moe_experts_dense(sliced_experts(), x_flat, topk_idx, topk_w, cfg.num_experts)
         else:

@@ -1,0 +1,127 @@
+"""shard_map MoE decode over expert/model-sharded tables (parallel/moe_shard).
+
+On the virtual 8-device CPU mesh the wrapper runs its masked-dense compute
+inside shard_map (the Pallas kernel is TPU-only) — these tests validate the
+expert-id localization, gate-weight masking, and expert+model psum arithmetic
+against the unsharded dispatch. On TPU the identical wrapper runs the stream
+kernel per shard (eligibility covered by test_supported_*)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from mingunivision_tpu.models.bailing_moe import moe_experts_gather
+from mingunivision_tpu.parallel.moe_shard import (
+    moe_experts_stream_sharded,
+    sharded_stream_supported,
+)
+from mingunivision_tpu.utils.quantize import QuantizedArray, quantize_array, take_weight
+
+
+def _mesh():
+    devs = np.array(jax.devices()[:8]).reshape(2, 2, 2)
+    return Mesh(devs, ("data", "expert", "model"))
+
+
+def _tables(key, L, E, d, m, stacked=True):
+    ks = jax.random.split(key, 3)
+    shape_w1 = (L, E, d, m) if stacked else (E, d, m)
+    shape_w2 = (L, E, m, d) if stacked else (E, m, d)
+    return {
+        "gate_proj": 0.1 * jax.random.normal(ks[0], shape_w1, jnp.float32),
+        "up_proj": 0.1 * jax.random.normal(ks[1], shape_w1, jnp.float32),
+        "down_proj": 0.1 * jax.random.normal(ks[2], shape_w2, jnp.float32),
+    }
+
+
+def _routing(key, N, k, E):
+    k1, k2 = jax.random.split(key)
+    idx = jax.random.randint(k1, (N, k), 0, E)
+    w = jax.nn.softmax(jax.random.normal(k2, (N, k)))
+    return idx, w.astype(jnp.float32)
+
+
+@pytest.mark.parametrize("stacked", [True, False])
+def test_sharded_matches_unsharded_bf16(stacked):
+    mesh = _mesh()
+    L, E, d, m, N, k = 3, 8, 64, 32, 4, 2
+    tabs = _tables(jax.random.PRNGKey(0), L, E, d, m, stacked=stacked)
+    x = jax.random.normal(jax.random.PRNGKey(1), (N, d), jnp.float32)
+    idx, w = _routing(jax.random.PRNGKey(2), N, k, E)
+    lay = 1 if stacked else None
+
+    per_layer = tabs if not stacked else {kk: v[lay] for kk, v in tabs.items()}
+    ref = moe_experts_gather(per_layer, x, idx, w)
+    got = moe_experts_stream_sharded(mesh, tabs, x, idx, w, layer_idx=lay)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_sharded_matches_unsharded_int8():
+    mesh = _mesh()
+    L, E, d, m, N, k = 2, 8, 64, 32, 4, 3
+    tabs = _tables(jax.random.PRNGKey(3), L, E, d, m)
+    q = {kk: quantize_array(v, 8) for kk, v in tabs.items()}
+    x = jax.random.normal(jax.random.PRNGKey(4), (N, d), jnp.float32)
+    idx, w = _routing(jax.random.PRNGKey(5), N, k, E)
+
+    per_layer = {kk: take_weight(v, jnp.asarray(0)) for kk, v in q.items()}
+    ref = moe_experts_gather(per_layer, x, idx, w)
+    got = moe_experts_stream_sharded(mesh, q, x, idx, w, layer_idx=0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_every_expert_id_routes_once():
+    """Each assignment lands on exactly one expert shard (no double count)."""
+    mesh = _mesh()
+    E, d, m = 8, 64, 32
+    tabs = _tables(jax.random.PRNGKey(6), 1, E, d, m, stacked=False)
+    x = jax.random.normal(jax.random.PRNGKey(7), (4, d), jnp.float32)
+    # route every token to a fixed pair spanning both expert shards
+    idx = jnp.tile(jnp.asarray([[0, E - 1]]), (4, 1))
+    w = jnp.full((4, 2), 0.5, jnp.float32)
+    ref = moe_experts_gather(tabs, x, idx, w)
+    got = moe_experts_stream_sharded(mesh, tabs, x, idx, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_supported_predicate(monkeypatch):
+    import mingunivision_tpu.ops.kernels.moe_stream as ms
+
+    monkeypatch.setattr(ms, "PALLAS_TPU", True)
+    mesh = _mesh()
+    x = jnp.zeros((2, 256), jnp.float32)
+    idx = jnp.zeros((2, 2), jnp.int32)
+
+    ok = _tables(jax.random.PRNGKey(0), 1, 8, 256, 256, stacked=False)
+    assert sharded_stream_supported(mesh, ok, x, idx)  # local m = 128 aligned
+
+    bad_m = _tables(jax.random.PRNGKey(0), 1, 8, 256, 160, stacked=False)
+    assert not sharded_stream_supported(mesh, bad_m, x, idx)  # local m = 80
+
+    q8 = {k: quantize_array(v, 8) for k, v in ok.items()}
+    assert sharded_stream_supported(mesh, q8, x, idx)
+
+    q4 = {k: quantize_array(v, 4) for k, v in ok.items()}
+    assert not sharded_stream_supported(mesh, q4, x, idx)  # packing vs shard
+
+    monkeypatch.setattr(ms, "PALLAS_TPU", False)
+    assert not sharded_stream_supported(mesh, ok, x, idx)
+
+
+def test_pallas_kernel_inside_shard_map_interpret():
+    """Run the ACTUAL stream kernel (interpret mode) inside shard_map on the
+    CPU mesh — validates the scalar-prefetch indexing with localized expert
+    ids and the psum composition around a pallas_call."""
+    mesh = _mesh()
+    L, E, d, m, N, k = 2, 8, 256, 256, 4, 2  # local shard: 4 experts, m=128
+    tabs = _tables(jax.random.PRNGKey(8), L, E, d, m)
+    x = jax.random.normal(jax.random.PRNGKey(9), (N, d), jnp.float32)
+    idx, w = _routing(jax.random.PRNGKey(10), N, k, E)
+
+    per_layer = {kk: v[1] for kk, v in tabs.items()}
+    ref = moe_experts_gather(per_layer, x, idx, w)
+    got = moe_experts_stream_sharded(mesh, tabs, x, idx, w, layer_idx=1, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
