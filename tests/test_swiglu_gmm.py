@@ -1,0 +1,64 @@
+"""Fused SwiGLU grouped-matmul prefill kernel (ops/kernels/moe_swiglu_gmm).
+
+Interpret-mode on CPU: validates the grid schedule reuse (megablox group
+metadata), the resident-x chunk loop, and the masked row store against the
+masked-dense oracle. TPU perf is recorded in BENCHMARKS.md."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mingunivision_tpu.models.bailing_moe import moe_experts_dense
+from mingunivision_tpu.ops.kernels.moe_swiglu_gmm import (
+    SWIGLU_GMM_AVAILABLE,
+    moe_experts_swiglu_gmm,
+    swiglu_gmm_supported,
+)
+from mingunivision_tpu.utils.quantize import quantize_array
+
+pytestmark = pytest.mark.skipif(not SWIGLU_GMM_AVAILABLE, reason="megablox unavailable")
+
+
+def _setup(key, E, h, m, N, k):
+    ks = jax.random.split(key, 6)
+    experts = {
+        "gate_proj": 0.1 * jax.random.normal(ks[0], (E, h, m), jnp.float32),
+        "up_proj": 0.1 * jax.random.normal(ks[1], (E, h, m), jnp.float32),
+        "down_proj": 0.1 * jax.random.normal(ks[2], (E, m, h), jnp.float32),
+    }
+    x = jax.random.normal(ks[3], (N, h), jnp.float32)
+    idx = jax.random.randint(ks[4], (N, k), 0, E)
+    w = jax.nn.softmax(jax.random.normal(ks[5], (N, k))).astype(jnp.float32)
+    return experts, x, idx, w
+
+
+@pytest.mark.parametrize("N,tm", [(96, 32), (64, 64)])
+def test_matches_masked_dense(N, tm):
+    E, h, m, k = 8, 256, 384, 3
+    experts, x, idx, w = _setup(jax.random.PRNGKey(0), E, h, m, N, k)
+    ref = moe_experts_dense(experts, x, idx, w, E)
+    got = moe_experts_swiglu_gmm(experts, x, idx, w, E, tm=tm, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-4)
+
+
+def test_skewed_routing_and_padding():
+    """Unbalanced groups + row padding into the last group."""
+    E, h, m, k = 4, 128, 256, 2
+    experts, x, _, w = _setup(jax.random.PRNGKey(1), E, h, m, 50, k)
+    # all assignments to experts {0, 3}: empty groups inside, heavy padding
+    idx = jnp.asarray(np.random.default_rng(0).choice([0, 3], (50, k)))
+    ref = moe_experts_dense(experts, x, idx, w, E)
+    got = moe_experts_swiglu_gmm(experts, x, idx, w, E, tm=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-4)
+
+
+def test_supported_predicate():
+    E, h, m = 4, 256, 384
+    experts, x, _, _ = _setup(jax.random.PRNGKey(2), E, h, m, 8, 2)
+    assert swiglu_gmm_supported(experts, x)
+    q = {k: quantize_array(v, 8) for k, v in experts.items()}
+    assert not swiglu_gmm_supported(q, x)  # quantized prefill stays masked-dense
+    bad = dict(experts, gate_proj=experts["gate_proj"][:, :, :200])
+    assert not swiglu_gmm_supported(bad, x)

@@ -206,3 +206,63 @@ class TestTextNormalizerFamilies:
         assert self.tn("the 3rd time") == "the third time"
         assert self.tn("costs $25 total") == "costs twenty five dollars total"
         assert self.tn("has 42 items") == "has forty two items"
+
+
+@pytest.fixture(scope="module")
+def tiny_exact_detok():
+    """Exact-tier CosyVoice detokenizer (talker/token2wav.py) at toy widths."""
+    from mingunivision_tpu.talker.flow import CFMDecoderConfig, FlowConfig as CVFlowConfig
+    from mingunivision_tpu.talker.flow_encoder import UpsampleConformerConfig
+    from mingunivision_tpu.talker.hift import HiFTGeneratorConfig
+    from mingunivision_tpu.talker.token2wav import CosyVoiceDetokenizer
+
+    flow_cfg = CVFlowConfig(
+        vocab_size=64,
+        input_size=16,
+        output_size=8,
+        spk_embed_dim=4,
+        encoder=UpsampleConformerConfig(
+            input_size=16, output_size=16, attention_heads=2, linear_units=24,
+            num_blocks=1, num_up_blocks=1, pre_lookahead_len=3, up_stride=2,
+            static_chunk_size=4,
+        ),
+        decoder=CFMDecoderConfig(
+            in_channels=32, out_channels=8, channels=(16,), attention_head_dim=8,
+            n_blocks=1, num_mid_blocks=1, num_heads=2, static_chunk_size=4,
+        ),
+        n_timesteps=2,
+    )
+    hift_cfg = HiFTGeneratorConfig(
+        in_channels=8, base_channels=16, nb_harmonics=1,
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 2),),
+        source_resblock_kernel_sizes=(3, 3), source_resblock_dilation_sizes=((1,), (1,)),
+        f0_cond_channels=8,
+    )
+    return CosyVoiceDetokenizer.random_init(
+        jax.random.PRNGKey(0), flow_cfg, hift_cfg, mel_cache_len=2, token_hop_len=3,
+        max_mel_frames=128,
+    )
+
+
+class TestExactTierPipeline:
+    def test_end_to_end_stream_with_cosyvoice_detok(self, tiny_talker, tiny_exact_detok):
+        """The checkpoint-exact detokenizer plugs into the same
+        OmniAudioPipeline surface as the analog tier."""
+        cfg = tiny_talker.cfg
+
+        def tokenize(s):
+            return [hash(ch) % cfg.text_vocab_size for ch in s][:8] or [1]
+
+        pipe = OmniAudioPipeline(
+            tiny_talker,
+            tiny_exact_detok,
+            tokenize,
+            sm_config=SentenceManagerConfig(min_sentence_len=2, normalize=True),
+        )
+        chunks = list(pipe.stream(iter(["今天天气很好。", "再见。"])))
+        assert chunks[-1].is_last
+        speech = [c for c in chunks if not c.is_last]
+        assert len(speech) == 2
+        assert all(c.wav.dtype == np.float32 and c.wav.ndim == 1 for c in speech)
+        total = np.concatenate([c.wav for c in chunks])
+        assert np.isfinite(total).all()
