@@ -290,12 +290,21 @@ def moe_block_apply(params, cfg: BailingMoeConfig, x, image_mask=None, audio_mas
             y = moe_experts_gather(sliced_experts(), x_flat, topk_idx, topk_w)
     else:
         from mingunivision_tpu.ops.kernels.moe_gmm import GMM_AVAILABLE, moe_experts_gmm
+        from mingunivision_tpu.ops.kernels.moe_swiglu_gmm import (
+            moe_experts_swiglu_gmm,
+            swiglu_gmm_supported,
+        )
         from mingunivision_tpu.utils.quantize import QuantizedArray
 
         tabs = sliced_experts()
-        # megablox gmm consumes plain arrays; quantized prefill goes masked-dense
-        # (XLA fuses the dequant into the expert einsum stream)
-        if GMM_AVAILABLE and on_tpu and not isinstance(tabs["gate_proj"], QuantizedArray):
+        sharded = cfg.expert_tables_sharded  # Pallas opaque to GSPMD: stay dense
+        # fused swiglu-gmm: one schedule reads each routed expert's w1/w3/w2
+        # once per row-tile (v5e measured: 5.67 vs 6.80 ms/layer @1024 tok,
+        # 8.88 vs 13.47 @4096 vs the 3-call megablox pipeline); quantized
+        # prefill goes masked-dense (XLA fuses the dequant into the einsums)
+        if on_tpu and not sharded and swiglu_gmm_supported(tabs, x_flat):
+            y = moe_experts_swiglu_gmm(tabs, x_flat, topk_idx, topk_w, cfg.num_experts, tm=256)
+        elif GMM_AVAILABLE and on_tpu and not sharded and not isinstance(tabs["gate_proj"], QuantizedArray):
             y = moe_experts_gmm(tabs, x_flat, topk_idx, topk_w, cfg.num_experts)
         else:
             y = moe_experts_dense(tabs, x_flat, topk_idx, topk_w, cfg.num_experts)
