@@ -86,6 +86,132 @@ def _kernel(
         )
 
 
+def _kernel_q(
+    group_offsets_ref,
+    group_ids_ref,
+    m_tile_ids_ref,
+    x_ref,
+    q1_ref,
+    s1_ref,
+    q3_ref,
+    s3_ref,
+    q2_ref,
+    s2_ref,
+    o_ref,
+    *,
+    tm: int,
+    h: int,
+    bits: int,
+):
+    """Dequant-fused grouped SwiGLU, FULL-expert blocks (packed tables are
+    small: int8 8.6 MB / int4 4.3 MB per expert at 16B shapes — no m-chunking,
+    which also sidesteps the int4 split-halves plane boundary). Scales multiply
+    matmul RESULTS per output column: x @ (q*s) == (x @ q) * s."""
+    t = pl.program_id(0)
+    x = x_ref[...]  # (tm, h)
+
+    if bits == 8:
+
+        def mm(q_ref):
+            q = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1]).astype(x.dtype)
+            return lax.dot_general(x, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+        g = mm(q1_ref)
+        u = mm(q3_ref)
+    else:
+        d_half = q1_ref.shape[-2]
+        x_lo, x_hi = x[:, :d_half], x[:, d_half:]
+
+        def half_mm(xl, xh, q_ref):
+            qb = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1]).astype(jnp.int32)
+            lo = ((qb & 0xF) - 8).astype(x.dtype)
+            hi = (((qb >> 4) & 0xF) - 8).astype(x.dtype)
+            out = lax.dot_general(xl, lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            out += lax.dot_general(xh, hi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            return out
+
+        g = half_mm(x_lo, x_hi, q1_ref)
+        u = half_mm(x_lo, x_hi, q3_ref)
+    g = g * s1_ref[...].reshape(s1_ref.shape[-1])[None, :]
+    u = u * s3_ref[...].reshape(s3_ref.shape[-1])[None, :]
+    a = (jax.nn.silu(g) * u).astype(x.dtype)  # (tm, m)
+    if bits == 8:
+        q2 = q2_ref[...].reshape(q2_ref.shape[-2], q2_ref.shape[-1]).astype(x.dtype)
+        y = lax.dot_general(a, q2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    else:
+        m_half = q2_ref.shape[-2]
+        qb = q2_ref[...].reshape(q2_ref.shape[-2], q2_ref.shape[-1]).astype(jnp.int32)
+        lo = ((qb & 0xF) - 8).astype(x.dtype)
+        hi = (((qb >> 4) & 0xF) - 8).astype(x.dtype)
+        y = lax.dot_general(a[:, :m_half], lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        y += lax.dot_general(a[:, m_half:], hi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    y = y * s2_ref[...].reshape(s2_ref.shape[-1])[None, :]
+
+    mask = _get_store_mask(
+        grid_id=t,
+        group_metadata=(group_offsets_ref, group_ids_ref, m_tile_ids_ref),
+        tm=tm,
+        tn=h,
+    )
+    o_ref[...] = lax.select(mask, y, o_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def swiglu_gmm_quant(
+    xs,
+    w1,
+    w3,
+    w2,
+    group_sizes,
+    *,
+    tm: int = 256,
+    interpret: bool = False,
+):
+    """Quantized fused grouped SwiGLU. w1/w3/w2: QuantizedArray tables in the
+    decode-kernel layout (int8: q (E, h, m)/(E, m, h); int4 split-halves packed
+    along the contraction dim). Returns (A, h) in xs.dtype."""
+    A, h = xs.shape
+    bits = w1.bits
+    E = w1.q.shape[0]
+    assert A % tm == 0, (A, tm)
+
+    group_metadata, num_active_tiles = make_group_metadata(
+        group_sizes=group_sizes,
+        m=A,
+        tm=tm,
+        start_group=jnp.zeros((), jnp.int32),
+        num_nonzero_groups=E,
+        visit_empty_groups=False,
+    )
+    group_offsets, group_ids, m_tile_ids = group_metadata
+
+    def wspec(q):
+        shape = (1,) + q.shape[1:]
+        return pl.BlockSpec(shape, lambda t, go, gi, mt: (gi[t],) + (0,) * (len(shape) - 1))
+
+    kernel = functools.partial(_kernel_q, tm=tm, h=h, bits=bits)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((A, h), xs.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            in_specs=[
+                pl.BlockSpec((tm, h), lambda t, go, gi, mt: (mt[t], 0)),
+                wspec(w1.q),
+                wspec(w1.s),
+                wspec(w3.q),
+                wspec(w3.s),
+                wspec(w2.q),
+                wspec(w2.s),
+            ],
+            out_specs=pl.BlockSpec((tm, h), lambda t, go, gi, mt: (mt[t], 0)),
+            grid=(num_active_tiles,),
+        ),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(group_offsets, group_ids, m_tile_ids, xs, w1.q, w1.s, w3.q, w3.s, w2.q, w2.s)
+    return out
+
+
 def swiglu_gmm(
     xs,
     w1,
@@ -151,13 +277,23 @@ def swiglu_gmm(
 
 
 def swiglu_gmm_supported(experts, x_flat) -> bool:
+    from mingunivision_tpu.utils.quantize import QuantizedArray
+
     if not SWIGLU_GMM_AVAILABLE:
         return False
     ws = (experts.get("gate_proj"), experts.get("up_proj"), experts.get("down_proj"))
-    if not all(isinstance(w, jnp.ndarray) for w in ws):
-        return False  # bf16/fp32 only; quantized prefill stays masked-dense
-    E, h, m = ws[0].shape
-    return h % 128 == 0 and m % 128 == 0
+    if all(isinstance(w, jnp.ndarray) for w in ws):
+        E, h, m = ws[0].shape
+        return h % 128 == 0 and m % 128 == 0
+    for bits in (8, 4):
+        if all(isinstance(w, QuantizedArray) and w.bits == bits for w in ws):
+            q1 = ws[0].q
+            E, dq, m = q1.shape
+            h = dq * (2 if bits == 4 else 1)
+            # int4 half planes slice the sublane dim: d/2 and m/2 need 8-alignment
+            ok4 = bits != 4 or (dq % 8 == 0 and (m // 2) % 8 == 0 and m % 2 == 0)
+            return h % 128 == 0 and m % 128 == 0 and ok4
+    return False
 
 
 def moe_experts_swiglu_gmm(experts, x_flat, topk_idx, topk_w, num_experts: int, *, tm: int = 512, interpret: bool = False):
@@ -175,15 +311,28 @@ def moe_experts_swiglu_gmm(experts, x_flat, topk_idx, topk_w, num_experts: int, 
         xs = jnp.concatenate([xs, jnp.zeros((A_pad - A, xs.shape[1]), xs.dtype)], axis=0)
         group_sizes = group_sizes.at[num_experts - 1].add(A_pad - A)
 
-    ys = swiglu_gmm(
-        xs,
-        experts["gate_proj"].astype(xs.dtype),
-        experts["up_proj"].astype(xs.dtype),
-        experts["down_proj"].astype(xs.dtype),
-        group_sizes,
-        tm=tm,
-        interpret=interpret,
-    )[:A]
+    from mingunivision_tpu.utils.quantize import QuantizedArray
+
+    if isinstance(experts["gate_proj"], QuantizedArray):
+        ys = swiglu_gmm_quant(
+            xs,
+            experts["gate_proj"],
+            experts["up_proj"],
+            experts["down_proj"],
+            group_sizes,
+            tm=tm,
+            interpret=interpret,
+        )[:A]
+    else:
+        ys = swiglu_gmm(
+            xs,
+            experts["gate_proj"].astype(xs.dtype),
+            experts["up_proj"].astype(xs.dtype),
+            experts["down_proj"].astype(xs.dtype),
+            group_sizes,
+            tm=tm,
+            interpret=interpret,
+        )[:A]
 
     # gather-unsort + weighted sum (scatter-add with duplicates serializes)
     inv = jnp.argsort(order, stable=True)

@@ -59,6 +59,19 @@ def test_supported_predicate():
     experts, x, _, _ = _setup(jax.random.PRNGKey(2), E, h, m, 8, 2)
     assert swiglu_gmm_supported(experts, x)
     q = {k: quantize_array(v, 8) for k, v in experts.items()}
-    assert not swiglu_gmm_supported(q, x)  # quantized prefill stays masked-dense
+    assert swiglu_gmm_supported(q, x)  # int8 dequant-fused path
     bad = dict(experts, gate_proj=experts["gate_proj"][:, :, :200])
     assert not swiglu_gmm_supported(bad, x)
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_quantized_fused_matches_dense(bits):
+    """Dequant-fused grouped SwiGLU (full-expert blocks, scales on matmul
+    results) vs the masked-dense dequant oracle."""
+    E, h, m, N, k = 8, 256, 384, 96, 3
+    experts, x, idx, w = _setup(jax.random.PRNGKey(3), E, h, m, N, k)
+    q = {kk: quantize_array(v, bits) for kk, v in experts.items()}
+    assert swiglu_gmm_supported(q, x)
+    ref = moe_experts_dense(q, x, idx, w, E)
+    got = moe_experts_swiglu_gmm(q, x, idx, w, E, tm=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-4)
