@@ -156,6 +156,99 @@ def _kernel_q(
     o_ref[...] = lax.select(mask, y, o_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
 
 
+def _kernel_q8_chunked(
+    group_offsets_ref,
+    group_ids_ref,
+    m_tile_ids_ref,
+    x_ref,
+    q1_ref,
+    s1_ref,
+    q3_ref,
+    s3_ref,
+    q2_ref,
+    s2_ref,
+    o_ref,
+    acc_ref,
+    *,
+    num_chunks: int,
+    tm: int,
+    h: int,
+):
+    """int8 variant of the chunked fused kernel (no nibble packing -> the
+    m-chunk slices stay plane-free); scales multiply matmul results."""
+    t = pl.program_id(0)
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]
+    w1 = q1_ref[...].reshape(q1_ref.shape[-2], q1_ref.shape[-1]).astype(x.dtype)
+    w3 = q3_ref[...].reshape(q3_ref.shape[-2], q3_ref.shape[-1]).astype(x.dtype)
+    w2 = q2_ref[...].reshape(q2_ref.shape[-2], q2_ref.shape[-1]).astype(x.dtype)
+    g = lax.dot_general(x, w1, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    u = lax.dot_general(x, w3, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    g = g * s1_ref[...].reshape(s1_ref.shape[-1])[None, :]
+    u = u * s3_ref[...].reshape(s3_ref.shape[-1])[None, :]
+    a = (jax.nn.silu(g) * u).astype(x.dtype)
+    acc_ref[...] += lax.dot_general(a, w2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(c == num_chunks - 1)
+    def _store():
+        mask = _get_store_mask(
+            grid_id=t,
+            group_metadata=(group_offsets_ref, group_ids_ref, m_tile_ids_ref),
+            tm=tm,
+            tn=h,
+        )
+        y = acc_ref[...] * s2_ref[...].reshape(s2_ref.shape[-1])[None, :]
+        o_ref[...] = lax.select(mask, y, o_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _swiglu_gmm_q8(xs, w1, w3, w2, group_sizes, *, tm, chunk, interpret):
+    A, h = xs.shape
+    E, _, m = w1.q.shape
+    if chunk == 0:
+        chunk = 128
+        for cand in (512, 384, 256, 128):
+            if m % cand == 0:
+                chunk = cand
+                break
+    num_chunks = m // chunk
+    group_metadata, num_active_tiles = make_group_metadata(
+        group_sizes=group_sizes,
+        m=A,
+        tm=tm,
+        start_group=jnp.zeros((), jnp.int32),
+        num_nonzero_groups=E,
+        visit_empty_groups=False,
+    )
+    group_offsets, group_ids, m_tile_ids = group_metadata
+    kernel = functools.partial(_kernel_q8_chunked, num_chunks=num_chunks, tm=tm, h=h)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((A, h), xs.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            in_specs=[
+                pl.BlockSpec((tm, h), lambda t, c, go, gi, mt: (mt[t], 0)),
+                pl.BlockSpec((1, h, chunk), lambda t, c, go, gi, mt: (gi[t], 0, c)),
+                pl.BlockSpec((1, 1, chunk), lambda t, c, go, gi, mt: (gi[t], 0, c)),
+                pl.BlockSpec((1, h, chunk), lambda t, c, go, gi, mt: (gi[t], 0, c)),
+                pl.BlockSpec((1, 1, chunk), lambda t, c, go, gi, mt: (gi[t], 0, c)),
+                pl.BlockSpec((1, chunk, h), lambda t, c, go, gi, mt: (gi[t], c, 0)),
+                pl.BlockSpec((1, 1, h), lambda t, c, go, gi, mt: (gi[t], 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((tm, h), lambda t, c, go, gi, mt: (mt[t], 0)),
+            grid=(num_active_tiles, num_chunks),
+            scratch_shapes=[pltpu.VMEM((tm, h), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(group_offsets, group_ids, m_tile_ids, xs, w1.q, w1.s, w3.q, w3.s, w2.q, w2.s)
+
+
 def swiglu_gmm_quant(
     xs,
     w1,
@@ -164,11 +257,17 @@ def swiglu_gmm_quant(
     group_sizes,
     *,
     tm: int = 256,
+    chunk: int = 0,
     interpret: bool = False,
 ):
     """Quantized fused grouped SwiGLU. w1/w3/w2: QuantizedArray tables in the
     decode-kernel layout (int8: q (E, h, m)/(E, m, h); int4 split-halves packed
-    along the contraction dim). Returns (A, h) in xs.dtype."""
+    along the contraction dim). int8 streams m-chunks (scales on results, down
+    scale applied once at store); int4 uses full-expert blocks (packed tables
+    are ~4.3 MB and chunking would straddle the nibble planes).
+    Returns (A, h) in xs.dtype."""
+    if w1.bits == 8:
+        return _swiglu_gmm_q8(xs, w1, w3, w2, group_sizes, tm=tm, chunk=chunk, interpret=interpret)
     A, h = xs.shape
     bits = w1.bits
     E = w1.q.shape[0]
