@@ -249,6 +249,156 @@ def _swiglu_gmm_q8(xs, w1, w3, w2, group_sizes, *, tm, chunk, interpret):
     )(group_offsets, group_ids, m_tile_ids, xs, w1.q, w1.s, w3.q, w3.s, w2.q, w2.s)
 
 
+def _kernel_q4_chunked(
+    group_offsets_ref,
+    group_ids_ref,
+    m_tile_ids_ref,
+    _pa_blk_ref,  # consumed by the q2a index map
+    _pb_blk_ref,  # consumed by the q2b index map
+    plane_a_ref,
+    plane_b_ref,
+    x_ref,
+    q1_ref,
+    s1_ref,
+    q3_ref,
+    s3_ref,
+    q2a_ref,
+    q2b_ref,
+    s2_ref,
+    o_ref,
+    acc_ref,
+    *,
+    num_chunks: int,
+    tm: int,
+    h: int,
+    seg: int,
+):
+    """int4 chunked variant. Gate/up are packed along the contraction dim
+    (whole d in every chunk: unpack lo/hi planes, two matmuls). The down
+    table's m-chunk straddles the split-halves planes, so each 2*seg-column
+    chunk is fetched as TWO seg-row views of the SAME packed array (q2a/q2b,
+    per-chunk packed-block offsets in the index maps) with a scalar-prefetched
+    nibble-plane flag each."""
+    t = pl.program_id(0)
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]
+    d_half = q1_ref.shape[-2]
+    x_lo, x_hi = x[:, :d_half], x[:, d_half:]
+
+    def half_mm(q_ref):
+        qb = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1]).astype(jnp.int32)
+        lo = ((qb & 0xF) - 8).astype(x.dtype)
+        hi = (((qb >> 4) & 0xF) - 8).astype(x.dtype)
+        out = lax.dot_general(x_lo, lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        out += lax.dot_general(x_hi, hi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return out
+
+    g = half_mm(q1_ref) * s1_ref[...].reshape(s1_ref.shape[-1])[None, :]
+    u = half_mm(q3_ref) * s3_ref[...].reshape(s3_ref.shape[-1])[None, :]
+    a = (jax.nn.silu(g) * u).astype(x.dtype)  # (tm, 2*seg)
+
+    def down_seg(q_ref, plane, a_seg):
+        qb = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1]).astype(jnp.int32)
+        lo = ((qb & 0xF) - 8).astype(x.dtype)
+        hi = (((qb >> 4) & 0xF) - 8).astype(x.dtype)
+        w = jnp.where(plane == 0, lo, hi)
+        return lax.dot_general(a_seg, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    acc_ref[...] += down_seg(q2a_ref, plane_a_ref[c], a[:, :seg])
+    acc_ref[...] += down_seg(q2b_ref, plane_b_ref[c], a[:, seg:])
+
+    @pl.when(c == num_chunks - 1)
+    def _store():
+        mask = _get_store_mask(
+            grid_id=t,
+            group_metadata=(group_offsets_ref, group_ids_ref, m_tile_ids_ref),
+            tm=tm,
+            tn=h,
+        )
+        y = acc_ref[...] * s2_ref[...].reshape(s2_ref.shape[-1])[None, :]
+        o_ref[...] = lax.select(mask, y, o_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _swiglu_gmm_q4_chunked(xs, w1, w3, w2, group_sizes, *, tm, interpret):
+    import numpy as np
+
+    A, h = xs.shape
+    E, d_half, m = w1.q.shape
+    m_half = m // 2
+    chunk = 128  # gate/up column chunk (lane-aligned)
+    seg = chunk // 2  # down-proj rows fetched per view
+    # every seg-row segment must lie inside one nibble plane
+    assert m % chunk == 0 and m_half % seg == 0, (m, chunk)
+    num_chunks = m // chunk
+
+    # per-chunk down-proj segment addressing: logical rows [c*chunk, c*chunk+seg)
+    # and [c*chunk+seg, (c+1)*chunk); packed row = logical % m_half,
+    # plane = logical // m_half; offsets in units of seg-row blocks
+    seg_starts_a = np.arange(num_chunks) * chunk
+    seg_starts_b = seg_starts_a + seg
+    pa_blk = ((seg_starts_a % m_half) // seg).astype(np.int32)
+    pb_blk = ((seg_starts_b % m_half) // seg).astype(np.int32)
+    plane_a = (seg_starts_a // m_half).astype(np.int32)
+    plane_b = (seg_starts_b // m_half).astype(np.int32)
+
+    group_metadata, num_active_tiles = make_group_metadata(
+        group_sizes=group_sizes,
+        m=A,
+        tm=tm,
+        start_group=jnp.zeros((), jnp.int32),
+        num_nonzero_groups=E,
+        visit_empty_groups=False,
+    )
+    group_offsets, group_ids, m_tile_ids = group_metadata
+    pa_blk_j = jnp.asarray(pa_blk)
+    pb_blk_j = jnp.asarray(pb_blk)
+
+    kernel = functools.partial(_kernel_q4_chunked, num_chunks=num_chunks, tm=tm, h=h, seg=seg)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((A, h), xs.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=7,
+            in_specs=[
+                pl.BlockSpec((tm, h), lambda t, c, go, gi, mt, pa, pb, fa, fb: (mt[t], 0)),
+                pl.BlockSpec((1, d_half, chunk), lambda t, c, go, gi, mt, pa, pb, fa, fb: (gi[t], 0, c)),
+                pl.BlockSpec((1, 1, chunk), lambda t, c, go, gi, mt, pa, pb, fa, fb: (gi[t], 0, c)),
+                pl.BlockSpec((1, d_half, chunk), lambda t, c, go, gi, mt, pa, pb, fa, fb: (gi[t], 0, c)),
+                pl.BlockSpec((1, 1, chunk), lambda t, c, go, gi, mt, pa, pb, fa, fb: (gi[t], 0, c)),
+                pl.BlockSpec((1, seg, h), lambda t, c, go, gi, mt, pa, pb, fa, fb: (gi[t], pa[c], 0)),
+                pl.BlockSpec((1, seg, h), lambda t, c, go, gi, mt, pa, pb, fa, fb: (gi[t], pb[c], 0)),
+                pl.BlockSpec((1, 1, h), lambda t, c, go, gi, mt, pa, pb, fa, fb: (gi[t], 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((tm, h), lambda t, c, go, gi, mt, pa, pb, fa, fb: (mt[t], 0)),
+            grid=(num_active_tiles, num_chunks),
+            scratch_shapes=[pltpu.VMEM((tm, h), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(
+        group_offsets,
+        group_ids,
+        m_tile_ids,
+        pa_blk_j,
+        pb_blk_j,
+        jnp.asarray(plane_a),
+        jnp.asarray(plane_b),
+        xs,
+        w1.q,
+        w1.s,
+        w3.q,
+        w3.s,
+        w2.q,
+        w2.q,
+        w2.s,
+    )
+
+
 def swiglu_gmm_quant(
     xs,
     w1,
@@ -259,15 +409,18 @@ def swiglu_gmm_quant(
     tm: int = 256,
     chunk: int = 0,
     interpret: bool = False,
+    int4_chunked: bool = True,
 ):
     """Quantized fused grouped SwiGLU. w1/w3/w2: QuantizedArray tables in the
     decode-kernel layout (int8: q (E, h, m)/(E, m, h); int4 split-halves packed
     along the contraction dim). int8 streams m-chunks (scales on results, down
-    scale applied once at store); int4 uses full-expert blocks (packed tables
-    are ~4.3 MB and chunking would straddle the nibble planes).
-    Returns (A, h) in xs.dtype."""
+    scale applied once at store); int4 defaults to the plane-aware chunked
+    kernel (two seg-row views of the packed down table per chunk) with the
+    full-expert-block kernel as fallback. Returns (A, h) in xs.dtype."""
     if w1.bits == 8:
         return _swiglu_gmm_q8(xs, w1, w3, w2, group_sizes, tm=tm, chunk=chunk, interpret=interpret)
+    if w1.bits == 4 and int4_chunked:
+        return _swiglu_gmm_q4_chunked(xs, w1, w3, w2, group_sizes, tm=tm, interpret=interpret)
     A, h = xs.shape
     bits = w1.bits
     E = w1.q.shape[0]
