@@ -299,17 +299,15 @@ def moe_block_apply(params, cfg: BailingMoeConfig, x, image_mask=None, audio_mas
         tabs = sliced_experts()
         sharded = cfg.expert_tables_sharded  # Pallas opaque to GSPMD: stay dense
         # fused swiglu-gmm: one schedule reads each routed expert's w1/w3/w2
-        # once per row-tile. v5e measured per layer: bf16 5.67 vs 6.80 ms
-        # @1024 tok / 8.88 vs 13.47 @4096 (vs 3-call megablox); int8
-        # dequant-fused 7.03 vs 10.19 @1024 / 8.99 vs 30.99 @4096 (vs
-        # masked-dense). int4 stays masked-dense: the full-expert-block fused
-        # variant wins only 1.3x @1024 and fails remote-compile at 4096
-        # (BENCHMARKS "quantized fused gmm").
-        fused_ok = swiglu_gmm_supported(tabs, x_flat) and not (
-            isinstance(tabs["gate_proj"], QuantizedArray) and tabs["gate_proj"].bits == 4
-        )
-        if on_tpu and not sharded and fused_ok:
-            y = moe_experts_swiglu_gmm(tabs, x_flat, topk_idx, topk_w, cfg.num_experts, tm=256)
+        # once per row-tile. v5e measured per layer vs previous defaults:
+        # bf16 5.67/8.88 ms @1024/4096 tok (megablox 6.80/13.47); int8
+        # dequant-fused 7.03/8.99 (masked-dense 10.19/30.99); int4
+        # plane-aware chunked 5.48/9.45 (masked-dense 11.06/33.96).
+        is_int4 = isinstance(tabs["gate_proj"], QuantizedArray) and tabs["gate_proj"].bits == 4
+        if on_tpu and not sharded and swiglu_gmm_supported(tabs, x_flat):
+            y = moe_experts_swiglu_gmm(
+                tabs, x_flat, topk_idx, topk_w, cfg.num_experts, tm=128 if is_int4 else 256
+            )
         elif GMM_AVAILABLE and on_tpu and not sharded and not isinstance(tabs["gate_proj"], QuantizedArray):
             y = moe_experts_gmm(tabs, x_flat, topk_idx, topk_w, cfg.num_experts)
         else:

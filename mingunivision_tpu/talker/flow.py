@@ -309,7 +309,7 @@ def cfm_inference(
         t_in = jnp.full((2 * B,), t, mu.dtype)
         v = estimator_apply(params, cfg, x_in, mask, mu_in, t_in, spks_in, cond_in, streaming)
         v = (1.0 + inference_cfg_rate) * v[:B] - inference_cfg_rate * v[B:]
-        return x + dt * v
+        return x + (dt * v).astype(x.dtype)  # keep the carry dtype under bf16 params
 
     return lax.fori_loop(0, n_timesteps, step, noise.astype(mu.dtype))
 
