@@ -75,3 +75,23 @@ def test_quantized_fused_matches_dense(bits):
     ref = moe_experts_dense(q, x, idx, w, E)
     got = moe_experts_swiglu_gmm(q, x, idx, w, E, tm=32, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-4)
+
+
+def test_int4_full_block_fallback_matches():
+    """The non-chunked int4 kernel (full-expert blocks) stays available via
+    swiglu_gmm_quant(int4_chunked=False)."""
+    import jax.numpy as jnp
+
+    from mingunivision_tpu.ops.kernels.moe_swiglu_gmm import swiglu_gmm_quant
+
+    E, h, m, N, k = 4, 256, 384, 32, 2
+    experts, x, idx, w = _setup(jax.random.PRNGKey(4), E, h, m, N, k)
+    q = {kk: quantize_array(v, 4) for kk, v in experts.items()}
+    A = N * k
+    flat_e = idx.reshape(-1)
+    order = jnp.argsort(flat_e, stable=True)
+    xs = jnp.take(x, order // k, axis=0)
+    gs = jnp.bincount(flat_e, length=E).astype(jnp.int32)
+    full = swiglu_gmm_quant(xs, q["gate_proj"], q["up_proj"], q["down_proj"], gs, tm=32, interpret=True, int4_chunked=False)
+    chunked = swiglu_gmm_quant(xs, q["gate_proj"], q["up_proj"], q["down_proj"], gs, tm=32, interpret=True, int4_chunked=True)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked), atol=5e-4)
