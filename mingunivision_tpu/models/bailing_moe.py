@@ -476,6 +476,33 @@ def router_z_loss(router_logits):
     return jnp.mean(jnp.square(jax.nn.logsumexp(router_logits.astype(jnp.float32), axis=-1)))
 
 
+def router_group_balance_loss(router_probs, topk_idx, num_experts: int, num_groups: int):
+    """Device-GROUP-level Switch balance loss: experts are chunked into
+    `num_groups` contiguous EP shards and the loss balances routed-token mass
+    across shards — the quantity EP all-to-all cost actually depends on.
+
+    TPU-native analog of the reference's group_level_device_balancing_loss_func
+    (modeling_utils.py:476-529): where the reference all_reduces the expert
+    mask over the torch.distributed expert group, GSPMD arrays are logically
+    global so the token-axis mean IS the cross-device reduction. SAMPLE-level
+    like the reference: means run over the sequence axis per leading batch
+    entry, then the per-sample losses average (golden-tested).
+
+    router_probs: (..., S, E) fp32 softmax scores; topk_idx: (..., S, k).
+    A flat (N, E)/(N, k) input is treated as one sample.
+    """
+    assert num_experts % num_groups == 0
+    per_group = num_experts // num_groups
+    one_hot = jax.nn.one_hot(topk_idx, num_experts, dtype=jnp.float32)  # (..., S, k, E)
+    expert_mask = one_hot.max(axis=-2)  # routed-or-not per (token, expert)
+    mask_g = expert_mask.reshape(expert_mask.shape[:-1] + (num_groups, per_group)).sum(-1)
+    tokens_per_group = mask_g.mean(axis=-2) / num_groups  # (..., G)
+    probs_g = router_probs.astype(jnp.float32)
+    probs_g = probs_g.reshape(probs_g.shape[:-1] + (num_groups, per_group)).sum(-1)
+    prob_per_group = probs_g.mean(axis=-2)
+    return jnp.mean(jnp.sum(tokens_per_group * prob_per_group * num_groups, axis=-1))
+
+
 def compute_logits(params, cfg: BailingMoeConfig, hidden_states):
     """LM head with optional norm_head (column-L2-normalized weight, :1604-1620)."""
     w = params["lm_head"]["w"]  # (h, vocab)
