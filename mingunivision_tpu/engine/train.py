@@ -25,22 +25,77 @@ import optax
 from jax import lax
 
 from mingunivision_tpu.config import BailingMoeConfig, RFHeadConfig
-from mingunivision_tpu.models.bailing_moe import LLMCache, bailing_forward, compute_logits, embed_tokens
+from mingunivision_tpu.models.bailing_moe import (
+    LLMCache,
+    bailing_forward,
+    compute_logits,
+    embed_tokens,
+    router_balance_loss,
+    router_group_balance_loss,
+    router_z_loss,
+)
 
 
-def lm_loss(params, cfg: BailingMoeConfig, input_ids, attention_mask, image_mask=None):
-    """Causal LM loss over a right-padded batch. input_ids: (B, T)."""
+def moe_aux_losses(router_stats, num_experts: int, ep_groups: int = 1):
+    """Training-only router auxiliary losses from bailing_forward's
+    return_router_stats output (reference auxiliary_loss,
+    modeling_utils.py:563-600). router_stats: (logits (L, N, E) fp32,
+    topk_idx (L, N, k)). Returns dict(balance, z, group_balance) — all
+    golden-tested against the reference (tests/test_router_losses_golden)."""
+    logits, topk_idx = router_stats
+    L, N, E = logits.shape
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    flat_p = probs.reshape(L * N, E)
+    flat_i = topk_idx.reshape(L * N, -1)
+    out = {
+        "balance": router_balance_loss(flat_p, flat_i, num_experts),
+        "z": router_z_loss(logits.reshape(L * N, E)),
+    }
+    if ep_groups > 1:
+        out["group_balance"] = router_group_balance_loss(probs, topk_idx, num_experts, ep_groups)
+    return out
+
+
+def lm_loss(
+    params,
+    cfg: BailingMoeConfig,
+    input_ids,
+    attention_mask,
+    image_mask=None,
+    balance_alpha: float = 0.0,
+    z_alpha: float = 0.0,
+    group_alpha: float = 0.0,
+    ep_groups: int = 1,
+):
+    """Causal LM loss over a right-padded batch. input_ids: (B, T).
+
+    Non-zero balance_alpha / z_alpha / group_alpha add the reference's router
+    auxiliary losses (modeling_utils.py:563-600) weighted accordingly; the
+    forward then also collects per-layer router stats."""
     B, T = input_ids.shape
+    want_aux = balance_alpha > 0 or z_alpha > 0 or group_alpha > 0
     cache = LLMCache.create(cfg, B, T, dtype=jnp.bfloat16)
     embeds = embed_tokens(params, input_ids)
-    hidden, _ = bailing_forward(params, cfg, embeds, cache, attention_mask.astype(bool), image_mask=image_mask)
+    if want_aux:
+        hidden, _, stats = bailing_forward(
+            params, cfg, embeds, cache, attention_mask.astype(bool), image_mask=image_mask,
+            return_router_stats=True,
+        )
+    else:
+        hidden, _ = bailing_forward(params, cfg, embeds, cache, attention_mask.astype(bool), image_mask=image_mask)
     logits = compute_logits(params, cfg, hidden)
     targets = input_ids[:, 1:]
     logits = logits[:, :-1]
     mask = attention_mask[:, 1:].astype(jnp.float32)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    loss = jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    if want_aux:
+        aux = moe_aux_losses(stats, cfg.num_experts, ep_groups=max(ep_groups, 2 if group_alpha > 0 else 1))
+        loss = loss + balance_alpha * aux["balance"] + z_alpha * aux["z"]
+        if group_alpha > 0:
+            loss = loss + group_alpha * aux["group_balance"]
+    return loss
 
 
 # ---------------------------------------------------------------------------

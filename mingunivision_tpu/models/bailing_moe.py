@@ -215,8 +215,12 @@ def _sharded_stream_ok(mesh, experts, x_flat, topk_idx) -> bool:
     return sharded_stream_supported(mesh, experts, x_flat, topk_idx)
 
 
-def moe_block_apply(params, cfg: BailingMoeConfig, x, image_mask=None, audio_mask=None, experts_stacked=None, layer_idx=None):
+def moe_block_apply(params, cfg: BailingMoeConfig, x, image_mask=None, audio_mask=None, experts_stacked=None, layer_idx=None, return_router_stats: bool = False):
     """Sparse MoE block with multi-gate routing + shared experts.
+
+    return_router_stats=True additionally returns (router_logits (N, E) fp32
+    AFTER multi-gate selection, topk_idx (N, k)) for the training-only
+    auxiliary balance/z losses (reference modeling_utils.py:395-560).
 
     x: (B, T, h); image_mask/audio_mask: optional bool (B, T) selecting tokens
     routed by the modality gates (reference :556-605).
@@ -239,17 +243,19 @@ def moe_block_apply(params, cfg: BailingMoeConfig, x, image_mask=None, audio_mas
             lambda a: jax.lax.dynamic_index_in_dim(a, layer_idx, keepdims=False), experts_stacked
         )
 
-    topk_idx, topk_w, _ = moe_route(params["gate"]["w"], x_flat, cfg.num_experts_per_tok, cfg.norm_topk_prob)
+    topk_idx, topk_w, router_logits = moe_route(params["gate"]["w"], x_flat, cfg.num_experts_per_tok, cfg.norm_topk_prob)
     if cfg.multi_gate and image_mask is not None:
-        i_idx, i_w, _ = moe_route(params["image_gate"]["w"], x_flat, cfg.num_experts_per_tok, cfg.norm_topk_prob)
+        i_idx, i_w, i_logits = moe_route(params["image_gate"]["w"], x_flat, cfg.num_experts_per_tok, cfg.norm_topk_prob)
         m = image_mask.reshape(-1, 1)
         topk_idx = jnp.where(m, i_idx, topk_idx)
         topk_w = jnp.where(m, i_w, topk_w)
+        router_logits = jnp.where(m, i_logits, router_logits)
     if cfg.multi_gate and audio_mask is not None:
-        a_idx, a_w, _ = moe_route(params["audio_gate"]["w"], x_flat, cfg.num_experts_per_tok, cfg.norm_topk_prob)
+        a_idx, a_w, a_logits = moe_route(params["audio_gate"]["w"], x_flat, cfg.num_experts_per_tok, cfg.norm_topk_prob)
         m = audio_mask.reshape(-1, 1)
         topk_idx = jnp.where(m, a_idx, topk_idx)
         topk_w = jnp.where(m, a_w, topk_w)
+        router_logits = jnp.where(m, a_logits, router_logits)
 
     topk_w = topk_w.astype(x.dtype)
     on_tpu = jax.default_backend() == "tpu"
@@ -317,6 +323,8 @@ def moe_block_apply(params, cfg: BailingMoeConfig, x, image_mask=None, audio_mas
     # shared experts: dense SwiGLU over the identity input (reference :604-605)
     se = params["shared_experts"]
     y = y + _expert_mlp(x, se["gate_proj"]["w"], se["up_proj"]["w"], se["down_proj"]["w"]).astype(x.dtype)
+    if return_router_stats:
+        return y, (router_logits, topk_idx)
     return y
 
 
@@ -388,16 +396,20 @@ def attention_apply(params, cfg: BailingMoeConfig, x, cos, sin, k_cache, v_cache
 
 def decoder_layer_apply(
     layer_params, cfg, x, cos, sin, k_cache, v_cache, length, attn_mask, image_mask, audio_mask,
-    use_flash: bool = False, experts_stacked=None, layer_idx=None,
+    use_flash: bool = False, experts_stacked=None, layer_idx=None, return_router_stats: bool = False,
 ):
     h = rms_norm(x, layer_params["input_layernorm"]["w"], eps=cfg.rms_norm_eps)
     a, nk, nv = attention_apply(layer_params["attention"], cfg, h, cos, sin, k_cache, v_cache, length, attn_mask, use_flash=use_flash)
     x = x + a
     h = rms_norm(x, layer_params["post_attention_layernorm"]["w"], eps=cfg.rms_norm_eps)
-    x = x + moe_block_apply(
-        layer_params["mlp"], cfg, h, image_mask, audio_mask, experts_stacked=experts_stacked, layer_idx=layer_idx
+    out = moe_block_apply(
+        layer_params["mlp"], cfg, h, image_mask, audio_mask, experts_stacked=experts_stacked,
+        layer_idx=layer_idx, return_router_stats=return_router_stats,
     )
-    return x, nk, nv
+    if return_router_stats:
+        y, stats = out
+        return x + y, nk, nv, stats
+    return x + out, nk, nv, None
 
 
 def bailing_forward(
@@ -410,6 +422,7 @@ def bailing_forward(
     image_mask=None,
     audio_mask=None,
     use_flash: bool = False,
+    return_router_stats: bool = False,
 ):
     """Run T tokens through the decoder stack, appending to the cache.
 
@@ -418,7 +431,9 @@ def bailing_forward(
     positions: optional (B, T) or (3, B, T) int positions — default is
     cache.length + arange(T) broadcast (flat 3D-RoPE planes).
 
-    Returns (hidden_states (B, T, h), new_cache).
+    Returns (hidden_states (B, T, h), new_cache); with
+    return_router_stats=True, (hidden, new_cache, (logits (L, N, E) fp32,
+    topk_idx (L, N, k))) for the training aux losses.
     """
     B, T, h = inputs_embeds.shape
     if positions is None:
@@ -441,16 +456,26 @@ def bailing_forward(
     def body(carry, inp):
         x = carry
         layer_params, layer_idx, kc, vc = inp
-        x, nk, nv = decoder_layer_apply(
+        x, nk, nv, stats = decoder_layer_apply(
             layer_params, cfg, x, cos, sin, kc, vc, cache.length, attn_mask, image_mask, audio_mask,
             use_flash=use_flash, experts_stacked=experts_stacked, layer_idx=layer_idx,
+            return_router_stats=return_router_stats,
         )
-        return x, (nk, nv)
+        ys = (nk, nv, stats) if return_router_stats else (nk, nv)
+        return x, ys
 
     layer_ids = jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)
-    x, (nk, nv) = lax.scan(body, inputs_embeds, (scanned, layer_ids, cache.k, cache.v))
+    x, ys = lax.scan(body, inputs_embeds, (scanned, layer_ids, cache.k, cache.v))
+    if return_router_stats:
+        nk, nv, stats = ys
+    else:
+        nk, nv = ys
+        stats = None
     x = rms_norm(x, params["norm"]["w"], eps=cfg.rms_norm_eps)
-    return x, LLMCache(nk, nv, cache.length + T)
+    new_cache = LLMCache(nk, nv, cache.length + T)
+    if return_router_stats:
+        return x, new_cache, stats
+    return x, new_cache
 
 
 def router_balance_loss(router_probs, topk_idx, num_experts: int):

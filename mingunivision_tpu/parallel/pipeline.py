@@ -83,7 +83,7 @@ def _stage_chunk_forward(chunk_params, cfg, x, kc, vc, length, mask, cos, sin):
     def body(carry, inp):
         h = carry
         p, li, k_l, v_l = inp
-        h, nk, nv = decoder_layer_apply(
+        h, nk, nv, _ = decoder_layer_apply(
             p, cfg, h, cos, sin, k_l, v_l, length, mask,
             None, None, experts_stacked=experts_stacked, layer_idx=li,
         )

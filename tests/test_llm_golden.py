@@ -320,7 +320,7 @@ class TestFullWidthLayerParity:
         kc = jnp.zeros((B, cfg.num_key_value_heads, T, cfg.head_dim), jnp.float32)
         vc = jnp.zeros_like(kc)
         mask = jnp.ones((B, T), bool)
-        got, _, _ = decoder_layer_apply(
+        got, _, _, _ = decoder_layer_apply(
             layer0, cfg, jnp.asarray(x), jcos, jsin, kc, vc, jnp.int32(0), mask, None, None
         )
         np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)

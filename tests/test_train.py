@@ -211,3 +211,34 @@ class TestMingTokTraining:
         loss, metrics = mingtok_train_loss(params, cfg, images, None, compute_dtype=jnp.float32)
         assert np.isfinite(float(loss))
         assert "pixel_loss" in metrics and "feature_distill_loss" not in metrics
+
+
+def test_lm_loss_with_router_aux():
+    """Aux coefficients change the loss; stats path stays differentiable."""
+    from mingunivision_tpu.engine.train import moe_aux_losses
+    from mingunivision_tpu.models.bailing_moe import bailing_forward, embed_tokens, LLMCache
+
+    cfg = tiny_llm_config()
+    params = init_bailing_moe_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    ids = jnp.asarray(np.random.default_rng(1).integers(0, cfg.vocab_size, (2, 12)))
+    mask = jnp.ones((2, 12), jnp.int32)
+
+    base = float(lm_loss(params, cfg, ids, mask))
+    with_aux = float(lm_loss(params, cfg, ids, mask, balance_alpha=0.01, z_alpha=0.001, group_alpha=0.01, ep_groups=2))
+    assert np.isfinite(with_aux) and with_aux != base
+
+    # stats shapes from the forward
+    cache = LLMCache.create(cfg, 2, 12, dtype=jnp.float32)
+    _, _, (logits, idx) = bailing_forward(
+        params, cfg, embed_tokens(params, ids), cache, mask.astype(bool), return_router_stats=True
+    )
+    L, N, E = logits.shape
+    assert L == cfg.num_hidden_layers and N == 2 * 12 and E == cfg.num_experts
+    assert idx.shape == (L, N, cfg.num_experts_per_tok)
+    aux = moe_aux_losses((logits, idx), cfg.num_experts, ep_groups=2)
+    assert all(np.isfinite(float(v)) for v in aux.values())
+
+    # gradients flow through the aux terms
+    g = jax.grad(lambda p: lm_loss(p, cfg, ids, mask, balance_alpha=0.01, z_alpha=0.001))(params)
+    gate_g = g["layers"]["mlp"]["gate"]["w"]
+    assert np.isfinite(np.asarray(gate_g)).all()
