@@ -65,6 +65,7 @@ def lm_loss(
     balance_alpha: float = 0.0,
     z_alpha: float = 0.0,
     group_alpha: float = 0.0,
+    logits_l2_alpha: float = 0.0,
     ep_groups: int = 1,
 ):
     """Causal LM loss over a right-padded batch. input_ids: (B, T).
@@ -95,6 +96,11 @@ def lm_loss(
         loss = loss + balance_alpha * aux["balance"] + z_alpha * aux["z"]
         if group_alpha > 0:
             loss = loss + group_alpha * aux["group_balance"]
+    if logits_l2_alpha > 0:
+        # reference last_logits_l2_loss (modeling_utils.py:599-607): mean L2
+        # norm of the LM logits over supervised positions
+        l2 = jnp.linalg.norm(logits.astype(jnp.float32), ord=2, axis=-1)
+        loss = loss + logits_l2_alpha * jnp.sum(l2 * mask) / jnp.maximum(jnp.sum(mask), 1.0)
     return loss
 
 
