@@ -36,6 +36,30 @@ def bench_mingtok_recon(batch: int = 8, iters: int = 10, warmup: int = 2):
     return batch / dt
 
 
+def bench_prefill_int4(T: int = 2048) -> float:
+    """Full 28-layer int4 prefill tok/s (fused grouped-SwiGLU dispatch,
+    ops/kernels/moe_swiglu_gmm.py) — serving admission / T2I context seeding."""
+    from mingunivision_tpu.config import BailingMoeConfig
+    from mingunivision_tpu.models.bailing_moe import LLMCache, bailing_forward, init_bailing_moe_params
+    from mingunivision_tpu.utils.profiling import bench_fn
+    from mingunivision_tpu.utils.quantize import random_quantized_like
+
+    cfg = BailingMoeConfig(num_hidden_layers=28)
+    shapes = jax.eval_shape(lambda k: init_bailing_moe_params(k, cfg, dtype=jnp.bfloat16), jax.random.PRNGKey(0))
+    params = random_quantized_like(jax.random.PRNGKey(3), shapes, bits=4)
+    cache = LLMCache.create(cfg, 1, T, jnp.bfloat16)
+    mask = jnp.ones((1, T), bool)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, T, cfg.hidden_size), jnp.bfloat16)
+
+    @jax.jit
+    def prefill(p, x, cache, mask):
+        return bailing_forward(p, cfg, x, cache, mask)[0]
+
+    prefill(params, x, cache, mask)
+    t = bench_fn(lambda: prefill(params, x, cache, mask), iters=3, warmup=1)
+    return round(T / t)
+
+
 def bench_t2i_per_token(layers: int = 28, tokens: int = 8, iters: int = 2, bits: int = 8, rf_bits: int = 8):
     """Full-size T2I AR loop per-token cost, int8 LLM+RF (fits 28 layers on one
     v5e chip); see benchmarks/bench_t2i.py for the full sweep."""
@@ -113,6 +137,10 @@ if __name__ == "__main__":
             break
         except Exception as e:  # noqa: BLE001 — secondary metric must not kill the primary
             extra = {"t2i_error": str(e)[:160]}
+    try:
+        extra["prefill_int4_28l_tok_s"] = bench_prefill_int4()
+    except Exception as e:  # noqa: BLE001
+        extra["prefill_error"] = str(e)[:160]
     print(
         json.dumps(
             {
