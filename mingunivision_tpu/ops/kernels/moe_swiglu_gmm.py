@@ -25,6 +25,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
@@ -325,8 +326,6 @@ def _kernel_q4_chunked(
 
 
 def _swiglu_gmm_q4_chunked(xs, w1, w3, w2, group_sizes, *, tm, interpret):
-    import numpy as np
-
     A, h = xs.shape
     E, d_half, m = w1.q.shape
     m_half = m // 2
@@ -548,7 +547,7 @@ def swiglu_gmm_supported(experts, x_flat) -> bool:
     return False
 
 
-def moe_experts_swiglu_gmm(experts, x_flat, topk_idx, topk_w, num_experts: int, *, tm: int = 512, interpret: bool = False):
+def moe_experts_swiglu_gmm(experts, x_flat, topk_idx, topk_w, num_experts: int, *, tm: int = 256, interpret: bool = False):
     """Drop-in MoE prefill dispatch (same contract as moe_gmm.moe_experts_gmm)
     using the fused SwiGLU grouped matmul."""
     N, k = topk_idx.shape
