@@ -197,7 +197,7 @@ class ImageGenResult(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("llm_cfg", "mingtok_cfg", "rf_cfg", "gen_cfg", "cfg_rows"),
+    static_argnames=("llm_cfg", "mingtok_cfg", "rf_cfg", "gen_cfg", "cfg_rows", "n_images"),
     donate_argnames=("cache",),
 )
 def generate_image_tokens(
@@ -208,10 +208,11 @@ def generate_image_tokens(
     gen_cfg: ImageGenConfig,
     image_start_embed,  # (1, 1, h) embedding of the <image> token
     cache: LLMCache,  # already expanded to cfg_rows
-    row_masks,  # (R, Smax) bool — [cond, uncond(, text_uncond)] rows
+    row_masks,  # (R*n_images, Smax) bool — BLOCK-major CFG rows (see below)
     key,
     *,
     cfg_rows: int,
+    n_images: int = 1,
 ) -> ImageGenResult:
     """The jitted 256-token AR image loop.
 
@@ -220,18 +221,28 @@ def generate_image_tokens(
     step -> linear_proj -> next LLM input embedding; attention-mask buffers grow
     by one for every row (reference :1904-1952). A trailing LLM step produces
     the hidden state for the next text token (reference loops 257x, :1904).
+
+    BATCHED serving (n_images > 1): rows are laid out BLOCK-major —
+    [conds 0..n, unconds 0..n(, text_unconds 0..n)] — which is exactly the
+    thirds/halves split rf_sample's guidance uses, so the per-image CFG combine
+    vectorizes for free while the decode weight reads amortize over all rows.
+    Each image draws its OWN shared-across-rows RF noise. cache/row_masks must
+    be pre-arranged block-major (e.g. concatenate the per-image prefix caches
+    per CFG block).
     """
     R = cfg_rows
+    n_img = n_images
+    Rt = R * n_img  # total LLM rows
     n_tokens = gen_cfg.num_image_tokens
     h = image_start_embed.shape[-1]
     feat_dim = mingtok_cfg.feature_dim
     sem_dtype = image_start_embed.dtype
 
     sem_cache = make_semdec_cache(
-        mingtok_cfg.semantic_decoder, 1, n_tokens + 1, dtype=sem_dtype
+        mingtok_cfg.semantic_decoder, n_img, n_tokens + 1, dtype=sem_dtype
     )
-    sem_tokens0 = jnp.zeros((1, n_tokens, feat_dim), sem_dtype)
-    embeds0 = jnp.broadcast_to(image_start_embed, (R, 1, h))
+    sem_tokens0 = jnp.zeros((n_img, n_tokens, feat_dim), sem_dtype)
+    embeds0 = jnp.broadcast_to(image_start_embed, (Rt, 1, h))
 
     def cfg_at(i):
         if gen_cfg.cfg_schedule == "constant":
@@ -255,13 +266,18 @@ def generate_image_tokens(
     def body(i, state):
         embeds, cache, masks, sem_cache, sem_tokens, key = state
         # mark the position the current embeds will occupy, for every CFG row
-        masks = lax.dynamic_update_slice(masks, jnp.ones((R, 1), masks.dtype), (0, cache.length))
+        masks = lax.dynamic_update_slice(masks, jnp.ones((Rt, 1), masks.dtype), (0, cache.length))
         with jax.profiler.TraceAnnotation("imggen/llm_step"):
             hidden, cache = llm_step(embeds, cache, masks)
 
-        z = vis_head_apply(params["vis_head"], hidden[:, -1])  # (R, z)
+        z = vis_head_apply(params["vis_head"], hidden[:, -1])  # (Rt, z)
         tcfg, icfg = cfg_at(i)
         key, sub = jax.random.split(key)
+        if n_img > 1:
+            # per-image noise, shared across that image's CFG rows (block tile)
+            noise = jnp.tile(jax.random.normal(sub, (n_img, rf_cfg.target_channels), jnp.float32), (R, 1))
+        else:
+            noise = None  # rf_sample draws its own (bit-identical single-image path)
         latent = rf_sample(
             params["rf_head"],
             rf_cfg,
@@ -272,18 +288,19 @@ def generate_image_tokens(
             image_cfg=icfg,
             cfg_renorm_type=gen_cfg.cfg_renorm_type,
             time_shifting_factor=gen_cfg.time_shifting_factor,
-        )  # (R, 32) — all rows carry the guided sample
+            noise=noise,
+        )  # (Rt, 32) — all rows carry their image's guided sample
 
         with jax.profiler.TraceAnnotation("imggen/semdec_step"):
             sem_out, sem_cache = mingtok_feature_decoder(
-                params["mingtok"], mingtok_cfg, latent[0:1][:, None, :], sem_cache, compute_dtype=sem_dtype
+                params["mingtok"], mingtok_cfg, latent[:n_img][:, None, :], sem_cache, compute_dtype=sem_dtype
             )
-        sem = sem_out["x_norm_patchtokens"]  # (1, 1, feat)
+        sem = sem_out["x_norm_patchtokens"]  # (n_img, 1, feat)
         sem_tokens = lax.dynamic_update_slice(sem_tokens, sem.astype(sem_tokens.dtype), (0, i, 0))
 
         # (the reference's whole generate runs under bf16 autocast — keep bf16)
         nxt = linear_proj_apply(params["linear_proj"], sem).astype(embeds.dtype)
-        embeds = jnp.broadcast_to(nxt, (R, 1, h))
+        embeds = jnp.tile(nxt, (R, 1, 1))  # block-major broadcast to all CFG rows
         return (embeds, cache, masks, sem_cache, sem_tokens, key)
 
     state = (embeds0, cache, row_masks.astype(bool), sem_cache, sem_tokens0, key)
@@ -291,9 +308,9 @@ def generate_image_tokens(
 
     # trailing LLM step (reference iterates num_image_tokens+1 times): its hidden
     # state yields the logits for the next text token, and its KV stays in cache.
-    masks = lax.dynamic_update_slice(masks, jnp.ones((R, 1), masks.dtype), (0, cache.length))
+    masks = lax.dynamic_update_slice(masks, jnp.ones((Rt, 1), masks.dtype), (0, cache.length))
     hidden, cache = llm_step(embeds, cache, masks)
-    return ImageGenResult(sem_tokens, hidden[0:1, -1:], cache, masks)
+    return ImageGenResult(sem_tokens, hidden[:n_img, -1:], cache, masks)
 
 
 @functools.partial(jax.jit, static_argnames=("mingtok_cfg",))

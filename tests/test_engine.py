@@ -258,3 +258,58 @@ class TestCfgSchedules:
             jax.random.PRNGKey(0), cfg_rows=3,
         )
         assert np.isfinite(np.asarray(res.sem_tokens, np.float32)).all()
+
+
+class TestBatchedImageGen:
+    def test_batched_matches_layout_and_distinguishes_images(self, tiny_params):
+        """n_images=2 block-major rows: per-image sem tokens, per-image noise,
+        shared weight reads. Different prompts -> different images; same
+        prompt in both slots -> identical sem tokens (same in-batch noise? no —
+        noise differs per image, so only shapes/determinism are asserted there)."""
+        cfg, params = tiny_params
+        c = cfg.llm
+        Smax = 64
+        n_img, R = 2, 3
+
+        def prefix(ids):
+            cache = LLMCache.create(c, 1, Smax, jnp.float32)
+            mask = jnp.zeros((1, Smax), bool).at[:, : ids.shape[1]].set(True)
+            _, cache = bailing_forward(params["llm"], c, embed_tokens(params["llm"], ids), cache, mask)
+            return cache, mask
+
+        ids_a = jnp.asarray(np.random.default_rng(2).integers(0, 400, (1, 5)))
+        ids_b = jnp.asarray(np.random.default_rng(7).integers(0, 400, (1, 5)))
+        cache_a, mask_a = prefix(ids_a)
+        cache_b, mask_b = prefix(ids_b)
+        uncond = jnp.zeros((1, Smax), bool).at[:, :2].set(True)
+
+        # BLOCK-major rows: [cond_a, cond_b, unc_a, unc_b, tu_a, tu_b]
+        rows = jnp.concatenate([mask_a, mask_b, uncond, uncond, mask_a | uncond, mask_b | uncond], 0)
+        cache = LLMCache(
+            jnp.concatenate([cache_a.k, cache_b.k] * R, axis=1),
+            jnp.concatenate([cache_a.v, cache_b.v] * R, axis=1),
+            cache_a.length + 0,
+        )
+        start_embed = embed_tokens(params["llm"], jnp.asarray([[IMG_START]]))
+        res = generate_image_tokens(
+            params, c, cfg.mingtok, cfg.rf_head, cfg.image_gen, start_embed,
+            cache, rows, jax.random.PRNGKey(3), cfg_rows=R, n_images=n_img,
+        )
+        n = cfg.image_gen.num_image_tokens
+        assert res.sem_tokens.shape == (n_img, n, cfg.mingtok.feature_dim)
+        assert res.last_hidden.shape == (n_img, 1, c.hidden_size)
+        assert int(res.cache.length) == 5 + n + 1
+        # the two images must differ (different conditioning AND noise)
+        a, b = np.asarray(res.sem_tokens[0]), np.asarray(res.sem_tokens[1])
+        assert not np.allclose(a, b)
+        # deterministic
+        cache2 = LLMCache(
+            jnp.concatenate([cache_a.k, cache_b.k] * R, axis=1),
+            jnp.concatenate([cache_a.v, cache_b.v] * R, axis=1),
+            cache_a.length + 0,
+        )
+        res2 = generate_image_tokens(
+            params, c, cfg.mingtok, cfg.rf_head, cfg.image_gen, start_embed,
+            cache2, rows, jax.random.PRNGKey(3), cfg_rows=R, n_images=n_img,
+        )
+        np.testing.assert_allclose(np.asarray(res.sem_tokens), np.asarray(res2.sem_tokens), rtol=1e-5)
