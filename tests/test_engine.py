@@ -313,3 +313,32 @@ class TestBatchedImageGen:
             cache2, rows, jax.random.PRNGKey(3), cfg_rows=R, n_images=n_img,
         )
         np.testing.assert_allclose(np.asarray(res.sem_tokens), np.asarray(res2.sem_tokens), rtol=1e-5)
+
+
+class TestImageVariants:
+    def test_n_images_variants_one_prompt(self, tiny_params):
+        """n_images=2 yields two DIFFERENT variant images in one batched loop;
+        the conversation continues from variant 0."""
+        cfg, params = tiny_params
+        llm = dict(params["llm"])
+        w = np.asarray(llm["lm_head"]["w"]).copy()
+        w[:, IMG_START] = 10.0
+        p = {**params, "llm": {**params["llm"], "lm_head": {"w": jnp.asarray(w)}}}
+
+        rt = RuntimeConfig(max_seq_len=192, compute_dtype="float32")
+        sess = MingUniVisionSession(p, cfg, rt, seed=0)
+        ids = np.random.default_rng(3).integers(0, 400, (1, 6))
+        am = np.ones((1, 6), np.int64)
+        um = am.copy()
+        um[:, 3:] = 0
+        out = sess.generate(
+            ids, am, uncond_attention_mask=um, text_uncond_attention_mask=am,
+            generation=GenerationConfig(max_new_tokens=1), n_images=2,
+        )
+        assert len(out.images) == 2
+        a, b = out.images
+        assert a.shape == b.shape == (3, 32, 32)
+        assert not np.allclose(a, b)  # per-image noise -> distinct variants
+        # conversation state is single-row again
+        assert sess.cache.batch == 1
+        assert sess.seq_len == 6 + cfg.image_gen.num_image_tokens + 1
