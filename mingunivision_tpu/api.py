@@ -162,6 +162,7 @@ class MingUniVisionInfer:
         temperature: float = 1.0,
         top_k: int = 0,
         top_p: float = 1.0,
+        n_images: int = 1,
     ) -> str:
         text = self.processor.apply_chat_template(messages, add_generation_prompt=True)
         images = self.processor.process_vision_info(messages)
@@ -190,6 +191,7 @@ class MingUniVisionInfer:
             text_uncond_attention_mask=batch.text_uncond_attention_mask,
             pixel_values=batch.pixel_values,
             generation=gen,
+            n_images=n_images,
             image_gen=igen,
         )
         self.last_images = out.images  # programmatic access (serving layer)

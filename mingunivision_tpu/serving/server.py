@@ -202,6 +202,7 @@ class InferenceServer:
             temperature=float(payload.get("temperature", 1.0)),
             top_k=int(payload.get("top_k", 0)),
             top_p=float(payload.get("top_p", 1.0)),
+            n_images=int(payload.get("n_images", 1)),
         )
         images = [_png_b64(img) for img in getattr(self.infer, "last_images", [])]
         self.stats["requests"] += 1
