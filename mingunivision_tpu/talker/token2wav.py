@@ -112,7 +112,7 @@ class CosyVoiceDetokenizer:
 
     # -- core chunk step (reference token2wav, :533-614) ---------------------
 
-    def _chunk(self, state: T2WState, finalize: bool, key) -> tuple[np.ndarray, T2WState]:
+    def _chunk(self, state: T2WState, finalize: bool, key, speed: float = 1.0) -> tuple[np.ndarray, T2WState]:
         ratio = self.flow_cfg.token_mel_ratio
         mel = self._flow_jit(
             self.flow_params,
@@ -130,6 +130,14 @@ class CosyVoiceDetokenizer:
             mel = np.concatenate([state.mel, mel], axis=2)
         else:
             cache_source = np.zeros((1, 1, 0), np.float32)
+        if finalize and speed != 1.0:
+            # reference speed change (non-stream only): linear mel resample
+            # (modeling_bailing_talker.py:600-606)
+            assert state.mel is None, "speed change only supports non-stream inference"
+            T = int(mel.shape[2] / speed)
+            mel = np.asarray(
+                jax.image.resize(jnp.asarray(mel), (mel.shape[0], mel.shape[1], T), method="linear")
+            )
         speech, source = self._hift_jit(
             self.hift_params, jnp.asarray(mel), key, jnp.asarray(cache_source)
         )
@@ -196,10 +204,11 @@ class CosyVoiceDetokenizer:
         wav = np.concatenate(out, axis=1) if out else np.zeros((1, 0), np.float32)
         return wav, state
 
-    def synthesize(self, tokens, key) -> np.ndarray:
-        """One-shot non-streaming synthesis. tokens: (1, N) -> wav (1, S)."""
+    def synthesize(self, tokens, key, speed: float = 1.0) -> np.ndarray:
+        """One-shot non-streaming synthesis. tokens: (1, N) -> wav (1, S);
+        speed != 1.0 time-stretches via mel resampling (reference parity)."""
         state = T2WState(tokens=np.asarray(tokens, np.int32).reshape(1, -1))
-        wav, _ = self._chunk(state, finalize=True, key=key)
+        wav, _ = self._chunk(state, finalize=True, key=key, speed=speed)
         return wav
 
     # -- OmniAudioPipeline surface (talker/streaming.py) ---------------------

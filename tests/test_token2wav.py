@@ -100,3 +100,13 @@ def test_fade_in_out_blends():
     out = fade_in_out(a, b, win)
     np.testing.assert_allclose(out[0, :4], win[:4], atol=1e-6)  # pure fade-in of ones
     np.testing.assert_allclose(out[0, 4:], 1.0)
+
+
+def test_speed_change_resamples():
+    d = _tiny_detok()
+    tok = np.arange(8, dtype=np.int32)[None]
+    normal = d.synthesize(tok, jax.random.PRNGKey(4))
+    fast = d.synthesize(tok, jax.random.PRNGKey(4), speed=2.0)
+    assert fast.shape[1] == normal.shape[1] // 2  # half the mel frames -> half the samples
+    slow = d.synthesize(tok, jax.random.PRNGKey(4), speed=0.5)
+    assert slow.shape[1] == normal.shape[1] * 2
