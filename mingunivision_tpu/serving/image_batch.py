@@ -1,0 +1,110 @@
+"""Cross-request batched text-to-image: N DIFFERENT prompts, one AR loop.
+
+The decode phase of image generation is HBM-bandwidth bound, so co-scheduled
+requests share every step's weight reads (measured: 13.7 / 20.6 img/min at
+2 / 4 concurrent images vs ~7-9 single on one v5e chip — BENCHMARKS "Batched
+T2I"). This module assembles N independent requests into the BLOCK-major CFG
+layout `engine.generate.generate_image_tokens(n_images=N)` consumes:
+
+  - every prompt right-pads to one shared bucket length, so all prefix caches
+    end at the same `length` (the loop's shared write offset);
+  - rows are [cond_0..N | uncond_0..N | text_uncond_0..N]; a request without a
+    distinct text-uncond row reuses its uncond mask (with v_tu == v_u the
+    3-way guidance algebraically reduces to the 2-way formula);
+  - each image gets its own RF noise inside the loop.
+
+Reference bar: vLLM-style batched serving (ming_lite.patch registry) — the
+reference itself generates one image per generate() call.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mingunivision_tpu.config import ImageGenConfig, MingUniVisionConfig, RuntimeConfig
+from mingunivision_tpu.engine.generate import generate_image_tokens, pixel_decode, prefill
+from mingunivision_tpu.models.bailing_moe import LLMCache, embed_tokens
+
+
+def _bucket(n: int, step: int = 64) -> int:
+    return ((n + step - 1) // step) * step
+
+
+def batched_image_generation(
+    params,
+    cfg: MingUniVisionConfig,
+    runtime: RuntimeConfig,
+    requests: List[dict],
+    key,
+    igen: Optional[ImageGenConfig] = None,
+    image_start_token: Optional[int] = None,
+):
+    """requests: list of dicts with `input_ids` (1, T_i), `attention_mask`,
+    and optional `uncond_attention_mask` / `text_uncond_attention_mask`
+    (processor outputs). Returns images (N, 3, H, W) float32 in [-1, 1].
+    """
+    igen = igen or cfg.image_gen
+    llm_cfg = cfg.llm
+    start_tok = int(image_start_token if image_start_token is not None else llm_cfg.image_start_token)
+    dtype = jnp.float32 if runtime.compute_dtype == "float32" else jnp.bfloat16
+    n = len(requests)
+    Smax = runtime.max_seq_len
+    bucket = _bucket(max(np.asarray(r["input_ids"]).shape[1] for r in requests))
+    if bucket + igen.num_image_tokens + 2 > Smax:
+        raise ValueError("prompts + image tokens exceed max_seq_len")
+
+    conds, unconds, tunconds, caches = [], [], [], []
+    for r in requests:
+        ids = np.asarray(r["input_ids"])
+        T = ids.shape[1]
+        am = np.asarray(r["attention_mask"]).astype(bool)
+        um = np.asarray(r.get("uncond_attention_mask", am)).astype(bool)
+        tm = r.get("text_uncond_attention_mask")
+        tm = np.asarray(tm).astype(bool) if tm is not None else um
+        ids_pad = np.zeros((1, bucket), np.int64)
+        ids_pad[:, :T] = ids
+
+        def full(m):
+            out = np.zeros((1, Smax), bool)
+            out[:, :T] = m
+            return jnp.asarray(out)
+
+        cond = full(am)
+        cache = LLMCache.create(llm_cfg, 1, Smax, dtype)
+        embeds = embed_tokens(params["llm"], jnp.asarray(ids_pad)).astype(dtype)
+        _, cache = prefill(params["llm"], llm_cfg, embeds, cache, cond)
+        # prefill rolls length back past padding; restore the SHARED bucket
+        # offset so every request's loop writes land at the same positions
+        # (the pad-slot kv exists but every row mask excludes it)
+        cache = LLMCache(cache.k, cache.v, jnp.int32(bucket))
+        caches.append(cache)
+        conds.append(cond)
+        unconds.append(full(um))
+        tunconds.append(full(tm))
+
+    # BLOCK-major rows; every CFG row of image i shares image i's prefix cache
+    row_masks = jnp.concatenate(conds + unconds + tunconds, axis=0)
+    k = jnp.concatenate([c.k for c in caches] * 3, axis=1)
+    v = jnp.concatenate([c.v for c in caches] * 3, axis=1)
+    cache = LLMCache(k, v, caches[0].length + 0)
+
+    start_embed = embed_tokens(params["llm"], jnp.asarray([[start_tok]])).astype(dtype)
+    result = generate_image_tokens(
+        {kk: params[kk] for kk in ("llm", "vis_head", "rf_head", "linear_proj", "mingtok")},
+        llm_cfg,
+        cfg.mingtok,
+        cfg.rf_head,
+        igen,
+        start_embed,
+        cache,
+        row_masks,
+        key,
+        cfg_rows=3,
+        n_images=n,
+    )
+    img = pixel_decode(params["mingtok"], cfg.mingtok, result.sem_tokens)
+    return np.asarray(img, np.float32)

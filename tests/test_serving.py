@@ -219,3 +219,33 @@ def test_mixed_load(tiny_infer):
 
     asyncio.run(run())
     srv.batch_worker.stop()
+
+
+def test_generate_image_batch_endpoint(tiny_infer):
+    """N independent prompts -> one batched AR loop -> N base64 PNGs."""
+    import asyncio
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from mingunivision_tpu.serving.server import InferenceServer
+
+    srv = InferenceServer(tiny_infer)
+    app = srv.build_app()
+
+    async def run():
+        async with TestClient(TestServer(app)) as client:
+            msgs = lambda t: [{"role": "HUMAN", "content": [{"type": "text", "text": t}]}]
+            r = await client.post(
+                "/generate_image_batch",
+                json={"requests": [msgs("a red cat"), msgs("a blue dog in the park")], "seed": 1},
+            )
+            assert r.status == 200, await r.text()
+            out = await r.json()
+            assert out["ret_code"] == 0
+            assert len(out["images"]) == 2
+            assert all(isinstance(im, str) and len(im) > 100 for im in out["images"])
+
+            r = await client.post("/generate_image_batch", json={})
+            assert r.status == 400
+
+    asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
