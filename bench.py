@@ -60,9 +60,12 @@ def bench_prefill_int4(T: int = 2048) -> float:
     return round(T / t)
 
 
-def bench_t2i_per_token(layers: int = 28, tokens: int = 8, iters: int = 2, bits: int = 8, rf_bits: int = 8):
-    """Full-size T2I AR loop per-token cost, int8 LLM+RF (fits 28 layers on one
-    v5e chip); see benchmarks/bench_t2i.py for the full sweep."""
+def bench_t2i_per_token(layers: int = 28, tokens: int = 8, iters: int = 2, bits: int = 8, rf_bits: int = 8, n_images: int = 1):
+    """Full-size T2I AR loop per-token cost (fits 28 layers on one v5e chip);
+    n_images > 1 measures the BLOCK-major batched loop (3*n CFG rows, guided —
+    tests/test_cfg_parity.py pins parity with the single-image path). Returns
+    ms per AR token (per batch step, not per image). See benchmarks/bench_t2i.py
+    for the full sweep."""
     from mingunivision_tpu.config import BailingMoeConfig, ImageGenConfig, MingUniVisionConfig
     from mingunivision_tpu.engine.generate import generate_image_tokens, init_linear_proj_params
     from mingunivision_tpu.models.bailing_moe import LLMCache, embed_tokens, init_bailing_moe_params
@@ -89,15 +92,17 @@ def bench_t2i_per_token(layers: int = 28, tokens: int = 8, iters: int = 2, bits:
         "linear_proj": init_linear_proj_params(ks[4], mm.mingtok.feature_dim, llm_cfg.hidden_size, mm.mlp_depth, dtype=dtype),
     }
     Smax = 1024
-    cache = LLMCache.create(llm_cfg, 3, Smax, dtype)
+    R = 3 * n_images
+    cache = LLMCache.create(llm_cfg, R, Smax, dtype)
     cache = LLMCache(cache.k, cache.v, jnp.int32(64))
-    masks = jnp.zeros((3, Smax), bool).at[:, :64].set(True)
+    masks = jnp.zeros((R, Smax), bool).at[:, :64].set(True)
     start_embed = embed_tokens(params["llm"], jnp.asarray([[1]])).astype(dtype)
     igen = ImageGenConfig(num_image_tokens=tokens)
 
     def run(cache_in, k):
         return generate_image_tokens(
-            params, llm_cfg, mm.mingtok, mm.rf_head, igen, start_embed, cache_in, masks, k, cfg_rows=3
+            params, llm_cfg, mm.mingtok, mm.rf_head, igen, start_embed, cache_in, masks, k,
+            cfg_rows=3, n_images=n_images,
         ).sem_tokens
 
     def fresh():
@@ -120,20 +125,31 @@ if __name__ == "__main__":
     ips = bench_mingtok_recon()
     extra = {}
     # T2I tiers, best first: full-depth full-int4 single chip, then the
-    # int8-RF quality-margin tier, then the 8-layer bf16 proxy
+    # int8-RF quality-margin tier, then the 8-layer bf16 proxy.
+    # DIRECT full-length runs (VERDICT r2 #9): 256 AR tokens measured
+    # end-to-end, no per-token extrapolation.
     for layers, bits, rf_bits, tag in (
         (28, 4, 4, "int4llm_int4rf_28layer"),
         (28, 4, 8, "int4llm_int8rf_28layer"),
         (8, 16, 16, "bf16_8layer_proxy"),
     ):
         try:
-            ms = bench_t2i_per_token(layers=layers, bits=bits, rf_bits=rf_bits)
+            ms = bench_t2i_per_token(layers=layers, bits=bits, rf_bits=rf_bits, tokens=256, iters=1)
             extra = {
                 "t2i_config": tag,
-                "t2i_per_token_ms": round(ms, 1),
-                "t2i_seconds_per_image_256tok": round(ms * 256 / 1e3, 1),
+                "t2i_measurement": "direct_256tok",
+                "t2i_per_token_ms": round(ms, 2),
+                "t2i_seconds_per_image_256tok": round(ms * 256 / 1e3, 2),
                 "t2i_images_per_min": round(60.0 / (ms * 256 / 1e3), 2),
             }
+            # batched serving tier: n guided images through ONE block-major
+            # loop (re-measured post CFG fix — the round-2 numbers ran the
+            # unguided branch and are void)
+            try:
+                msb = bench_t2i_per_token(layers=layers, bits=bits, rf_bits=rf_bits, tokens=256, iters=1, n_images=8)
+                extra["t2i_batched_n8_images_per_min"] = round(8 * 60.0 / (msb * 256 / 1e3), 2)
+            except Exception as e:  # noqa: BLE001
+                extra["t2i_batched_error"] = str(e)[:160]
             break
         except Exception as e:  # noqa: BLE001 — secondary metric must not kill the primary
             extra = {"t2i_error": str(e)[:160]}

@@ -273,11 +273,6 @@ def generate_image_tokens(
         z = vis_head_apply(params["vis_head"], hidden[:, -1])  # (Rt, z)
         tcfg, icfg = cfg_at(i)
         key, sub = jax.random.split(key)
-        if n_img > 1:
-            # per-image noise, shared across that image's CFG rows (block tile)
-            noise = jnp.tile(jax.random.normal(sub, (n_img, rf_cfg.target_channels), jnp.float32), (R, 1))
-        else:
-            noise = None  # rf_sample draws its own (bit-identical single-image path)
         latent = rf_sample(
             params["rf_head"],
             rf_cfg,
@@ -288,7 +283,7 @@ def generate_image_tokens(
             image_cfg=icfg,
             cfg_renorm_type=gen_cfg.cfg_renorm_type,
             time_shifting_factor=gen_cfg.time_shifting_factor,
-            noise=noise,
+            cfg_rows=R,  # explicit: block-major B = R*n_img must stay GUIDED
         )  # (Rt, 32) — all rows carry their image's guided sample
 
         with jax.profiler.TraceAnnotation("imggen/semdec_step"):

@@ -185,30 +185,44 @@ def rf_sample(
     cfg_renorm_type: Optional[str] = None,
     time_shifting_factor: Optional[float] = None,
     noise=None,
+    cfg_rows: Optional[int] = None,
 ):
     """Euler-ODE sampling of a continuous latent conditioned on z.
 
-    z: (B, z_channels). For the CFG path, B is the CFG batch (2 or 3 rows,
-    [cond, uncond(, text_uncond)]): the guidance structure follows the batch size
-    (reference :144-171 branches on b_num) and ONE shared noise row is tiled
-    across the rows (:117-121). text_cfg/image_cfg may be python floats OR traced
-    scalars (cfg schedules) — the branch structure is static, the values aren't.
+    z: (B, z_channels). For the CFG path, B = cfg_rows * n_images laid out
+    BLOCK-major — [conds 0..n, unconds 0..n(, text_unconds 0..n)] — matching the
+    reference's [cond, uncond(, text_uncond)] rows at n=1 (reference :144-171
+    branches on b_num). Each image's shared noise row is tiled across its CFG
+    rows (:117-121). `cfg_rows` is the guidance structure (1, 2, or 3); when
+    None it is inferred from B for backward compat (B in (2, 3) -> that many
+    rows, else unguided) — batched callers MUST pass it explicitly, since
+    B = 3*n_images > 3 is indistinguishable from an unguided batch.
+    text_cfg/image_cfg may be python floats OR traced scalars (cfg schedules) —
+    the branch structure is static, the values aren't.
 
-    Returns (B, target_channels) — every row holds the guided sample.
+    Returns (B, target_channels) — every row holds its image's guided sample.
     """
     B = z.shape[0]
     dtype = z.dtype
-    cfg_rows = B if B in (2, 3) else 1
+    if cfg_rows is None:
+        cfg_rows = B if B in (2, 3) else 1
+    if B % cfg_rows != 0:
+        raise ValueError(f"batch {B} not divisible by cfg_rows {cfg_rows}")
+    n_img = B // cfg_rows
     if noise is None:
-        if cfg_rows > 1:
-            noise = jax.random.normal(key, (1, cfg.target_channels), jnp.float32)
-            noise = jnp.tile(noise, (B, 1)) * temperature
-        else:
-            noise = jax.random.normal(key, (B, cfg.target_channels), jnp.float32) * temperature
+        # One noise row per IMAGE, tiled block-major across that image's CFG
+        # rows. Keys are fold_in(key, image_index) so image i's noise does not
+        # depend on n_img: batched image 0 is bit-identical to a single-image
+        # run with the same key (the batched<->single parity tests rely on it).
+        img_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n_img))
+        noise = jax.vmap(lambda k: jax.random.normal(k, (cfg.target_channels,), jnp.float32))(img_keys)
+        noise = jnp.tile(noise, (cfg_rows, 1)) * temperature
     else:
         noise = jnp.asarray(noise, jnp.float32)
-        if noise.shape[0] == 1 and B > 1:
-            noise = jnp.tile(noise, (B, 1))
+        if noise.shape[0] != B:
+            if B % noise.shape[0] != 0:
+                raise ValueError(f"noise rows {noise.shape[0]} don't tile batch {B}")
+            noise = jnp.tile(noise, (B // noise.shape[0], 1))
         noise = noise * temperature
 
     ts, dts = _time_grid(cfg, time_shifting_factor)
