@@ -130,14 +130,20 @@ class MingUniVisionInfer:
             if quant_bits:
                 from mingunivision_tpu.utils.quantize import quantize_tree
 
+                # same tier resolution as the unsharded branch: rf_param_dtype
+                # may pin the RF head to a different width than the LLM
+                rf_bits = {"int8": 8, "int4": 4}.get(self.runtime.rf_param_dtype or self.runtime.param_dtype, quant_bits)
                 try:
                     cpus = jax.local_devices(backend="cpu") if jax.default_backend() != "cpu" else []
                 except RuntimeError:
                     cpus = []
                 ctx = jax.default_device(cpus[0]) if cpus else contextlib.nullcontext()
+                # int4 + mesh: pack expert down_proj tables SHARD-LOCALLY so the
+                # Pallas kernels stay eligible under the shard_map wrappers
+                mp = self.mesh.shape.get("model", 1)
                 with ctx:  # quantize on host, off the accelerator
-                    params["llm"] = quantize_tree(params["llm"], bits=quant_bits)
-                    params["rf_head"] = quantize_tree(params["rf_head"], bits=quant_bits)
+                    params["llm"] = quantize_tree(params["llm"], bits=quant_bits, model_shards=mp)
+                    params["rf_head"] = quantize_tree(params["rf_head"], bits=rf_bits)
         if tokenizer is None:
             try:
                 from transformers import AutoTokenizer

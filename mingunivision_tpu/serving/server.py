@@ -56,28 +56,51 @@ class BatchTextWorker:
 
         self.engine = engine
         self.eos_token_id = eos_token_id
+        from collections import deque
+
         self.queue: "_queue.Queue" = _queue.Queue()
+        self._pending: "deque" = deque()  # worker-local admission queue (drained by stop)
         self._inflight: list = []
         self._running = True
         self._thread = threading.Thread(target=self._loop, name="batch-worker", daemon=True)
         self._thread.start()
 
-    def submit(self, input_ids, max_new_tokens: int) -> dict:
+    def submit(self, input_ids, max_new_tokens: int, sampling: dict = None) -> dict:
         import threading
 
-        item = {"ids": input_ids, "max": int(max_new_tokens), "event": threading.Event(), "req": None}
+        item = {
+            "ids": input_ids,
+            "max": int(max_new_tokens),
+            "sampling": sampling or {},
+            "event": threading.Event(),
+            "req": None,
+        }
         self.queue.put(item)
         return item
 
     def stop(self):
+        import queue as _queue
+
         self._running = False
         self._thread.join(timeout=5)
+        # fail everything still queued / admitted-but-unfinished so handlers
+        # blocked on item["event"].wait() unblock instead of hanging forever
+        leftovers = list(self._pending) + list(self._inflight)
+        self._pending.clear()
+        self._inflight = []
+        try:
+            while True:
+                leftovers.append(self.queue.get_nowait())
+        except _queue.Empty:
+            pass
+        for item in leftovers:
+            item.setdefault("error", "server shutting down")
+            item["event"].set()
 
     def _loop(self):
         import queue as _queue
-        from collections import deque
 
-        pending = deque()
+        pending = self._pending
         while self._running:
             try:
                 while True:
@@ -87,7 +110,7 @@ class BatchTextWorker:
             while pending and self.engine.has_free_slot():
                 item = pending.popleft()
                 try:
-                    item["req"] = self.engine.add_request(item["ids"], item["max"])
+                    item["req"] = self.engine.add_request(item["ids"], item["max"], **item.get("sampling", {}))
                 except Exception as e:  # noqa: BLE001 — bad request must not kill the worker
                     item["error"] = str(e)
                     item["event"].set()
@@ -137,8 +160,15 @@ class InferenceServer:
         self.stats = {"requests": 0, "errors": 0, "tokens": 0, "images": 0}
         self._t0 = time.time()
         # per-session_id multi-round state: session_id -> MingUniVisionSession,
-        # LRU-evicted at max_sessions. All access happens on the single worker
-        # thread, so swapping infer.session per request is race-free.
+        # LRU-evicted at max_sessions. The map is touched from BOTH the asyncio
+        # event-loop thread (stream setup) and the executor thread, so it is
+        # lock-guarded; additionally each session carries its own non-blocking
+        # lock so two streams (or a stream and a one-shot) sharing a session_id
+        # cannot interleave KV-cache continuations — the loser gets OVERLOADED.
+        import threading
+
+        self._sessions_lock = threading.Lock()
+        self._session_locks: dict = {"default": threading.Lock()}
         self._sessions: OrderedDict = OrderedDict([("default", infer.session)])
         self.batch_worker = None
         if batch_slots > 0:
@@ -156,20 +186,44 @@ class InferenceServer:
     # -- request handling -----------------------------------------------------
 
     def _get_session(self, session_id: str):
-        if session_id in self._sessions:
-            self._sessions.move_to_end(session_id)
-            return self._sessions[session_id]
-        from mingunivision_tpu.engine.session import MingUniVisionSession
+        import threading
 
-        sess = MingUniVisionSession(
-            self.infer.params, self.infer.config, self.infer.runtime, mesh=getattr(self.infer, "mesh", None)
-        )
-        self._sessions[session_id] = sess
-        while len(self._sessions) > self.max_sessions:
-            evicted_id, _ = self._sessions.popitem(last=False)
-            if evicted_id == "default":  # never evict the default session
-                self._sessions["default"] = self.infer.session
-        return sess
+        with self._sessions_lock:
+            if session_id in self._sessions:
+                self._sessions.move_to_end(session_id)
+                return self._sessions[session_id]
+            from mingunivision_tpu.engine.session import MingUniVisionSession
+
+            sess = MingUniVisionSession(
+                self.infer.params, self.infer.config, self.infer.runtime, mesh=getattr(self.infer, "mesh", None)
+            )
+            self._sessions[session_id] = sess
+            self._session_locks.setdefault(session_id, threading.Lock())
+            while len(self._sessions) > self.max_sessions:
+                evicted_id, _ = self._sessions.popitem(last=False)
+                if evicted_id == "default":  # never evict the default session
+                    self._sessions["default"] = self.infer.session
+                else:
+                    self._session_locks.pop(evicted_id, None)
+            return sess
+
+    async def _lock_session(self, session_id: str, timeout: float = 300.0):
+        """Per-session lock: a request (and a stream, across ALL its chunks)
+        holds it, so concurrent requests on one session_id SERIALIZE instead of
+        crossing KV state; None after `timeout` (caller responds 409).
+        Acquisition polls from the EVENT-LOOP side — blocking in the executor
+        would deadlock, since the single executor thread is the one the current
+        holder needs for its next chunk."""
+        import threading
+
+        with self._sessions_lock:
+            lock = self._session_locks.setdefault(session_id, threading.Lock())
+        deadline = time.time() + timeout
+        while not lock.acquire(blocking=False):
+            if time.time() > deadline:
+                return None
+            await asyncio.sleep(0.01)
+        return lock
 
     def _decode_images(self, messages):
         """Inline base64 images ('data:' or raw b64 in image fields) -> PIL."""
@@ -263,6 +317,12 @@ class InferenceServer:
                     return web.json_response({"ret_code": int(RetCode.BAD_REQUEST), "error": "missing messages"}, status=400)
             except json.JSONDecodeError:
                 return web.json_response({"ret_code": int(RetCode.BAD_REQUEST), "error": "invalid json"}, status=400)
+            sid = str(payload.get("session_id", "default"))
+            lock = await self._lock_session(sid)
+            if lock is None:
+                return web.json_response(
+                    {"ret_code": int(RetCode.OVERLOADED), "error": f"session {sid!r} busy"}, status=409
+                )
             self.pending += 1
             try:
                 loop = asyncio.get_running_loop()
@@ -273,6 +333,7 @@ class InferenceServer:
                 return web.json_response({"ret_code": int(RetCode.INTERNAL_ERROR), "error": str(e)}, status=500)
             finally:
                 self.pending -= 1
+                lock.release()
 
         async def generate_stream(request):
             """Chunked streaming: one prefill, then KV-cache CONTINUATION chunks
@@ -282,52 +343,62 @@ class InferenceServer:
                 payload = await request.json()
             except json.JSONDecodeError:
                 return web.json_response({"ret_code": int(RetCode.BAD_REQUEST)}, status=400)
-            sse = bool(payload.get("sse", False))
-            ctype = "text/event-stream" if sse else "text/plain; charset=utf-8"
-            resp = web.StreamResponse(headers={"Content-Type": ctype, "Cache-Control": "no-cache"})
-            await resp.prepare(request)
-
-            def frame(piece: str, done: bool = False) -> bytes:
-                if not sse:
-                    return piece.encode()
-                event = {"text": piece, "done": done}
-                return f"data: {json.dumps(event, ensure_ascii=False)}\n\n".encode()
-
-            loop = asyncio.get_running_loop()
-            chunk = int(payload.get("stream_chunk_tokens", 16))
-            total = int(payload.get("max_new_tokens", 512))
-            first = dict(payload)
-            first["max_new_tokens"] = min(chunk, total)
-            result = await loop.run_in_executor(self.executor, self._run_generate, first)
-            await resp.write(frame(result["text"]))
-            eos = self.infer.config.llm.eos_token_id
-            emitted = chunk
-            # bind this stream's session: interleaved requests may swap
-            # infer.session (requests serialize, chunks of two streams interleave)
-            sess = self._get_session(str(payload.get("session_id", "default")))
-
-            def _continue(n):
-                out = sess.continue_decode(n)
-                ids = out.token_ids
-                done = bool(ids) and ids[-1] == eos
-                if done:
-                    ids = ids[:-1]
-                self.stats["tokens"] += len(ids)
-                return self.infer.processor.decode(ids), done or not out.token_ids
-
-            while emitted < total:
-                piece, done = await loop.run_in_executor(
-                    self.executor, _continue, min(chunk, total - emitted)
+            sid = str(payload.get("session_id", "default"))
+            # hold the per-session lock for the WHOLE stream: two streams on one
+            # session_id would interleave continue_decode chunks on shared KV
+            lock = await self._lock_session(sid)
+            if lock is None:
+                return web.json_response(
+                    {"ret_code": int(RetCode.OVERLOADED), "error": f"session {sid!r} busy"}, status=409
                 )
-                if piece:
-                    await resp.write(frame(piece))
-                emitted += chunk
-                if done:
-                    break
-            if sse:
-                await resp.write(frame("", done=True))
-            await resp.write_eof()
-            return resp
+            try:
+                sse = bool(payload.get("sse", False))
+                ctype = "text/event-stream" if sse else "text/plain; charset=utf-8"
+                resp = web.StreamResponse(headers={"Content-Type": ctype, "Cache-Control": "no-cache"})
+                await resp.prepare(request)
+
+                def frame(piece: str, done: bool = False) -> bytes:
+                    if not sse:
+                        return piece.encode()
+                    event = {"text": piece, "done": done}
+                    return f"data: {json.dumps(event, ensure_ascii=False)}\n\n".encode()
+
+                loop = asyncio.get_running_loop()
+                chunk = int(payload.get("stream_chunk_tokens", 16))
+                total = int(payload.get("max_new_tokens", 512))
+                first = dict(payload)
+                first["max_new_tokens"] = min(chunk, total)
+                result = await loop.run_in_executor(self.executor, self._run_generate, first)
+                await resp.write(frame(result["text"]))
+                eos = self.infer.config.llm.eos_token_id
+                emitted = chunk
+                # bind this stream's session once (lock held -> no one swaps it)
+                sess = self._get_session(sid)
+
+                def _continue(n):
+                    out = sess.continue_decode(n)
+                    ids = out.token_ids
+                    done = bool(ids) and ids[-1] == eos
+                    if done:
+                        ids = ids[:-1]
+                    self.stats["tokens"] += len(ids)
+                    return self.infer.processor.decode(ids), done or not out.token_ids
+
+                while emitted < total:
+                    piece, done = await loop.run_in_executor(
+                        self.executor, _continue, min(chunk, total - emitted)
+                    )
+                    if piece:
+                        await resp.write(frame(piece))
+                    emitted += chunk
+                    if done:
+                        break
+                if sse:
+                    await resp.write(frame("", done=True))
+                await resp.write_eof()
+                return resp
+            finally:
+                lock.release()
 
         async def generate_batch(request):
             """Text-only generation through the continuous-batching engine —
@@ -343,9 +414,18 @@ class InferenceServer:
                 return web.json_response({"ret_code": int(RetCode.BAD_REQUEST)}, status=400)
             text = self.infer.processor.apply_chat_template(messages, add_generation_prompt=True)
             batch = self.infer.processor(text=text)
-            item = self.batch_worker.submit(batch.input_ids.reshape(-1), int(payload.get("max_new_tokens", 128)))
+            sampling = {
+                k: payload[k]
+                for k in ("do_sample", "temperature", "top_k", "top_p")
+                if k in payload
+            }
+            item = self.batch_worker.submit(
+                batch.input_ids.reshape(-1), int(payload.get("max_new_tokens", 128)), sampling
+            )
             loop = asyncio.get_running_loop()
-            await loop.run_in_executor(None, item["event"].wait)
+            finished = await loop.run_in_executor(None, item["event"].wait, 600.0)
+            if not finished:
+                item["error"] = "batch worker timeout"
             if item.get("error") or item["req"] is None:
                 self.stats["errors"] += 1
                 return web.json_response(

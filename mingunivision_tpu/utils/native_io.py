@@ -62,6 +62,20 @@ def load_native() -> Optional[ctypes.CDLL]:
         except OSError:
             _build_failed = True
             return None
+        # A stale v1 build artifact (prebuilt .so predating the PrefetchQueue
+        # API) would crash callers with AttributeError — rebuild it, or fall
+        # back to the pure-Python paths if the rebuild doesn't help.
+        if not hasattr(lib, "mingio_version") or lib.mingio_version() < 2:
+            try:
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR, "-s", "-B"], check=True, capture_output=True, timeout=120
+                )
+                lib = ctypes.CDLL(_LIB_PATH)
+            except Exception:
+                lib = None
+            if lib is None or not hasattr(lib, "mingio_version") or lib.mingio_version() < 2:
+                _build_failed = True
+                return None
         lib.st_open.restype = ctypes.c_void_p
         lib.st_open.argtypes = [ctypes.c_char_p]
         lib.st_size.restype = ctypes.c_uint64
