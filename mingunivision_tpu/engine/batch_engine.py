@@ -24,12 +24,40 @@ import numpy as np
 from jax import lax
 
 from mingunivision_tpu.config import BailingMoeConfig
-from mingunivision_tpu.engine.sampler import sample_token
+from mingunivision_tpu.engine.sampler import sample_token, sample_token_per_slot
 from mingunivision_tpu.models.bailing_moe import LLMCache, embed_tokens
 from mingunivision_tpu.ops.attention import mha
 from mingunivision_tpu.ops.linear import dense
 from mingunivision_tpu.ops.norms import rms_norm
 from mingunivision_tpu.ops.rope import apply_rope, rope_cos_sin
+
+
+class SamplingState(NamedTuple):
+    """PER-SLOT sampling params as device arrays (vLLM SamplingParams analog,
+    ming_lite patch :2137-2157): a mixed greedy+sampled pool with different
+    temperatures/top-k/top-p shares ONE compiled decode step."""
+
+    do_sample: jax.Array  # (B,) bool
+    temperature: jax.Array  # (B,) f32
+    top_k: jax.Array  # (B,) int32 (0 = off)
+    top_p: jax.Array  # (B,) f32 (1.0 = off)
+
+    @classmethod
+    def create(cls, slots: int):
+        return cls(
+            jnp.zeros((slots,), bool),
+            jnp.ones((slots,), jnp.float32),
+            jnp.zeros((slots,), jnp.int32),
+            jnp.ones((slots,), jnp.float32),
+        )
+
+    def set_slot(self, slot: int, *, do_sample=False, temperature=1.0, top_k=0, top_p=1.0):
+        return SamplingState(
+            self.do_sample.at[slot].set(bool(do_sample)),
+            self.temperature.at[slot].set(float(temperature)),
+            self.top_k.at[slot].set(int(top_k)),
+            self.top_p.at[slot].set(float(top_p)),
+        )
 
 
 class BatchState(NamedTuple):
@@ -39,6 +67,7 @@ class BatchState(NamedTuple):
     lengths: jax.Array  # (B,) int32 — tokens in cache per slot
     cur: jax.Array  # (B,) int32 — next token to feed
     active: jax.Array  # (B,) bool
+    sampling: SamplingState
 
     @classmethod
     def create(cls, cfg: BailingMoeConfig, slots: int, max_len: int, dtype=jnp.bfloat16):
@@ -50,23 +79,20 @@ class BatchState(NamedTuple):
             jnp.zeros((slots,), jnp.int32),
             jnp.zeros((slots,), jnp.int32),
             jnp.zeros((slots,), bool),
+            SamplingState.create(slots),
         )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "do_sample", "temperature", "top_k", "top_p"), donate_argnames=("state",))
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
 def batched_decode_step(
     params,
     cfg: BailingMoeConfig,
     state: BatchState,
     key,
-    *,
-    do_sample: bool = False,
-    temperature: float = 1.0,
-    top_k: int = 0,
-    top_p: float = 1.0,
 ):
     """One decode step for every active slot (inactive slots compute but are
-    masked from state updates). Returns (new_state, sampled (B,) int32)."""
+    masked from state updates). Each slot samples with ITS OWN params
+    (state.sampling). Returns (new_state, sampled (B,) int32)."""
     B = state.cur.shape[0]
     Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     rows = jnp.arange(B)
@@ -112,13 +138,19 @@ def batched_decode_step(
     from mingunivision_tpu.models.bailing_moe import compute_logits as _logits
 
     logits = _logits(params, cfg, rms_norm(h, params["norm"]["w"], eps=cfg.rms_norm_eps))[:, -1]
-    nxt = sample_token(logits, key, do_sample=do_sample, temperature=temperature, top_k=top_k, top_p=top_p)
+    sp = state.sampling
+    nxt = sample_token_per_slot(
+        logits, key, do_sample=sp.do_sample, temperature=sp.temperature, top_k=sp.top_k, top_p=sp.top_p
+    )
 
     done = jnp.logical_or(nxt == cfg.eos_token_id, nxt == cfg.image_start_token)
     new_lengths = jnp.where(state.active, state.lengths + 1, state.lengths)
     new_active = jnp.logical_and(state.active, jnp.logical_not(done))
     out_tokens = jnp.where(state.active, nxt, -1)
-    return BatchState(nk, nv, mask, new_lengths, jnp.where(state.active, nxt, state.cur), new_active), out_tokens
+    return (
+        BatchState(nk, nv, mask, new_lengths, jnp.where(state.active, nxt, state.cur), new_active, sp),
+        out_tokens,
+    )
 
 
 @dataclasses.dataclass
@@ -128,6 +160,11 @@ class Request:
     request_id: int = 0
     tokens: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    # per-request sampling (None -> engine defaults)
+    do_sample: Optional[bool] = None
+    temperature: Optional[float] = None
+    top_k: Optional[int] = None
+    top_p: Optional[float] = None
 
 
 PREFILL_BUCKET = 64  # admission prompts right-pad to multiples of this
@@ -136,9 +173,10 @@ PREFILL_BUCKET = 64  # admission prompts right-pad to multiples of this
 class ContinuousBatchingEngine:
     """Host scheduler over the batched decode step.
 
-    Sampling config is engine-level and trace-static (one compiled decode step
-    for the pool; the vLLM analog of per-request params would force a dynamic
-    recompile per mixture)."""
+    Sampling params are PER-SLOT device arrays (BatchState.sampling): mixed
+    greedy+sampled requests with different temperature/top-k/top-p share one
+    compiled decode step — no recompiles per mixture. Engine-level kwargs are
+    the defaults for requests that don't specify their own."""
 
     def __init__(
         self,
@@ -177,13 +215,35 @@ class ContinuousBatchingEngine:
     def has_free_slot(self) -> bool:
         return self._free_slot() is not None
 
-    def add_request(self, input_ids: np.ndarray, max_new_tokens: int = 128) -> Optional[Request]:
-        """Admit a request: prefill into a free slot. None if pool is full."""
+    def add_request(
+        self,
+        input_ids: np.ndarray,
+        max_new_tokens: int = 128,
+        *,
+        do_sample: Optional[bool] = None,
+        temperature: Optional[float] = None,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
+    ) -> Optional[Request]:
+        """Admit a request: prefill into a free slot. None if pool is full.
+        Sampling kwargs override the engine defaults for THIS request only."""
         slot = self._free_slot()
         if slot is None:
             return None
-        req = Request(np.asarray(input_ids).reshape(-1), max_new_tokens, self._next_id)
+        req = Request(
+            np.asarray(input_ids).reshape(-1),
+            max_new_tokens,
+            self._next_id,
+            do_sample=do_sample,
+            temperature=temperature,
+            top_k=top_k,
+            top_p=top_p,
+        )
         self._next_id += 1
+        req_sampling = {
+            k: (getattr(req, k) if getattr(req, k) is not None else self.sampling[k])
+            for k in ("do_sample", "temperature", "top_k", "top_p")
+        }
         T = len(req.input_ids)
         assert T + max_new_tokens < self.max_len
 
@@ -199,7 +259,7 @@ class ContinuousBatchingEngine:
         embeds = embed_tokens(self.params, jnp.asarray(ids_pad)).astype(self.state.k.dtype)
         logits, cache1 = prefill(self.params, self.cfg, embeds, cache1, mask1)
         self.key, sub = jax.random.split(self.key)
-        first = int(sample_token(logits, sub, **self.sampling)[0])
+        first = int(sample_token(logits, sub, **req_sampling)[0])
 
         st = self.state
         self.state = BatchState(
@@ -209,6 +269,7 @@ class ContinuousBatchingEngine:
             st.lengths.at[slot].set(T),
             st.cur.at[slot].set(first),
             st.active.at[slot].set(True),
+            st.sampling.set_slot(slot, **req_sampling),
         )
         req.tokens.append(first)
         self.slot_req[slot] = req
@@ -231,7 +292,7 @@ class ContinuousBatchingEngine:
         if not self.slot_req:
             return {}
         self.key, sub = jax.random.split(self.key)
-        self.state, toks = batched_decode_step(self.params, self.cfg, self.state, sub, **self.sampling)
+        self.state, toks = batched_decode_step(self.params, self.cfg, self.state, sub)
         toks = np.asarray(toks)
         active = np.asarray(self.state.active)
         out = {}

@@ -97,3 +97,71 @@ class TestQuantizedBatching:
         assert req.done
         want = sequential_generate(qparams, cfg, ids, 6)
         assert req.tokens[: len(want)] == want
+
+
+class TestPerRequestSampling:
+    """VERDICT r2 #5: per-slot sampling params as device arrays — a mixed
+    greedy+sampled pool shares one compiled step and each request honors its
+    own params."""
+
+    def test_sampler_per_slot_semantics(self):
+        from mingunivision_tpu.engine.sampler import sample_token_per_slot
+
+        rng = np.random.default_rng(0)
+        logits = jnp.asarray(rng.standard_normal((4, 32)), jnp.float32)
+        key = jax.random.PRNGKey(1)
+        out = sample_token_per_slot(
+            logits,
+            key,
+            do_sample=jnp.asarray([False, True, True, True]),
+            temperature=jnp.asarray([1.0, 1.0, 1e-4, 5.0], jnp.float32),
+            top_k=jnp.asarray([0, 1, 0, 0], jnp.int32),
+            top_p=jnp.asarray([1.0, 1.0, 1.0, 1.0], jnp.float32),
+        )
+        am = np.argmax(np.asarray(logits), axis=-1)
+        assert int(out[0]) == am[0]  # greedy row
+        assert int(out[1]) == am[1]  # top_k=1 collapses to argmax
+        assert int(out[2]) == am[2]  # near-zero temperature collapses to argmax
+        # high-temperature row actually varies across keys
+        draws = {
+            int(
+                sample_token_per_slot(
+                    logits,
+                    jax.random.PRNGKey(s),
+                    do_sample=jnp.asarray([False, True, True, True]),
+                    temperature=jnp.asarray([1.0, 1.0, 1e-4, 5.0], jnp.float32),
+                    top_k=jnp.zeros((4,), jnp.int32),
+                    top_p=jnp.ones((4,), jnp.float32),
+                )[3]
+            )
+            for s in range(12)
+        }
+        assert len(draws) > 1
+
+    def test_mixed_pool_greedy_row_unperturbed(self, llm):
+        """A greedy request co-scheduled with a hot-sampled one produces
+        exactly its solo-run tokens (no sampling-param crosstalk)."""
+        cfg, params = llm
+        rng = np.random.default_rng(5)
+        ids_a = rng.integers(0, cfg.vocab_size, (7,))
+        ids_b = rng.integers(0, cfg.vocab_size, (5,))
+        want = sequential_generate(params, cfg, ids_a, 6)
+
+        eng = ContinuousBatchingEngine(params, cfg, slots=2, max_len=256, dtype=jnp.float32)
+        ra = eng.add_request(ids_a, max_new_tokens=6)  # engine default: greedy
+        rb = eng.add_request(ids_b, max_new_tokens=6, do_sample=True, temperature=3.0, top_k=0)
+        eng.run_to_completion()
+        assert ra.tokens[: len(want)] == want
+        assert rb.done and len(rb.tokens) >= 1
+
+    def test_sampled_request_varies_with_seed(self, llm):
+        cfg, params = llm
+        rng = np.random.default_rng(6)
+        ids = rng.integers(0, cfg.vocab_size, (6,))
+        outs = []
+        for seed in range(4):
+            eng = ContinuousBatchingEngine(params, cfg, slots=1, max_len=256, dtype=jnp.float32, seed=seed)
+            r = eng.add_request(ids, max_new_tokens=8, do_sample=True, temperature=4.0)
+            eng.run_to_completion()
+            outs.append(tuple(r.tokens))
+        assert len(set(outs)) > 1, "per-request do_sample had no effect"
