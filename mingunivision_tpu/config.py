@@ -224,6 +224,12 @@ class BailingMoeConfig(_JsonMixin):
     # stream kernel on each device's local expert shard + psum; otherwise (or
     # for int4 tables) it goes masked-dense (partitioned + psum'd by GSPMD).
     expert_tables_sharded: bool = False
+    # diagnostic/test override of the trace-time MoE dispatch selection:
+    # "dense" forces masked-dense everywhere (the conservative GSPMD path the
+    # sharded TPU graph falls back to) — used by the AOT 16B memory-analysis
+    # test so a CPU lowering reflects the real serving graph's temps instead of
+    # the CPU-only gather path. None = normal selection.
+    moe_force_dispatch: Any = None
     # runtime-only: the jax Mesh for the shard_map decode path (excluded from
     # JSON / equality; api.py fills it in when constructed with a mesh)
     expert_mesh: Any = dataclasses.field(default=None, compare=False, repr=False)

@@ -215,6 +215,12 @@ def _sharded_stream_ok(mesh, experts, x_flat, topk_idx) -> bool:
     return sharded_stream_supported(mesh, experts, x_flat, topk_idx)
 
 
+def _sharded_swiglu_ok(mesh, experts, x_flat, topk_idx) -> bool:
+    from mingunivision_tpu.parallel.moe_shard import sharded_swiglu_gmm_supported
+
+    return sharded_swiglu_gmm_supported(mesh, experts, x_flat, topk_idx)
+
+
 def moe_block_apply(params, cfg: BailingMoeConfig, x, image_mask=None, audio_mask=None, experts_stacked=None, layer_idx=None, return_router_stats: bool = False):
     """Sparse MoE block with multi-gate routing + shared experts.
 
@@ -260,7 +266,12 @@ def moe_block_apply(params, cfg: BailingMoeConfig, x, image_mask=None, audio_mas
     topk_w = topk_w.astype(x.dtype)
     on_tpu = jax.default_backend() == "tpu"
     probe = params["experts"] if experts_stacked is None else experts_stacked
-    if B * T <= MOE_GATHER_MAX_TOKENS:
+    if cfg.moe_force_dispatch == "dense":
+        # diagnostic override (see config): the conservative masked-dense path
+        # the sharded TPU graph falls back to — lets CPU AOT lowering reflect
+        # the serving graph's memory behavior
+        y = moe_experts_dense(sliced_experts(), x_flat, topk_idx, topk_w, cfg.num_experts)
+    elif B * T <= MOE_GATHER_MAX_TOKENS:
         # decode-shape dispatch. Measured on v5e (18 assignments, 64 experts,
         # full-expert blocks, round 2): fused stream kernel bf16 ~1.5-2.1 /
         # int8 1.23 ms/layer vs masked-dense bf16 1.88 / int8-XLA 1.95; the
@@ -316,6 +327,25 @@ def moe_block_apply(params, cfg: BailingMoeConfig, x, image_mask=None, audio_mas
             )
         elif GMM_AVAILABLE and on_tpu and not sharded and not isinstance(tabs["gate_proj"], QuantizedArray):
             y = moe_experts_gmm(tabs, x_flat, topk_idx, topk_w, cfg.num_experts)
+        elif on_tpu and sharded and cfg.expert_mesh is not None and _sharded_swiglu_ok(
+            cfg.expert_mesh, probe, x_flat, topk_idx
+        ):
+            # manual-SPMD fused prefill: each device runs the fused SwiGLU-gmm
+            # over its local (expert, model) table block + psum — keeps the
+            # measured 3.4-3.6x fused-kernel edge over GSPMD masked-dense at
+            # 4096 tokens under sharding (parallel/moe_shard.py)
+            from mingunivision_tpu.parallel.moe_shard import moe_experts_swiglu_gmm_sharded
+
+            y = moe_experts_swiglu_gmm_sharded(
+                cfg.expert_mesh,
+                probe,
+                x_flat,
+                topk_idx,
+                topk_w,
+                layer_idx=layer_idx if experts_stacked is not None else None,
+                num_experts=cfg.num_experts,
+                tm=128 if is_int4 else 256,
+            )
         else:
             y = moe_experts_dense(tabs, x_flat, topk_idx, topk_w, cfg.num_experts)
 

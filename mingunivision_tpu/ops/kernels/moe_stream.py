@@ -159,6 +159,10 @@ def stream_supported(experts, x_flat, topk_idx) -> bool:
     quant4 = all(_is_q(w, 4) for w in ws)
     if not (plain or quant8 or quant4):
         return False
+    if quant4 and any(getattr(w, "groups", 1) != 1 for w in ws):
+        # shard-locally packed tables (groups == model shards) are only valid
+        # inside the shard_map wrappers, which rewrap local blocks as groups=1
+        return False
     gp = experts["gate_proj"].q if (quant8 or quant4) else experts["gate_proj"]
     if quant4:
         E, d_half, m = gp.shape[-3:]  # tolerate a leading depth-stack axis

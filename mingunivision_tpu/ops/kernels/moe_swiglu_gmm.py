@@ -538,6 +538,8 @@ def swiglu_gmm_supported(experts, x_flat) -> bool:
         return h % 128 == 0 and m % 128 == 0
     for bits in (8, 4):
         if all(isinstance(w, QuantizedArray) and w.bits == bits for w in ws):
+            if bits == 4 and any(getattr(w, "groups", 1) != 1 for w in ws):
+                return False  # shard-locally packed: only valid inside shard_map
             q1 = ws[0].q
             E, dq, m = q1.shape
             h = dq * (2 if bits == 4 else 1)

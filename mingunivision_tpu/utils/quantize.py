@@ -22,23 +22,36 @@ import numpy as np
 
 @jax.tree_util.register_pytree_node_class
 class QuantizedArray:
-    """Pytree container: (q, s) are children, `bits` is static aux data — so
-    `lax.scan` can unstack layer-stacked quantized weights without touching a
-    0-d metadata leaf."""
+    """Pytree container: (q, s) are children, `bits`/`groups` are static aux —
+    so `lax.scan` can unstack layer-stacked quantized weights without touching
+    a 0-d metadata leaf.
 
-    __slots__ = ("q", "s", "bits")
+    `groups` (int4 only, default 1): number of contiguous split-halves pack
+    groups along the contraction dim. groups == G means the contraction dim was
+    divided into G equal blocks and each block packed independently (pair i
+    with i + n/(2G) inside its block). Used for SHARD-LOCAL packing: with
+    groups == model-mesh-size, a contiguous model-axis shard of the packed rows
+    is itself a valid single-group packed table, so the Pallas int4 kernels run
+    unchanged on each device's local shard (parallel/moe_shard.py)."""
 
-    def __init__(self, q, s, bits: int = 8):
+    __slots__ = ("q", "s", "bits", "groups")
+
+    def __init__(self, q, s, bits: int = 8, groups: int = 1):
         self.q = q
         self.s = s
         self.bits = int(bits) if not hasattr(bits, "dtype") else int(bits)
+        self.groups = int(groups)
 
     def tree_flatten(self):
-        return (self.q, self.s), self.bits
+        return (self.q, self.s), (self.bits, self.groups)
 
     @classmethod
-    def tree_unflatten(cls, bits, children):
-        return cls(children[0], children[1], bits)
+    def tree_unflatten(cls, aux, children):
+        if isinstance(aux, tuple):
+            bits, groups = aux
+        else:  # aux written by the pre-`groups` layout (old checkpoints)
+            bits, groups = aux, 1
+        return cls(children[0], children[1], bits, groups)
 
     @property
     def shape(self):
@@ -59,7 +72,7 @@ def _scale_axes(ndim: int):
     return ndim - 2
 
 
-def quantize_array(w, bits: int = 8) -> QuantizedArray:
+def quantize_array(w, bits: int = 8, groups: int = 1) -> QuantizedArray:
     """Symmetric per-channel quantization; int4 packs two nibbles per byte along
     the contraction axis (offset-binary, values in [-7, 7]).
 
@@ -67,6 +80,9 @@ def quantize_array(w, bits: int = 8) -> QuantizedArray:
     nibble plane IS rows [0, n/2), the high plane rows [n/2, n) — unpacking is a
     concat, and the fused Pallas MoE kernel needs only contiguous slices of the
     activations (no lane/sublane interleave on the TPU hot path).
+
+    groups > 1 (int4): pack each of `groups` contiguous contraction blocks
+    independently (shard-local packing — see QuantizedArray docstring).
     """
     w = jnp.asarray(w, jnp.float32)
     ax = _scale_axes(w.ndim)
@@ -74,14 +90,19 @@ def quantize_array(w, bits: int = 8) -> QuantizedArray:
     qmax = 127.0 if bits == 8 else 7.0
     s = jnp.maximum(amax / qmax, 1e-8)
     q = jnp.clip(jnp.round(w / s), -qmax, qmax).astype(jnp.int8)
-    if bits == 4:
-        n = w.shape[ax]
-        assert n % 2 == 0, "int4 needs an even contraction dim"
-        qo = (q + 8).astype(jnp.uint8)  # [1, 15]
-        lo = jnp.take(qo, jnp.arange(0, n // 2), axis=ax)
-        hi = jnp.take(qo, jnp.arange(n // 2, n), axis=ax)
-        q = (lo | (hi << 4)).astype(jnp.uint8)
-    return QuantizedArray(q, s.astype(jnp.float32), bits)
+    if bits != 4:
+        return QuantizedArray(q, s.astype(jnp.float32), bits)
+    n = w.shape[ax]
+    assert n % (2 * groups) == 0, (n, groups)
+    qo = (q + 8).astype(jnp.uint8)  # [1, 15]
+    blk = n // groups
+    packed = []
+    for g in range(groups):
+        lo = jnp.take(qo, jnp.arange(g * blk, g * blk + blk // 2), axis=ax)
+        hi = jnp.take(qo, jnp.arange(g * blk + blk // 2, (g + 1) * blk), axis=ax)
+        packed.append(lo | (hi << 4))
+    q = jnp.concatenate(packed, axis=ax).astype(jnp.uint8) if groups > 1 else packed[0].astype(jnp.uint8)
+    return QuantizedArray(q, s.astype(jnp.float32), bits, groups)
 
 
 def dequant_weight(w, dtype):
@@ -91,8 +112,19 @@ def dequant_weight(w, dtype):
             ax = _scale_axes(w.q.ndim)
             lo = (w.q & 0xF).astype(jnp.int8) - 8
             hi = (w.q >> 4).astype(jnp.int8) - 8
-            # split-halves packing: low plane is the first half, high the second
-            q = jnp.concatenate([lo, hi], axis=ax)
+            G = w.groups
+            if G == 1:
+                # split-halves: low plane is the first half, high the second
+                q = jnp.concatenate([lo, hi], axis=ax)
+            else:
+                # per-group split-halves: interleave the G lo/hi block pairs
+                nb = w.q.shape[ax] // G  # packed rows per group
+                parts = []
+                for g in range(G):
+                    idx = jnp.arange(g * nb, (g + 1) * nb)
+                    parts.append(jnp.take(lo, idx, axis=ax))
+                    parts.append(jnp.take(hi, idx, axis=ax))
+                q = jnp.concatenate(parts, axis=ax)
             return (q.astype(jnp.float32) * w.s).astype(dtype)
         return (w.q.astype(jnp.float32) * w.s).astype(dtype)
     return w.astype(dtype)
@@ -106,18 +138,25 @@ def take_weight(w, idx, axis: int = 0):
     """
     if isinstance(w, QuantizedArray):
         s = w.s if w.s.shape[axis] == 1 else jnp.take(w.s, idx, axis=axis)
-        return QuantizedArray(jnp.take(w.q, idx, axis=axis), s, w.bits)
+        return QuantizedArray(jnp.take(w.q, idx, axis=axis), s, w.bits, w.groups)
     return jnp.take(w, idx, axis=axis)
 
 
 _QUANT_MIN_SIZE = 1 << 16  # don't quantize small tensors (norms, biases, gates)
 
 
-def quantize_tree(params, bits: int = 8, min_size: int = _QUANT_MIN_SIZE):
+def quantize_tree(params, bits: int = 8, min_size: int = _QUANT_MIN_SIZE, model_shards: int = 1):
     """Quantize every large >=2-D floating leaf of a param pytree.
 
     Router gates, norms and biases stay fp (routing numerics are fp32-sensitive,
     reference gate softmax :509-511).
+
+    model_shards > 1 (int4 + mesh serving): pack expert `down_proj` tables
+    SHARD-LOCALLY (groups=model_shards) so the model-axis shard of the packed
+    rows each device receives is itself a valid packed table — the Pallas int4
+    kernels then run under the manual-SPMD shard_map wrappers instead of
+    degrading to masked-dense (VERDICT r2 #6). gate/up pack along the
+    (unsharded) h contraction dim, so they stay single-group.
     """
 
     def visit(path, x):
@@ -143,7 +182,12 @@ def quantize_tree(params, bits: int = 8, min_size: int = _QUANT_MIN_SIZE):
             return quantize_array(x, 8)  # embedding rows are gathered pre-dequant
         if bits == 4 and x.shape[_scale_axes(x.ndim)] % 2:
             return quantize_array(x, 8)
-        return quantize_array(x, bits)
+        groups = 1
+        if bits == 4 and model_shards > 1 and parts[-1] == "down_proj":
+            n = x.shape[_scale_axes(x.ndim)]
+            if n % (2 * model_shards) == 0:
+                groups = model_shards
+        return quantize_array(x, bits, groups=groups)
 
     return jax.tree_util.tree_map_with_path(visit, params)
 
