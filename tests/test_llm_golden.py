@@ -229,9 +229,8 @@ class TestFullWidthLayerParity:
         cfg = BailingMoeConfig(
             vocab_size=1024,  # embeddings are irrelevant — layer-level test
             num_hidden_layers=1,
-            # the numerics VERDICT flagged live in hidden width 2048 and the
-            # 64-expert fp32 router; a narrower expert FFN keeps the suite fast
-            moe_intermediate_size=512,
+            # everything else at the REAL 16B-A3B shape: hidden 2048, 64
+            # experts top-6, moe_inter 1408, 16Q/4KV heads x 128
         )
         ref_cfg = mbm.BailingMoeConfig(
             vocab_size=cfg.vocab_size,
@@ -324,3 +323,81 @@ class TestFullWidthLayerParity:
             layer0, cfg, jnp.asarray(x), jcos, jsin, kc, vc, jnp.int32(0), mask, None, None
         )
         np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
+
+    def test_router_tie_ordering(self, full_layer):
+        """Exact-tie probe: duplicated gate rows give experts IDENTICAL fp32
+        logits — our lax.top_k must pick the SAME expert ids as torch.topk
+        (both are lowest-index-first on ties; pinned here so a regression in
+        either library surfaces as a routing divergence, not silent drift)."""
+        mbm, ref_layer, params, cfg = full_layer
+        gate = ref_layer.mlp.gate
+        with torch.no_grad():
+            w = gate.weight.data.clone()
+            # clusters of identical rows: experts {0..3}, {10..13}, {40,41} tie
+            for grp in [(0, 1, 2, 3), (10, 11, 12, 13), (40, 41)]:
+                for e in grp[1:]:
+                    w[e] = w[grp[0]]
+            gate.weight.data.copy_(w)
+        gate_w = jnp.asarray(w.numpy().T)  # (h, E) — our layout
+        rng = np.random.default_rng(7)
+        x = (rng.standard_normal((64, cfg.hidden_size)) * 0.5).astype(np.float32)
+        with torch.no_grad():
+            t_idx, t_w, t_logits = gate(torch.tensor(x)[None])
+        j_idx, j_w, j_logits = moe_route(gate_w, jnp.asarray(x), cfg.num_experts_per_tok, cfg.norm_topk_prob)
+        k = cfg.num_experts_per_tok
+        t_idx = t_idx.numpy().reshape(-1, k)
+        t_w = t_w.numpy().reshape(-1, k)
+        j_idx = np.asarray(j_idx)
+        # MEASURED pin (this probe found it): torch.topk's order WITHIN an
+        # exact-tie class is unspecified (≈12% of tied picks differ from
+        # lowest-index-first), so id-level parity under exact ties is not a
+        # property of the reference either. What IS invariant:
+        #   (a) every divergent pick stays inside the same tie class — the
+        #       chosen experts' fp32 logits are bit-equal,
+        logits = np.asarray(j_logits, np.float32)
+        np.testing.assert_array_equal(
+            np.take_along_axis(logits, j_idx, axis=1),
+            np.take_along_axis(logits, t_idx, axis=1),
+        )
+        #   (b) rows with NO tie among the selected scores and a strict gap
+        #       to the best unselected score agree exactly on ordered ids,
+        sel = np.take_along_axis(logits, j_idx, axis=1)  # (N, k) ours, desc
+        rest = logits.copy()
+        np.put_along_axis(rest, j_idx, -np.inf, axis=1)
+        strict = (np.diff(sel, axis=1) < 0).all(axis=1) & (sel[:, -1] > rest.max(axis=1))
+        np.testing.assert_array_equal(j_idx[strict], t_idx[strict])
+        assert strict.mean() > 0.3  # the probe must still exercise agreement
+        #   (c) the normalized mixture weights are identical either way.
+        np.testing.assert_allclose(
+            np.sort(np.asarray(j_w), axis=1), np.sort(t_w, axis=1), rtol=1e-5, atol=1e-6
+        )
+        # and torch's fp32 logits match ours bit-for-bit is too strict across
+        # BLAS kernels — bound it tightly instead
+        np.testing.assert_allclose(logits, t_logits.numpy().reshape(-1, logits.shape[1]), rtol=1e-4, atol=1e-5)
+
+    def test_norm_head_at_full_vocab(self, full_layer):
+        """compute_logits(norm_head=True) vs the reference's compute_logit at
+        the REAL vocab 126464 x hidden 2048 (modeling_bailing_moe.py:1604-1620:
+        per-hidden-column L2 over the vocab axis, eps 1e-7, eval path casts the
+        normalized weight back to the activation dtype)."""
+        import dataclasses
+        import types
+
+        mbm, ref_layer, params, cfg = full_layer
+        V, H = 126464, cfg.hidden_size
+        torch.manual_seed(3)
+        lm_w = (torch.randn(V, H) * 0.02).float()
+        dummy = types.SimpleNamespace(
+            norm_head=True,
+            training=False,
+            lm_head=torch.nn.Linear(H, V, bias=False),
+        )
+        with torch.no_grad():
+            dummy.lm_head.weight.copy_(lm_w)
+            hidden = torch.randn(1, 3, H) * 0.5
+            want = mbm.BailingMoeForCausalLM.compute_logit(dummy, hidden).numpy()
+
+        jcfg = dataclasses.replace(cfg, vocab_size=V, norm_head=True)
+        jparams = {"lm_head": {"w": jnp.asarray(lm_w.numpy().T)}, "final_norm": params.get("final_norm")}
+        got = np.asarray(compute_logits(jparams, jcfg, jnp.asarray(hidden.numpy())))
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)

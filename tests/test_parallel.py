@@ -285,3 +285,67 @@ class TestPipelineParallel:
             h_pp, cache_pp = pipeline_decode_step(stage_params, cfg, e, cache_pp, mask, mesh=mesh, n_stages=S)
             h_pp = rms_norm(h_pp, qparams["norm"]["w"], eps=cfg.rms_norm_eps)
             np.testing.assert_allclose(np.asarray(h_pp), np.asarray(h_ref), rtol=2e-3, atol=2e-3)
+
+
+class TestAOT16BLower:
+    """VERDICT r2 #7: AOT-compile the REAL sharded 16B decode graph (no
+    execution, no weights — abstract args with (1, 2, 4) shardings on the
+    virtual 8-device mesh). This is the check that would have caught the
+    round-1 2.4 GB layout-copy OOM class: giant XLA temps show up in the
+    compiled memory analysis even though nothing runs."""
+
+    def test_16b_decode_step_lowers_and_compiles(self):
+        from mingunivision_tpu.models.bailing_moe import bailing_forward
+        from mingunivision_tpu.parallel.sharding import cache_sharding
+
+        import dataclasses
+
+        # real 16B shapes (h=2048, 28L, E=64); dispatch forced to masked-dense
+        # so the CPU lowering matches the sharded TPU serving graph instead of
+        # the CPU-only gather path (which all-gathers expert tables: ~8.6 GiB
+        # of temps that the TPU graph never allocates)
+        cfg = dataclasses.replace(BailingMoeConfig(), moe_force_dispatch="dense")
+        mesh = make_mesh(MeshConfig(data=1, expert=2, model=4))
+        B, S = 3, 4096  # CFG rows, serving context
+
+        params_sh = jax.eval_shape(
+            lambda k: init_bailing_moe_params(k, cfg, dtype=jnp.bfloat16), jax.random.PRNGKey(0)
+        )
+        param_shardings = llm_param_shardings(params_sh, mesh)
+        params_abs = jax.tree_util.tree_map(
+            lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+            params_sh,
+            param_shardings,
+        )
+        cache_sh = jax.eval_shape(lambda: LLMCache.create(cfg, B, S, jnp.bfloat16))
+        csh = cache_sharding(mesh, cache_sh)
+        cache_abs = jax.tree_util.tree_map(
+            lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh), cache_sh, csh
+        )
+        repl = NamedSharding(mesh, P())
+        embeds = jax.ShapeDtypeStruct((B, 1, cfg.hidden_size), jnp.bfloat16, sharding=repl)
+        mask = jax.ShapeDtypeStruct((B, S), jnp.bool_, sharding=repl)
+
+        @jax.jit
+        def decode_step(params, embeds, cache, mask):
+            hidden, cache = bailing_forward(params, cfg, embeds, cache, mask)
+            return hidden, cache
+
+        lowered = decode_step.lower(params_abs, embeds, cache_abs, mask)
+        compiled = lowered.compile()  # would raise on layout/sharding blowups
+        try:
+            ma = compiled.memory_analysis()
+        except Exception:
+            return  # backend without memory analysis: compile success is the gate
+        # per-device ARGUMENT bytes prove the (1, 2, 4) sharding really divides
+        # the 31 GiB bf16 16B tree 8 ways (~4.1 GiB/device)
+        arg_gib = ma.argument_size_in_bytes / 2**30
+        assert 3.5 < arg_gib < 5.0, f"sharded 16B args {arg_gib:.2f} GiB/device"
+        # TEMP baseline measured on the CPU backend: 8.5 GiB — XLA:CPU hoists
+        # an fp32 upcast of every scanned layer's bf16 expert tables out of the
+        # scan (~0.30 GiB x 28L; the TPU MXU consumes bf16 directly, so the
+        # TPU graph never allocates these). The bound is set one layout-copy
+        # regression above that CPU baseline: the round-1 class of bug
+        # (+2.4 GiB table-layout copies) trips it
+        temp_gib = ma.temp_size_in_bytes / 2**30
+        assert temp_gib < 10.5, f"decode-step XLA temps {temp_gib:.2f} GiB/device (CPU baseline 8.5)"
