@@ -50,6 +50,112 @@ class MingUtils:
         tok = MingUtils.GEN_IMAGE_SCALES.get(scale, "")
         return [{"role": "HUMAN", "content": [{"type": "text", "text": f"{prompt}{tok}"}]}]
 
+    @staticmethod
+    def build_prompt(
+        prompt: Optional[str] = None,
+        *,
+        image=None,
+        video=None,
+        audio=None,
+        history: Optional[List[dict]] = None,
+        sys_prompt: Optional[str] = None,
+        sample_rate: int = 16000,
+        max_frames: int = 32,
+        limit_images: int = 10,
+        limit_videos: int = 2,
+        limit_audios: int = 1,
+    ) -> List[dict]:
+        """Full multimodal prompt builder (reference ming_sdk build_prompt,
+        ming.py:104-221): one HUMAN turn assembled in the reference's content
+        order (SYSTEM text, video, images, audio, text), prepended with history
+        (dropped when a video is present) and passed through the media-budget
+        filter. `image` may be a single item or a list."""
+        content: List[dict] = []
+        if sys_prompt:
+            content.append({"type": "text", "text": f"SYSTEM: {sys_prompt}"})
+        if video is not None:
+            n = len(video) if isinstance(video, list) else max_frames
+            content.append({"type": "video", "video": video, "sample": "uniform", "max_frames": n})
+        if image is not None:
+            for single in image if isinstance(image, list) else [image]:
+                content.append({"type": "image", "image": single})
+        if audio is not None:
+            content.append({"type": "audio", "audio": audio, "sample_rate": sample_rate})
+        if prompt is not None:
+            content.append({"type": "text", "text": prompt})
+        messages = [{"role": "HUMAN", "content": content}]
+        if history and video is None:  # reference :176-177: video clears history
+            messages = list(history) + messages
+        return MingUtils.filter_message(messages, limit_images, limit_videos, limit_audios)
+
+    @staticmethod
+    def filter_message(
+        data: List[dict], limit_images: int = 10, limit_videos: int = 2, limit_audios: int = 1
+    ) -> List[dict]:
+        """Media-budget history filter (reference ming.py:46-102): keep the
+        final HUMAN turn if it fits the budgets, then walk history newest-first
+        admitting complete ASSISTANT+HUMAN pairs while the image/video budgets
+        hold; any history pair containing audio is dropped (history does not
+        support audio)."""
+
+        def counts(entry):
+            c = entry.get("content", [])
+            if not isinstance(c, list):
+                return 0, 0, 0
+            return (
+                sum(1 for x in c if x.get("type") == "image"),
+                sum(1 for x in c if x.get("type") == "video"),
+                sum(1 for x in c if x.get("type") == "audio"),
+            )
+
+        if not data:
+            return []
+        filtered: List[dict] = []
+        total_i = total_v = total_a = 0
+        last = data[-1]
+        if last.get("role") == "HUMAN":
+            li, lv, la = counts(last)
+            if li <= limit_images and lv <= limit_videos and la <= limit_audios:
+                filtered.append(last)
+                total_i, total_v, total_a = li, lv, la
+        tmp_h = tmp_a = None
+        for entry in reversed(data[:-1]):
+            if entry.get("role") == "HUMAN":
+                tmp_h = entry
+                if tmp_h is not None and tmp_a is not None:
+                    hi, hv, ha = counts(tmp_h)
+                    ai, av, aa = counts(tmp_a)
+                    ni, nv = total_i + hi + ai, total_v + hv + av
+                    if ni > limit_images or nv > limit_videos or (ha + aa) > 0:
+                        tmp_h = tmp_a = None
+                        continue
+                    filtered.append(tmp_a)
+                    filtered.append(tmp_h)
+                    total_i, total_v = ni, nv
+                    tmp_h = tmp_a = None
+            elif entry.get("role") == "ASSISTANT":
+                tmp_a = entry
+        return filtered[::-1]
+
+    @staticmethod
+    def build_img_prompt(prompt: str, image=None) -> List[dict]:
+        """Image-gen/edit message order (reference ming.py:223-281): text-to-
+        image puts the text FIRST and appends a 1x1 dummy image slot; editing
+        puts the source image first."""
+        if image is None:
+            try:
+                from PIL import Image as _Image
+
+                dummy = _Image.new("RGB", (1, 1), (0, 0, 0))
+            except Exception:  # PIL-free env: omit the dummy slot
+                return [{"role": "HUMAN", "content": [{"type": "text", "text": prompt}]}]
+            return [
+                {"role": "HUMAN", "content": [{"type": "text", "text": prompt}, {"type": "image", "image": dummy}]}
+            ]
+        return [
+            {"role": "HUMAN", "content": [{"type": "image", "image": image}, {"type": "text", "text": prompt}]}
+        ]
+
 
 class MingImg:
     """Diffusion image-generation loader slot (reference ming_sdk/ming.py:630-654).

@@ -114,9 +114,44 @@ def _en_int_to_words(n: int) -> str:
     return str(n)
 
 
+def _en_year_to_words(n: int) -> str:
+    """Tacotron-style year reading (reference en_num.py _expand_number):
+    1999 -> nineteen ninety nine, 2005 -> two thousand five, 1900 -> nineteen
+    hundred."""
+    if n == 2000:
+        return "two thousand"
+    if 2000 < n < 2010:
+        return "two thousand " + _en_int_to_words(n % 100)
+    if n % 100 == 0:
+        return _en_int_to_words(n // 100) + " hundred"
+    head = _en_int_to_words(n // 100)
+    tail = _en_int_to_words(n % 100)
+    if n % 100 < 10:
+        tail = "oh " + tail
+    return head + " " + tail
+
+
 def normalize_english_numbers(text: str) -> str:
-    """Digits inside English context -> words ($5 -> five dollars, 3rd -> third)."""
-    text = re.sub(r"\$([0-9]+)(?![\d.])", lambda m: _en_int_to_words(int(m.group(1))) + " dollars", text)
+    """Digits inside English context -> words ($5 -> five dollars, 3rd -> third,
+    £2 -> two pounds, 1999 -> nineteen ninety nine, 3.14 -> three point one four).
+    Covers the reference's tacotron-style en_num.py families without `inflect`
+    (not in this image)."""
+    # currency with optional cents (reference _expand_dollars)
+    def money(unit_one, unit_many, cent_one, cent_many):
+        def f(m):
+            parts = m.group(1).split(".")
+            whole = int(parts[0]) if parts[0] else 0
+            cents = int((parts[1] + "0")[:2]) if len(parts) > 1 and parts[1] else 0
+            out = []
+            if whole:
+                out.append(_en_int_to_words(whole) + " " + (unit_one if whole == 1 else unit_many))
+            if cents:
+                out.append(_en_int_to_words(cents) + " " + (cent_one if cents == 1 else cent_many))
+            return ", ".join(out) if out else "zero " + unit_many
+        return f
+
+    text = re.sub(r"\$([0-9]+(?:\.[0-9]+)?)(?![\d.])(?![一-鿿])", money("dollar", "dollars", "cent", "cents"), text)
+    text = re.sub(r"£([0-9]+(?:\.[0-9]+)?)(?![\d.])", money("pound", "pounds", "penny", "pence"), text)
     ordinals = {1: "first", 2: "second", 3: "third", 5: "fifth", 8: "eighth", 9: "ninth", 12: "twelfth"}
 
     def ordinal(m):
@@ -129,6 +164,18 @@ def normalize_english_numbers(text: str) -> str:
         return w + "th"
 
     text = re.sub(r"\b([0-9]+)(?:st|nd|rd|th)\b", ordinal, text)
+    # years in English context (tacotron rule: 1000 < n < 3000 reads as a year)
+    text = re.sub(
+        r"(?<=[a-zA-Z] )(1[0-9]{3}|2[0-9]{3})(?=[ ,.!?]|$)",
+        lambda m: _en_year_to_words(int(m.group(1))) if 1000 < int(m.group(1)) < 3000 else _en_int_to_words(int(m.group(1))),
+        text,
+    )
+    # decimals in English context: 3.14 -> three point one four
+    text = re.sub(
+        r"(?<=[a-zA-Z] )([0-9]+)\.([0-9]+)(?= ?[a-zA-Z]|$)",
+        lambda m: _en_int_to_words(int(m.group(1))) + " point " + " ".join(_EN_ONES[int(d)] for d in m.group(2)),
+        text,
+    )
     text = re.sub(r"(?<=[a-zA-Z] )([0-9]+)(?= ?[a-zA-Z])", lambda m: _en_int_to_words(int(m.group(1))), text)
     return text
 
@@ -156,19 +203,42 @@ class TextNormalizer:
         )
         # currency
         text = re.sub(r"￥\s*(\d+(?:\.\d+)?)", lambda m: _number_to_zh(m.group(1)) + "元", text)
-        text = re.sub(r"\$\s*(\d+(?:\.\d+)?)(?=[一-鿿]|$|[，。！？,.!?])", lambda m: _number_to_zh(m.group(1)) + "美元", text)
+        # CJK-context dollars only (ASCII '.'/',' excluded from the lookahead —
+        # they'd backtrack "$2.50" to "$2"; English money reads via en-num)
+        text = re.sub(r"\$\s*(\d+(?:\.\d+)?)(?=$|[一-鿿，。！？])", lambda m: _number_to_zh(m.group(1)) + "美元", text)
         # percent / fraction
         text = re.sub(r"(\d+(?:\.\d+)?)%", lambda m: "百分之" + _number_to_zh(m.group(1)), text)
         text = re.sub(r"(\d+)/(\d+)(?=[一-鿿]|$|[，。！？])", lambda m: _number_to_zh(m.group(2)) + "分之" + _number_to_zh(m.group(1)), text)
-        # dates + times
+        # dates + times (reference chronology.py families)
         text = re.sub(
             r"(\d{4})年(\d{1,2})月(\d{1,2})[日号]",
             lambda m: _digits_to_zh(m.group(1)) + "年" + _number_to_zh(m.group(2)) + "月" + _number_to_zh(m.group(3)) + "日",
             text,
         )
+
+        def _zh_time(h, mnt, sec=None):
+            out = _number_to_zh(h) + "点"
+            out += "半" if mnt == "30" and sec is None else _number_to_zh(mnt) + "分"
+            if sec is not None:
+                out += _number_to_zh(sec) + "秒"
+            return out
+
+        # time RANGE first (8:00-9:30 -> 八点到九点半), then h:m:s, then h:m
+        text = re.sub(
+            r"(\d{1,2}):(\d{2})[-~～](\d{1,2}):(\d{2})(?!\d)",
+            lambda m: _zh_time(m.group(1), m.group(2)) + "到" + _zh_time(m.group(3), m.group(4))
+            if int(m.group(1)) < 24 and int(m.group(3)) < 24
+            else m.group(0),
+            text,
+        )
+        text = re.sub(
+            r"(\d{1,2}):(\d{2}):(\d{2})(?!\d)",
+            lambda m: _zh_time(m.group(1), m.group(2), m.group(3)) if int(m.group(1)) < 24 else m.group(0),
+            text,
+        )
         text = re.sub(
             r"(\d{1,2}):(\d{2})(?!\d)",
-            lambda m: _number_to_zh(m.group(1)) + "点" + ("半" if m.group(2) == "30" else _number_to_zh(m.group(2)) + "分") if int(m.group(1)) < 24 else m.group(0),
+            lambda m: _zh_time(m.group(1), m.group(2)) if int(m.group(1)) < 24 else m.group(0),
             text,
         )
         # score 2比1 (reference num.py RE_VS-style)

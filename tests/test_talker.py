@@ -207,6 +207,23 @@ class TestTextNormalizerFamilies:
         assert self.tn("costs $25 total") == "costs twenty five dollars total"
         assert self.tn("has 42 items") == "has forty two items"
 
+    def test_english_years_money_decimals(self):
+        # tacotron-style year reading (reference en_num.py _expand_number)
+        assert self.tn("born in 1999.") == "born in nineteen ninety nine."
+        assert self.tn("since 2005 we") == "since two thousand five we"
+        assert self.tn("around 1900 or") == "around nineteen hundred or"
+        assert self.tn("in 1907 he") == "in nineteen oh seven he"
+        # pounds + dollar cents (reference _expand_dollars/_pounds_re)
+        assert self.tn("pay £2 now") == "pay two pounds now"
+        out = self.tn("it cost $2.50 then")
+        assert "two dollars" in out and "fifty cents" in out
+        # decimal point reading
+        assert self.tn("pi is 3.14 roughly") == "pi is three point one four roughly"
+
+    def test_time_ranges_and_seconds(self):
+        assert self.tn("8:00-9:30开会") == "八点零分到九点半开会"
+        assert self.tn("用时1:02:03完赛") == "用时一点二分三秒完赛"
+
 
 @pytest.fixture(scope="module")
 def tiny_exact_detok():
