@@ -182,6 +182,15 @@ class MingImg:
             )
         return self.decoder(prompt, query_embeds)
 
+    @staticmethod
+    def conditioning(params, llm_cfg, input_ids, query_tokens, **kw):
+        """Produce the query-token conditioning hiddens for an external
+        diffusion decoder (models/omni_imggen.omni_gen_hidden): the thinker-side
+        half of the omni image-gen path (vllm/ming_lite.patch:1939-1990)."""
+        from mingunivision_tpu.models.omni_imggen import omni_gen_hidden
+
+        return omni_gen_hidden(params, llm_cfg, input_ids, query_tokens, **kw)
+
 
 @dataclass
 class TalkerServerHandle:
