@@ -57,40 +57,40 @@ def batched_image_generation(
     if bucket + igen.num_image_tokens + 2 > Smax:
         raise ValueError("prompts + image tokens exceed max_seq_len")
 
-    conds, unconds, tunconds, caches = [], [], [], []
-    for r in requests:
+    conds, unconds, tunconds = [], [], []
+    ids_pad = np.zeros((n, bucket), np.int64)
+    for i, r in enumerate(requests):
         ids = np.asarray(r["input_ids"])
         T = ids.shape[1]
         am = np.asarray(r["attention_mask"]).astype(bool)
         um = np.asarray(r.get("uncond_attention_mask", am)).astype(bool)
         tm = r.get("text_uncond_attention_mask")
         tm = np.asarray(tm).astype(bool) if tm is not None else um
-        ids_pad = np.zeros((1, bucket), np.int64)
-        ids_pad[:, :T] = ids
+        ids_pad[i, :T] = ids
 
         def full(m):
             out = np.zeros((1, Smax), bool)
             out[:, :T] = m
             return jnp.asarray(out)
 
-        cond = full(am)
-        cache = LLMCache.create(llm_cfg, 1, Smax, dtype)
-        embeds = embed_tokens(params["llm"], jnp.asarray(ids_pad)).astype(dtype)
-        _, cache = prefill(params["llm"], llm_cfg, embeds, cache, cond)
-        # prefill rolls length back past padding; restore the SHARED bucket
-        # offset so every request's loop writes land at the same positions
-        # (the pad-slot kv exists but every row mask excludes it)
-        cache = LLMCache(cache.k, cache.v, jnp.int32(bucket))
-        caches.append(cache)
-        conds.append(cond)
+        conds.append(full(am))
         unconds.append(full(um))
         tunconds.append(full(tm))
 
+    # ONE batched prefill for all n requests (they right-pad to a shared
+    # bucket, so the cache length counter is row-uniform). CFG rows need no
+    # extra prefill: every row of an image shares its prompt's KV CONTENT —
+    # only the attention masks differ.
+    cond_masks = jnp.concatenate(conds, axis=0)  # (n, Smax)
+    cache = LLMCache.create(llm_cfg, n, Smax, dtype)
+    embeds = embed_tokens(params["llm"], jnp.asarray(ids_pad)).astype(dtype)
+    _, cache = prefill(params["llm"], llm_cfg, embeds, cache, cond_masks)
+    # prefill rolls length back past padding; restore the SHARED bucket offset
+    # so every request's loop writes land at the same positions (the pad-slot
+    # kv exists but every row mask excludes it)
     # BLOCK-major rows; every CFG row of image i shares image i's prefix cache
     row_masks = jnp.concatenate(conds + unconds + tunconds, axis=0)
-    k = jnp.concatenate([c.k for c in caches] * 3, axis=1)
-    v = jnp.concatenate([c.v for c in caches] * 3, axis=1)
-    cache = LLMCache(k, v, caches[0].length + 0)
+    cache = LLMCache(jnp.tile(cache.k, (1, 3, 1, 1, 1)), jnp.tile(cache.v, (1, 3, 1, 1, 1)), jnp.int32(bucket))
 
     start_embed = embed_tokens(params["llm"], jnp.asarray([[start_tok]])).astype(dtype)
     result = generate_image_tokens(
