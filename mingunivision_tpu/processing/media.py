@@ -157,9 +157,14 @@ class VideoReader:
         n = len(raw) // (w * h * 3)
         return np.frombuffer(raw, np.uint8)[: n * w * h * 3].reshape(n, h, w, 3)
 
-    def load(self, path: str, num_frames: int = 8) -> np.ndarray:
+    def load(self, path: str, num_frames: int = 8, sample: str = "uniform", query: Optional[str] = None, scorer=None) -> np.ndarray:
         total, fps, _, _ = self.probe(path)
-        return self.read_frames(path, sample_frame_indices(total, num_frames))
+        idx = sample_frame_indices(total, num_frames)
+        if sample == "adaptive" and len(idx) > 64:
+            frames = self.read_frames(path, idx)
+            rows = adaptive_frame_rows(frames, num_frames, query=query, scorer=scorer)
+            return frames[rows]
+        return self.read_frames(path, idx)
 
 
 # ---------------------------------------------------------------------------
@@ -224,6 +229,27 @@ def process_vision_info(conversations: List[dict], num_video_frames: int = 8):
                     reader = VideoReader()
                 videos.append(reader.load(c["video"], num_frames=num_video_frames))
     return (images or None), (videos or None)
+
+
+def adaptive_frame_rows(frames: np.ndarray, num_frames: int, query: Optional[str] = None, scorer=None) -> np.ndarray:
+    """LongVU-style adaptive merge over an already-read uniform batch
+    (reference bailingmm_utils.py:290-299): keep HALF the uniform grid
+    (linspace downsample), fill the freed budget with the top query-relevant
+    frames (select_frames_by_relevance ranking), return the SORTED union as
+    row indices into `frames`."""
+    T = frames.shape[0]
+    half = np.linspace(0, T - 1, max(1, T // 2), dtype=int)
+    budget = max(0, num_frames - len(half))
+    if budget == 0:
+        return half
+    if scorer is not None:
+        scores = np.asarray(scorer(frames, query), np.float64)
+    else:
+        f = frames.astype(np.float32) / 255.0
+        diff = np.abs(np.diff(f, axis=0)).mean(axis=(1, 2, 3))
+        scores = np.concatenate([[diff[0] if len(diff) else 1.0], diff])
+    ranked = [int(i) for i in np.argsort(-scores) if int(i) not in set(half.tolist())]
+    return np.sort(np.concatenate([half, np.asarray(ranked[:budget], int)])).astype(int)
 
 
 def select_frames_by_relevance(frames: np.ndarray, num_keep: int, query: Optional[str] = None, scorer=None) -> np.ndarray:

@@ -247,3 +247,33 @@ class TestVideoProcessing:
         vs = proc.tokenizer.convert_tokens_to_ids("<video>")
         ids = out.input_ids[0].tolist()
         assert ids.count(fp) == 8 and vs in ids
+
+
+class TestAdaptiveFrameMerge:
+    """LongVU-style adaptive merge (reference bailingmm_utils.py:290-299):
+    half uniform grid + relevance-ranked fill, sorted union."""
+
+    def test_merge_half_uniform_plus_relevant(self):
+        from mingunivision_tpu.processing.media import adaptive_frame_rows
+
+        T, num = 100, 80
+        frames = np.zeros((T, 4, 4, 3), np.uint8)
+        # scorer ranks the last frames most relevant
+        rows = adaptive_frame_rows(frames, num, scorer=lambda f, q: np.arange(T))
+        assert len(rows) == num
+        assert (np.diff(rows) > 0).all()  # sorted, unique
+        half = np.linspace(0, T - 1, T // 2, dtype=int)
+        assert set(half.tolist()) <= set(rows.tolist())  # uniform backbone kept
+        # the fill came from the TOP of the ranking (highest indices)
+        fill = sorted(set(rows.tolist()) - set(half.tolist()), reverse=True)
+        assert fill[0] == T - 2 or fill[0] == T - 1
+
+    def test_default_scorer_prefers_changing_frames(self):
+        from mingunivision_tpu.processing.media import adaptive_frame_rows
+
+        rng = np.random.default_rng(0)
+        T = 100
+        frames = np.zeros((T, 8, 8, 3), np.uint8)
+        frames[70] = rng.integers(0, 255, (8, 8, 3))  # one visually distinct moment
+        rows = adaptive_frame_rows(frames, 60)
+        assert 70 in rows or 71 in rows
