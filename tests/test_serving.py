@@ -249,3 +249,41 @@ def test_generate_image_batch_endpoint(tiny_infer):
             assert r.status == 400
 
     asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
+
+
+def test_same_session_streams_serialize(tiny_infer):
+    """Two concurrent streams on ONE session_id must not interleave KV
+    continuations (round-2 advisor finding): the per-session lock serializes
+    them, and each stream's output equals a solo run's."""
+    import asyncio
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from mingunivision_tpu.serving.server import InferenceServer
+
+    srv = InferenceServer(tiny_infer)
+    app = srv.build_app()
+
+    payload = {
+        "messages": [{"role": "HUMAN", "content": [{"type": "text", "text": "tell me"}]}],
+        "max_new_tokens": 8,
+        "stream_chunk_tokens": 4,
+        "session_id": "shared",
+        "reset": True,
+    }
+
+    async def run():
+        async with TestClient(TestServer(app)) as client:
+            async def stream():
+                r = await client.post("/generate_stream", json=payload)
+                assert r.status == 200
+                return (await r.read()).decode()
+
+            solo = await stream()
+            a, b = await asyncio.gather(stream(), stream())
+            # with reset=True each serialized stream re-runs the same round
+            assert a == solo and b == solo
+            m = await (await client.get("/metrics")).json()
+            assert m["errors"] == 0
+
+    asyncio.run(run())
