@@ -103,6 +103,97 @@ def _kernel(
             o_ref[...] = xcur_ref[...].astype(o_ref.dtype)
 
 
+def _unpack_mm4(q2d_u8, a_lo, a_hi, compute_dtype, mode: str):
+    """x_lo @ lo + x_hi @ hi over a split-halves packed int4 byte matrix.
+
+    mode selects HOW the nibbles reach the MXU (the VPU unpack is the exposed
+    cost at the RF head's tiny batch — BENCHMARKS "RF kernel chunk sweep"):
+      i32: widen to int32, mask+shift (round-2 default)
+      i16: widen to int16 only (half the VPU register traffic of i32)
+      i8:  mask/shift in the 8-bit domain, offset folded into fp
+      alg: NO shift at all — one masked convert L=f(b&15), one raw convert
+           f(b)=lo'+16*hi', then x_hi@hi' = (x_hi@f(b) - x_hi@L)/16; the
+           offset-binary -8 folds into rank-1 row-sum corrections. Trades a
+           third (tiny-M) matmul for most of the VPU unpack work.
+    """
+    if mode == "mxu":
+        # ZERO-cast path: the v5e MXU consumes bf16 x u8 mixed dots natively
+        # (probed on-device), so the only VPU work is ONE 8-bit mask per byte;
+        # hi' recovers via (x@b - x@(b&15))/16 and the offset-binary -8 folds
+        # into rank-1 row-sum corrections.
+        Lm = q2d_u8 & jnp.uint8(0xF)  # lo' in [0,15], stays u8
+        m_lo = jax.lax.dot_general(a_lo, Lm, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        m_all = jax.lax.dot_general(a_hi, q2d_u8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        m_hi_l = jax.lax.dot_general(a_hi, Lm, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        out = m_lo + (m_all - m_hi_l) * (1.0 / 16.0)
+        corr = 8.0 * (
+            jnp.sum(a_lo.astype(jnp.float32), axis=-1) + jnp.sum(a_hi.astype(jnp.float32), axis=-1)
+        )
+        return out - corr[:, None]
+    if mode == "alg":
+        # Mosaic only widens u8 via i32; one shared widen, NO shift, no -8 subs
+        qi = q2d_u8.astype(jnp.int32)
+        Lm = (qi & 0xF).astype(compute_dtype)  # lo' in [0,15]
+        Bf = qi.astype(compute_dtype)  # lo' + 16*hi'
+        m_lo = jax.lax.dot_general(a_lo, Lm, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        m_all = jax.lax.dot_general(a_hi, Bf, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        m_hi_l = jax.lax.dot_general(a_hi, Lm, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        out = m_lo + (m_all - m_hi_l) * (1.0 / 16.0)
+        corr = 8.0 * (
+            jnp.sum(a_lo.astype(jnp.float32), axis=-1) + jnp.sum(a_hi.astype(jnp.float32), axis=-1)
+        )
+        return out - corr[:, None]
+    if mode == "i16":
+        qb = q2d_u8.astype(jnp.int16)
+        lo = ((qb & 0xF) - 8).astype(compute_dtype)
+        hi = ((qb >> 4) - 8).astype(compute_dtype)
+    elif mode == "i8":
+        lo = (q2d_u8 & jnp.uint8(0xF)).astype(jnp.float32).astype(compute_dtype) - 8.0
+        hi = (q2d_u8 >> jnp.uint8(4)).astype(jnp.float32).astype(compute_dtype) - 8.0
+    else:  # i32
+        qb = q2d_u8.astype(jnp.int32)
+        lo = ((qb & 0xF) - 8).astype(compute_dtype)
+        hi = (((qb >> 4) & 0xF) - 8).astype(compute_dtype)
+    out = jax.lax.dot_general(a_lo, lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    out += jax.lax.dot_general(a_hi, hi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    return out
+
+
+def _quant_rows_s8(lo, hi):
+    """Dynamic per-row s8 quantization of the 2-dot integer-MXU operands.
+
+    For split-halves int4 bytes b = lo' | (hi' << 4) (offset-binary nibbles),
+    the compiled MXU treats BOTH int operands of a dot as SIGNED (measured:
+    s8 x u8 with byte 240 returns -16 contributions). The packed byte is
+    therefore consumed through s8(b ^ 0x80) = b - 128 exactly, which folds in:
+        16*hi = 16*hi' - 128 = (b - 128) - (b & 15)
+        x_lo@lo + x_hi@hi
+      = (x_lo - x_hi/16) @ (b & 15) + (x_hi @ s8(b^0x80))/16 - 8*rowsum(x_lo)
+    TWO s8 x s8 -> s32 dots per logical matmul — measured at the HBM floor on
+    v5e, while any bf16-operand mixed dot pays an internal VPU convert of
+    every weight byte (2-3x slower).
+    Returns (a1 s8, a2 s8, sa1 (N,1) f32, sa2 (N,1) f32, corr (N,1) f32).
+    """
+    lo32 = lo.astype(jnp.float32)
+    hi32 = hi.astype(jnp.float32)
+    c1 = lo32 - hi32 * (1.0 / 16.0)
+    sa1 = jnp.max(jnp.abs(c1), axis=-1, keepdims=True) / 127.0 + 1e-12
+    sa2 = jnp.max(jnp.abs(hi32), axis=-1, keepdims=True) / 127.0 + 1e-12
+    a1 = jnp.round(c1 / sa1).astype(jnp.int32).astype(jnp.int8)
+    a2 = jnp.round(hi32 / sa2).astype(jnp.int32).astype(jnp.int8)
+    corr = 8.0 * jnp.sum(lo32, axis=-1, keepdims=True)
+    return a1, a2, sa1, sa2, corr
+
+
+def _mm4_s8(q2d_u8, a1, a2, sa1, sa2, corr):
+    """The two integer dots + fp32 epilogue for _quant_rows_s8 operands."""
+    bx = jax.lax.bitcast_convert_type(q2d_u8 ^ jnp.uint8(0x80), jnp.int8)  # s8 == b - 128
+    m = bx & jnp.int8(0xF)  # low nibble of b, in [0, 15]
+    d1 = jax.lax.dot_general(a1, m, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+    d2 = jax.lax.dot_general(a2, bx, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+    return d1.astype(jnp.float32) * sa1 + d2.astype(jnp.float32) * (sa2 * (1.0 / 16.0)) - corr
+
+
 def _kernel_q4(
     x_ref,
     lnw_ref,
@@ -124,6 +215,7 @@ def _kernel_q4(
     *,
     ln_eps: float,
     compute_dtype,
+    unpack_mode: str = "i32",
 ):
     """int4 variant: w12 split-halves packed on the w axis (xs splits into
     contiguous halves), w3 packed on the hidden axis and consumed as ONE full
@@ -152,12 +244,8 @@ def _kernel_q4(
     xl, xh = xs[:, :half], xs[:, half:]
 
     def unpack_mm(q_ref, a_lo, a_hi):
-        qb = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1]).astype(jnp.int32)
-        lo = ((qb & 0xF) - 8).astype(compute_dtype)
-        hi = (((qb >> 4) & 0xF) - 8).astype(compute_dtype)
-        out = jax.lax.dot_general(a_lo, lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        out += jax.lax.dot_general(a_hi, hi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        return out
+        qb = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1])
+        return _unpack_mm4(qb, a_lo, a_hi, compute_dtype, unpack_mode)
 
     g = unpack_mm(q1_ref, xl, xh) * s1_ref[...].reshape(-1)[None, :] + b1_ref[...].reshape(-1)[None, :]
     u = unpack_mm(q2_ref, xl, xh) * s2_ref[...].reshape(-1)[None, :] + b2_ref[...].reshape(-1)[None, :]
@@ -172,17 +260,118 @@ def _kernel_q4(
         n_k = Hh // KC
 
         def body(k, po):
-            qb = q3_ref[0, pl.ds(k * KC, KC), :].astype(jnp.int32)
-            lo = ((qb & 0xF) - 8).astype(compute_dtype)
-            hi = (((qb >> 4) & 0xF) - 8).astype(compute_dtype)
+            qb = q3_ref[0, pl.ds(k * KC, KC), :]
             h_lo = h_ref[:, pl.ds(k * KC, KC)]
             h_hi = h_ref[:, pl.ds(Hh + k * KC, KC)]
-            po += jax.lax.dot_general(h_lo, lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-            po += jax.lax.dot_general(h_hi, hi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            po += _unpack_mm4(qb, h_lo, h_hi, compute_dtype, unpack_mode)
             return po
 
         po0 = jnp.zeros((h_ref.shape[0], w), jnp.float32)
         po = jax.lax.fori_loop(0, n_k, body, po0)
+        po = po * s3_ref[...].reshape(-1)[None, :] + b3_ref[...].reshape(-1)[None, :]
+        mods = mods_ref[0]
+        xcur_ref[...] += mods[:, 2 * w :] * po
+
+        @pl.when(l == pl.num_programs(0) - 1)
+        def _flush():
+            o_ref[...] = xcur_ref[...].astype(o_ref.dtype)
+
+
+def _kernel_q4_s8(
+    x_ref,
+    lnw_ref,
+    lnb_ref,
+    q1_ref,  # (1, w/2, CH) uint8 packed gate cols
+    s1_ref,
+    b1_ref,
+    q2_ref,  # (1, w/2, CH) packed up cols
+    s2_ref,
+    b2_ref,
+    q3_ref,  # (1, H/2, w) packed down rows
+    s3_ref,
+    b3_ref,
+    mods_ref,
+    o_ref,
+    xcur_ref,  # VMEM f32 (Np, w) running activation
+    a1_ref,  # VMEM s8 (Np, w/2) quantized combo operand
+    a2_ref,  # VMEM s8 (Np, w/2) quantized hi operand
+    b1_sref,  # VMEM s8 (Np, H/2) down-proj combo operand
+    b2_sref,  # VMEM s8 (Np, H/2) down-proj hi operand
+    st_ref,  # VMEM f32 (Np, 128) per-row stats: [sa1, sa2, corr]
+    h_ref,  # VMEM (Np, H) hidden activations (compute dtype)
+    *,
+    ln_eps: float,
+    compute_dtype,
+):
+    """int4 stack via INTEGER MXU dots (the v5e-measured fast path): per block
+    the modulated activation quantizes ONCE to two s8 operands; each chunk then
+    costs only a u8 mask + two s8 x u8 -> s32 dots, which stream the packed
+    weights at the HBM floor (no per-byte float converts). Activation
+    quantization adds ~0.4% per-row error — negligible against the int4 weight
+    tier's own error (BENCHMARKS 'int4/int8 RF quality bound')."""
+    l = pl.program_id(0)
+    c = pl.program_id(1)
+    w = x_ref.shape[-1]
+    CH = q1_ref.shape[-1]
+    half = w // 2
+
+    @pl.when((l == 0) & (c == 0))
+    def _load_x():
+        xcur_ref[...] = x_ref[...].astype(jnp.float32)
+
+    @pl.when(c == 0)
+    def _modulate_and_quant():
+        x = xcur_ref[...]
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+        ln = (x - mu) * jax.lax.rsqrt(var + ln_eps)
+        ln = ln * lnw_ref[...].reshape(-1)[None, :] + lnb_ref[...].reshape(-1)[None, :]
+        mods = mods_ref[0]
+        xs = ln * (1.0 + mods[:, w : 2 * w]) + mods[:, :w]
+        a1, a2, sa1, sa2, corr = _quant_rows_s8(xs[:, :half], xs[:, half:])
+        a1_ref[...] = a1
+        a2_ref[...] = a2
+        st_ref[:, 0:1] = sa1
+        st_ref[:, 1:2] = sa2
+        st_ref[:, 2:3] = corr
+
+    a1 = a1_ref[...]
+    a2 = a2_ref[...]
+    sa1 = st_ref[:, 0:1]
+    sa2 = st_ref[:, 1:2]
+    corr = st_ref[:, 2:3]
+
+    def mm(q_ref):
+        qb = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1])
+        return _mm4_s8(qb, a1, a2, sa1, sa2, corr)
+
+    g = mm(q1_ref) * s1_ref[...].reshape(-1)[None, :] + b1_ref[...].reshape(-1)[None, :]
+    u = mm(q2_ref) * s2_ref[...].reshape(-1)[None, :] + b2_ref[...].reshape(-1)[None, :]
+    h_ref[:, pl.ds(c * CH, CH)] = (jax.nn.silu(g) * u).astype(h_ref.dtype)
+
+    @pl.when(c == pl.num_programs(1) - 1)
+    def _down_and_residual():
+        H = h_ref.shape[-1]
+        Hh = H // 2
+        hf = h_ref[...].astype(jnp.float32)
+        b1q, b2q, sb1, sb2, corrh = _quant_rows_s8(hf[:, :Hh], hf[:, Hh:])
+        b1_sref[...] = b1q
+        b2_sref[...] = b2q
+        KC = min(1024, Hh)
+        n_k = Hh // KC
+
+        def body(k, po):
+            qb = q3_ref[0, pl.ds(k * KC, KC), :]
+            bx = jax.lax.bitcast_convert_type(qb ^ jnp.uint8(0x80), jnp.int8)
+            m = bx & jnp.int8(0xF)
+            b1k = b1_sref[:, pl.ds(k * KC, KC)]
+            b2k = b2_sref[:, pl.ds(k * KC, KC)]
+            d1 = jax.lax.dot_general(b1k, m, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+            d2 = jax.lax.dot_general(b2k, bx, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+            return po + d1.astype(jnp.float32) * sb1 + d2.astype(jnp.float32) * (sb2 * (1.0 / 16.0))
+
+        po0 = jnp.zeros((h_ref.shape[0], w), jnp.float32)
+        po = jax.lax.fori_loop(0, n_k, body, po0) - corrh
         po = po * s3_ref[...].reshape(-1)[None, :] + b3_ref[...].reshape(-1)[None, :]
         mods = mods_ref[0]
         xcur_ref[...] += mods[:, 2 * w :] * po
@@ -211,12 +400,22 @@ def rf_mlp_supported(blocks) -> bool:
     return PALLAS_TPU and w % 128 == 0 and H % 128 == 0
 
 
-def rf_mlp_stack(blocks, x, mods, *, ln_eps: float = 1e-6, chunk: int = 2048, interpret: bool = False):
+INT4_UNPACK_MODE = "s8"  # v5e-measured best (1.02 ms/step vs i32 1.17 at the
+# real shape; see BENCHMARKS "RF int4 unpack sweep"). "s8" = integer-MXU dots
+# with per-row dynamically-quantized activations.
+
+
+def rf_mlp_stack(
+    blocks, x, mods, *, ln_eps: float = 1e-6, chunk: int = 2048, interpret: bool = False, unpack_mode: str = None
+):
     """Run the full ResBlock stack for one Euler step.
 
     blocks: depth-stacked res_blocks params (in_ln{w,b}, mlp{w12,w3} int8);
     x: (B, w); mods: (L, B, 3w) precomputed AdaLN rows. Returns (B, w).
+    unpack_mode (int4 only): nibble-unpack strategy, see _unpack_mm4.
     """
+    if unpack_mode is None:
+        unpack_mode = INT4_UNPACK_MODE
     w12 = blocks["mlp"]["w12"]["w"]
     w3 = blocks["mlp"]["w3"]["w"]
     b12 = blocks["mlp"]["w12"]["b"]  # (L, 2H)
@@ -249,8 +448,20 @@ def rf_mlp_stack(blocks, x, mods, *, ln_eps: float = 1e-6, chunk: int = 2048, in
         off = HC if spec_cols_up else 0
         return pl.BlockSpec((1, 1, width), lambda l, c: (l, 0, off + c))
 
-    if bits == 4:
-        kernel = functools.partial(_kernel_q4, ln_eps=ln_eps, compute_dtype=x.dtype)
+    extra_scratch = []
+    if bits == 4 and unpack_mode == "s8":
+        kernel = functools.partial(_kernel_q4_s8, ln_eps=ln_eps, compute_dtype=x.dtype)
+        w3_spec = pl.BlockSpec((1, H // 2, w), lambda l, c: (l, 0, 0))  # full, once per block
+        third_scratch = pltpu.VMEM((Np, H), x.dtype)
+        extra_scratch = [
+            pltpu.VMEM((Np, w // 2), jnp.int8),
+            pltpu.VMEM((Np, w // 2), jnp.int8),
+            pltpu.VMEM((Np, H // 2), jnp.int8),
+            pltpu.VMEM((Np, H // 2), jnp.int8),
+            pltpu.VMEM((Np, 128), jnp.float32),
+        ]
+    elif bits == 4:
+        kernel = functools.partial(_kernel_q4, ln_eps=ln_eps, compute_dtype=x.dtype, unpack_mode=unpack_mode)
         w3_spec = pl.BlockSpec((1, H // 2, w), lambda l, c: (l, 0, 0))  # full, once per block
         third_scratch = pltpu.VMEM((Np, H), x.dtype)
     else:
@@ -279,13 +490,15 @@ def rf_mlp_stack(blocks, x, mods, *, ln_eps: float = 1e-6, chunk: int = 2048, in
         ],
         out_specs=pl.BlockSpec((Np, w), lambda l, c: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((Np, w), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((Np, w), jnp.float32),
-            pltpu.VMEM((Np, w), x.dtype),
-            third_scratch,
-        ]
-        if PALLAS_TPU
-        else [],
+        scratch_shapes=(
+            (
+                [pltpu.VMEM((Np, w), jnp.float32)] + extra_scratch + [third_scratch]
+                if extra_scratch
+                else [pltpu.VMEM((Np, w), jnp.float32), pltpu.VMEM((Np, w), x.dtype), third_scratch]
+            )
+            if PALLAS_TPU
+            else []
+        ),
         interpret=interpret,
         **(
             {

@@ -335,5 +335,11 @@ class TestRFMLPStack:
             return h
 
         want = np.asarray(xla_stack(x))
-        got = np.asarray(rf_mlp_stack(blocks, x, mods, ln_eps=cfg.ln_eps, chunk=256, interpret=True))
-        np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+        # every nibble-unpack strategy must agree (the v5e sweep picks one as
+        # the module default; 'alg' reconstructs hi via (b - (b&15))/16 with
+        # rank-1 offset corrections and must be numerically identical)
+        for mode in ("i32", "i16", "i8", "alg", "mxu", "s8"):
+            got = np.asarray(
+                rf_mlp_stack(blocks, x, mods, ln_eps=cfg.ln_eps, chunk=256, interpret=True, unpack_mode=mode)
+            )
+            np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4, err_msg=mode)
