@@ -139,6 +139,100 @@ def _kernel_q4(ids_ref, x_ref, q1_ref, s1_ref, q3_ref, s3_ref, q2_ref, s2_ref, g
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
+def _kernel_q8_s8(ids_ref, x_ref, q1_ref, s1_ref, q3_ref, s3_ref, q2_ref, s2_ref, g_ref, o_ref, acc_ref, xq_ref, sx_ref):
+    """int8 via INTEGER MXU dots (ops/kernels/intdot.py): the activation rows
+    quantize to s8 ONCE (they are shared by every slot/chunk), so the weights
+    stream through s8 x s8 dots at the HBM floor instead of paying a per-byte
+    VPU convert. Per-row activation descale x per-column weight scale applied
+    on the tiny fp32 results."""
+    from mingunivision_tpu.ops.kernels.intdot import mm8_s8, quant_rows_s8
+
+    c = pl.program_id(0)
+    s = pl.program_id(1)
+
+    @pl.when((c == 0) & (s == 0))
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        xq, sx = quant_rows_s8(x_ref[...])
+        xq_ref[...] = xq
+        sx_ref[:, 0:1] = sx
+
+    xq = xq_ref[...]
+    sx = sx_ref[:, 0:1]
+    w1 = q1_ref[...].reshape(q1_ref.shape[-2], q1_ref.shape[-1])
+    w3 = q3_ref[...].reshape(q3_ref.shape[-2], q3_ref.shape[-1])
+    a = mm8_s8(w1, xq, sx) * s1_ref[...].reshape(s1_ref.shape[-1])[None, :]
+    b = mm8_s8(w3, xq, sx) * s3_ref[...].reshape(s3_ref.shape[-1])[None, :]
+    h = jax.nn.silu(a) * b  # (Np, CH) f32
+    from mingunivision_tpu.ops.kernels.intdot import quant_rows_s8 as _q
+
+    hq, sh = _q(h)
+    w2 = q2_ref[...].reshape(q2_ref.shape[-2], q2_ref.shape[-1])
+    po = mm8_s8(w2, hq, sh) * s2_ref[...].reshape(s2_ref.shape[-1])[None, :]
+    acc_ref[...] += g_ref[0, 0][:, None] * po
+
+    @pl.when((c == pl.num_programs(0) - 1) & (s == pl.num_programs(1) - 1))
+    def _flush():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _kernel_q4_s8(ids_ref, x_ref, q1_ref, s1_ref, q3_ref, s3_ref, q2_ref, s2_ref, g_ref, o_ref, acc_ref, a1_ref, a2_ref, st_ref):
+    """int4 via INTEGER MXU dots: split-halves operands quantize once (shared
+    across slots); each expert costs one u8 XOR + i8 mask + two s8 dots per
+    logical matmul (intdot.mm4_s8 — the b^0x80 bitcast handles Mosaic's
+    signed-int-dot semantics)."""
+    from mingunivision_tpu.ops.kernels.intdot import mm4_s8, quant_rows_s8_pair
+
+    s = pl.program_id(0)
+    d_half = q1_ref.shape[-2]
+
+    @pl.when(s == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        x = x_ref[...]
+        a1, a2, sa1, sa2, corr = quant_rows_s8_pair(x[:, :d_half], x[:, d_half:])
+        a1_ref[...] = a1
+        a2_ref[...] = a2
+        st_ref[:, 0:1] = sa1
+        st_ref[:, 1:2] = sa2
+        st_ref[:, 2:3] = corr
+
+    a1 = a1_ref[...]
+    a2 = a2_ref[...]
+    sa1 = st_ref[:, 0:1]
+    sa2 = st_ref[:, 1:2]
+    corr = st_ref[:, 2:3]
+
+    def q4mm(q_ref, s_ref):
+        qb = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1])
+        return mm4_s8(qb, a1, a2, sa1, sa2, corr) * s_ref[...].reshape(s_ref.shape[-1])[None, :]
+
+    a = q4mm(q1_ref, s1_ref)
+    b = q4mm(q3_ref, s3_ref)
+    h = jax.nn.silu(a) * b  # (Np, m) f32
+    m_half = q2_ref.shape[-2]
+    b1, b2, sb1, sb2, corrh = quant_rows_s8_pair(h[:, :m_half], h[:, m_half:])
+    qb2 = q2_ref[...].reshape(q2_ref.shape[-2], q2_ref.shape[-1])
+    po = mm4_s8(qb2, b1, b2, sb1, sb2, corrh) * s2_ref[...].reshape(s2_ref.shape[-1])[None, :]
+    acc_ref[...] += g_ref[0, 0][:, None] * po
+
+    @pl.when(s == pl.num_programs(0) - 1)
+    def _flush():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+# Integer-dot kernel selection — measured NEGATIVE result on v5e for this
+# kernel: at decode slot counts (A=18) the stream dispatch is DMA/grid-latency
+# bound, and the integer-MXU path ties the convert path exactly (0.208 vs
+# 0.209 ms/layer, 28L int4), so both flags default OFF and decode keeps the
+# EXACT dequant kernels (no activation-quant noise). The kernels remain for
+# regimes where the weight convert IS the bottleneck — the RF head at B=3
+# measured 16-20% faster with the same technique (ops/kernels/rf_mlp, mode
+# 's8'), because it streams 432 MB/step vs the stream kernel's ~65 MB/layer.
+INT_DOT_STREAM = False
+INT_DOT_STREAM_INT8 = False
+
+
 def _is_q(w, bits: int) -> bool:
     from mingunivision_tpu.utils.quantize import QuantizedArray
 
@@ -252,10 +346,12 @@ def moe_experts_stream(experts, x_flat, topk_idx, topk_w, *, chunk: int = 0, int
     g_specf = fixed((1, 1, Np), lambda c, s: (s, 0, 0))
     out_specf = fixed((Np, d), lambda c, s: (0, 0))
 
+    intdot4 = quant4 and INT_DOT_STREAM
+    intdot8 = quant8 and INT_DOT_STREAM_INT8
     if quant4:
         two = False
         grid = (A,)
-        kernel = _kernel_q4
+        kernel = _kernel_q4_s8 if intdot4 else _kernel_q4
         in_specs = [
             x_specf(two),
             wspec((d // 2, m), lambda c: (0, 0))(two),
@@ -270,7 +366,7 @@ def moe_experts_stream(experts, x_flat, topk_idx, topk_w, *, chunk: int = 0, int
     elif quant8:
         two = True
         grid = (HC, A)
-        kernel = _kernel_q8
+        kernel = _kernel_q8_s8 if intdot8 else _kernel_q8
         in_specs = [
             x_specf(two),
             wspec((d, CH), lambda c: (0, c))(two),
@@ -306,12 +402,21 @@ def moe_experts_stream(experts, x_flat, topk_idx, topk_w, *, chunk: int = 0, int
 
         def kernel(ids_ref, _layer_ref, *rest):
             return inner(ids_ref, *rest)
+    scratch = [pltpu.VMEM((Np, d), jnp.float32)]
+    if intdot4:
+        scratch += [
+            pltpu.VMEM((Np, d // 2), jnp.int8),
+            pltpu.VMEM((Np, d // 2), jnp.int8),
+            pltpu.VMEM((Np, 128), jnp.float32),
+        ]
+    elif intdot8:
+        scratch += [pltpu.VMEM((Np, d), jnp.int8), pltpu.VMEM((Np, 128), jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(scalars),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specf(two),
-        scratch_shapes=[pltpu.VMEM((Np, d), jnp.float32)],
+        scratch_shapes=scratch,
     )
     kwargs = {}
     if not interpret and PALLAS_TPU:

@@ -159,39 +159,10 @@ def _unpack_mm4(q2d_u8, a_lo, a_hi, compute_dtype, mode: str):
     return out
 
 
-def _quant_rows_s8(lo, hi):
-    """Dynamic per-row s8 quantization of the 2-dot integer-MXU operands.
-
-    For split-halves int4 bytes b = lo' | (hi' << 4) (offset-binary nibbles),
-    the compiled MXU treats BOTH int operands of a dot as SIGNED (measured:
-    s8 x u8 with byte 240 returns -16 contributions). The packed byte is
-    therefore consumed through s8(b ^ 0x80) = b - 128 exactly, which folds in:
-        16*hi = 16*hi' - 128 = (b - 128) - (b & 15)
-        x_lo@lo + x_hi@hi
-      = (x_lo - x_hi/16) @ (b & 15) + (x_hi @ s8(b^0x80))/16 - 8*rowsum(x_lo)
-    TWO s8 x s8 -> s32 dots per logical matmul — measured at the HBM floor on
-    v5e, while any bf16-operand mixed dot pays an internal VPU convert of
-    every weight byte (2-3x slower).
-    Returns (a1 s8, a2 s8, sa1 (N,1) f32, sa2 (N,1) f32, corr (N,1) f32).
-    """
-    lo32 = lo.astype(jnp.float32)
-    hi32 = hi.astype(jnp.float32)
-    c1 = lo32 - hi32 * (1.0 / 16.0)
-    sa1 = jnp.max(jnp.abs(c1), axis=-1, keepdims=True) / 127.0 + 1e-12
-    sa2 = jnp.max(jnp.abs(hi32), axis=-1, keepdims=True) / 127.0 + 1e-12
-    a1 = jnp.round(c1 / sa1).astype(jnp.int32).astype(jnp.int8)
-    a2 = jnp.round(hi32 / sa2).astype(jnp.int32).astype(jnp.int8)
-    corr = 8.0 * jnp.sum(lo32, axis=-1, keepdims=True)
-    return a1, a2, sa1, sa2, corr
-
-
-def _mm4_s8(q2d_u8, a1, a2, sa1, sa2, corr):
-    """The two integer dots + fp32 epilogue for _quant_rows_s8 operands."""
-    bx = jax.lax.bitcast_convert_type(q2d_u8 ^ jnp.uint8(0x80), jnp.int8)  # s8 == b - 128
-    m = bx & jnp.int8(0xF)  # low nibble of b, in [0, 15]
-    d1 = jax.lax.dot_general(a1, m, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
-    d2 = jax.lax.dot_general(a2, bx, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
-    return d1.astype(jnp.float32) * sa1 + d2.astype(jnp.float32) * (sa2 * (1.0 / 16.0)) - corr
+from mingunivision_tpu.ops.kernels.intdot import (  # noqa: E402
+    mm4_s8 as _mm4_s8,
+    quant_rows_s8_pair as _quant_rows_s8,
+)
 
 
 def _kernel_q4(

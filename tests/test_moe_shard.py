@@ -197,7 +197,12 @@ def test_sharded_stream_int4_shard_packed_decode():
     per_layer = {kk: take_weight(v, jnp.asarray(1)) for kk, v in q.items()}
     ref = moe_experts_gather(per_layer, x, idx, w)
     got = moe_experts_stream_sharded(mesh, q, x, idx, w, layer_idx=1, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3, rtol=2e-3)
+    # int4 streams through the integer-dot kernel: activation s8-quant noise
+    # scales with |h|, so bound the RELATIVE L2 of the whole output
+    g, r = np.asarray(got, np.float64), np.asarray(ref, np.float64)
+    rel = np.linalg.norm(g - r) / (np.linalg.norm(r) + 1e-12)
+    assert rel < 0.03, f"sharded int4 intdot rel-L2 {rel:.4f}"
+    assert np.isfinite(g).all()
 
 
 def test_sharded_predicates_int4_groups(monkeypatch):

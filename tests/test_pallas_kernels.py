@@ -162,8 +162,21 @@ class TestMoEStreamInt8:
         w = jax.nn.softmax(jnp.asarray(rng.standard_normal((N, k)), jnp.float32), -1)
         assert stream_supported(quant, x, idx)
         want = np.asarray(moe_experts_gather(quant, x, idx, w))
+        # default int4 decode path is the EXACT dequant kernel
         got = np.asarray(moe_experts_stream(quant, x, idx, w, interpret=True))
         np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+        # the opt-in integer-dot kernel carries bounded activation-quant noise
+        import mingunivision_tpu.ops.kernels.moe_stream as _ms
+
+        _ms.INT_DOT_STREAM = True
+        try:
+            noisy = np.asarray(moe_experts_stream(quant, x, idx, w, interpret=True))
+        finally:
+            _ms.INT_DOT_STREAM = False
+        rel = np.linalg.norm(noisy - want) / (np.linalg.norm(want) + 1e-12)
+        # ~4% at this tiny d=256 (3 chained s8-quantized matmuls; relative
+        # noise shrinks ~1/sqrt(d) at the real width 2048)
+        assert rel < 0.06, f"intdot stream rel-L2 {rel:.4f}"
 
     def test_mixed_bits_not_supported(self):
         from mingunivision_tpu.ops.kernels.moe_stream import stream_supported
@@ -196,8 +209,21 @@ class TestMoEStreamInt8:
         w = jax.nn.softmax(jnp.asarray(rng.standard_normal((N, k)), jnp.float32), -1)
         assert stream_supported(quant, x, idx)
         want = np.asarray(moe_experts_gather(quant, x, idx, w))
+        # default int4 decode path is the EXACT dequant kernel
         got = np.asarray(moe_experts_stream(quant, x, idx, w, interpret=True))
         np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+        # the opt-in integer-dot kernel carries bounded activation-quant noise
+        import mingunivision_tpu.ops.kernels.moe_stream as _ms
+
+        _ms.INT_DOT_STREAM = True
+        try:
+            noisy = np.asarray(moe_experts_stream(quant, x, idx, w, interpret=True))
+        finally:
+            _ms.INT_DOT_STREAM = False
+        rel = np.linalg.norm(noisy - want) / (np.linalg.norm(want) + 1e-12)
+        # ~4% at this tiny d=256 (3 chained s8-quantized matmuls; relative
+        # noise shrinks ~1/sqrt(d) at the real width 2048)
+        assert rel < 0.06, f"intdot stream rel-L2 {rel:.4f}"
 
 
 class TestMoEStreamStacked:
