@@ -266,7 +266,8 @@ def _kernel_q4_s8(
     xcur_ref,  # VMEM f32 (Np, w) running activation
     a1_ref,  # VMEM s8 (Np, w/2) quantized combo operand
     a2_ref,  # VMEM s8 (Np, w/2) quantized hi operand
-    po_ref,  # VMEM f32 (Np, w) down-proj accumulator (pipelined over chunks)
+    b1_sref,  # VMEM s8 (Np, H/2) down-proj combo operand
+    b2_sref,  # VMEM s8 (Np, H/2) down-proj hi operand
     st_ref,  # VMEM f32 (Np, 128) per-row stats: [sa1, sa2, corr]
     h_ref,  # VMEM (Np, H) hidden activations (compute dtype)
     *,
@@ -319,37 +320,30 @@ def _kernel_q4_s8(
     u = mm(q2_ref) * s2_ref[...].reshape(-1)[None, :] + b2_ref[...].reshape(-1)[None, :]
     h_ref[:, pl.ds(c * CH, CH)] = (jax.nn.silu(g) * u).astype(h_ref.dtype)
 
-    # PIPELINED down-proj: split-halves pairs h column j with j + H/2, i.e.
-    # chunk c (in the second half) pairs with chunk c - HC/2 — so as soon as a
-    # second-half h chunk lands, its pair region's down-proj dots run HERE,
-    # overlapping the next chunk's w12 DMA instead of serializing the whole
-    # down-proj into the block's last grid step. Chunk-local quantization also
-    # tightens the s8 scales vs one whole-row scale.
-    HC = pl.num_programs(1)
-    half_c = HC // 2
-
-    @pl.when(c == half_c)
-    def _po_init():
-        po_ref[...] = jnp.zeros_like(po_ref)
-
-    @pl.when(c >= half_c)
-    def _down_partial():
-        kk = c - half_c  # pair-chunk index; packed q3 rows [kk*CH, (kk+1)*CH)
-        h_lo = h_ref[:, pl.ds(kk * CH, CH)].astype(jnp.float32)
-        h_hi = h_ref[:, pl.ds(c * CH, CH)].astype(jnp.float32)
-        b1q, b2q, sb1, sb2, corrh = _quant_rows_s8(h_lo, h_hi)
-        qb = q3_ref[0, pl.ds(kk * CH, CH), :]
-        bx = jax.lax.bitcast_convert_type(qb ^ jnp.uint8(0x80), jnp.int8)
-        mm_ = bx & jnp.int8(0xF)
-        d1 = jax.lax.dot_general(b1q, mm_, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
-        d2 = jax.lax.dot_general(b2q, bx, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
-        po_ref[...] += (
-            d1.astype(jnp.float32) * sb1 + d2.astype(jnp.float32) * (sb2 * (1.0 / 16.0)) - corrh
-        )
-
     @pl.when(c == pl.num_programs(1) - 1)
-    def _residual():
-        po = po_ref[...] * s3_ref[...].reshape(-1)[None, :] + b3_ref[...].reshape(-1)[None, :]
+    def _down_and_residual():
+        H = h_ref.shape[-1]
+        Hh = H // 2
+        hf = h_ref[...].astype(jnp.float32)
+        b1q, b2q, sb1, sb2, corrh = _quant_rows_s8(hf[:, :Hh], hf[:, Hh:])
+        b1_sref[...] = b1q
+        b2_sref[...] = b2q
+        KC = min(1024, Hh)
+        n_k = Hh // KC
+
+        def body(k, po):
+            qb = q3_ref[0, pl.ds(k * KC, KC), :]
+            bx = jax.lax.bitcast_convert_type(qb ^ jnp.uint8(0x80), jnp.int8)
+            m = bx & jnp.int8(0xF)
+            b1k = b1_sref[:, pl.ds(k * KC, KC)]
+            b2k = b2_sref[:, pl.ds(k * KC, KC)]
+            d1 = jax.lax.dot_general(b1k, m, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+            d2 = jax.lax.dot_general(b2k, bx, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+            return po + d1.astype(jnp.float32) * sb1 + d2.astype(jnp.float32) * (sb2 * (1.0 / 16.0))
+
+        po0 = jnp.zeros((h_ref.shape[0], w), jnp.float32)
+        po = jax.lax.fori_loop(0, n_k, body, po0) - corrh
+        po = po * s3_ref[...].reshape(-1)[None, :] + b3_ref[...].reshape(-1)[None, :]
         mods = mods_ref[0]
         xcur_ref[...] += mods[:, 2 * w :] * po
 
@@ -407,11 +401,6 @@ def rf_mlp_stack(
     while H % CH:
         CH //= 2
     HC = H // CH
-    if bits == 4 and unpack_mode == "s8":
-        # the pipelined down-proj pairs chunk c with c - HC/2: HC must be even
-        while HC % 2 and CH > 1:
-            CH //= 2
-            HC = H // CH
 
     B = x.shape[0]
     Np = max(8, -(-B // 8) * 8)
@@ -438,7 +427,8 @@ def rf_mlp_stack(
         extra_scratch = [
             pltpu.VMEM((Np, w // 2), jnp.int8),
             pltpu.VMEM((Np, w // 2), jnp.int8),
-            pltpu.VMEM((Np, w), jnp.float32),
+            pltpu.VMEM((Np, H // 2), jnp.int8),
+            pltpu.VMEM((Np, H // 2), jnp.int8),
             pltpu.VMEM((Np, 128), jnp.float32),
         ]
     elif bits == 4:
