@@ -22,13 +22,20 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 ROUND1_BASELINE_IPS = 50.72  # BENCH_r01.json
 
 
-def bench_mingtok_recon(batch: int = 8, iters: int = 10, warmup: int = 2):
+def bench_mingtok_recon(batch: int = 8, iters: int = 10, warmup: int = 2, pixdec_precision: str = None):
+    """Primary metric runs the model-default "high" pixel-decoder tier
+    (fp32-class, apples-to-apples with BENCH_r01/r02); pixdec_precision
+    selects a serving tier (BENCHMARKS "Pixel-decoder precision tiers")."""
+    import dataclasses
+
     from mingunivision_tpu.config import MingTokConfig
     from mingunivision_tpu.models.mingtok import init_mingtok_params, mingtok_enc_dec
 
     from mingunivision_tpu.utils.profiling import bench_fn
 
     cfg = MingTokConfig()
+    if pixdec_precision is not None:
+        cfg = dataclasses.replace(cfg, pixel_decoder=dataclasses.replace(cfg.pixel_decoder, matmul_precision=pixdec_precision))
     params = init_mingtok_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     f = jax.jit(lambda p, x: mingtok_enc_dec(p, cfg, x))
     x = jax.random.normal(jax.random.PRNGKey(1), (batch, 3, 512, 512), jnp.float32)
@@ -157,6 +164,12 @@ if __name__ == "__main__":
         extra["prefill_int4_28l_tok_s"] = bench_prefill_int4()
     except Exception as e:  # noqa: BLE001
         extra["prefill_error"] = str(e)[:160]
+    try:
+        # serving-tier recon (pixdec "default": 60.3 dB PSNR vs fp32 —
+        # invisible in uint8 output; BENCHMARKS "Pixel-decoder precision tiers")
+        extra["recon_serving_tier_img_s"] = round(bench_mingtok_recon(pixdec_precision="default"), 2)
+    except Exception as e:  # noqa: BLE001
+        extra["recon_serving_tier_error"] = str(e)[:160]
     print(
         json.dumps(
             {

@@ -48,6 +48,13 @@ class MingUniVisionInfer:
         self.config = config or MingUniVisionConfig()
         self.runtime = runtime or RuntimeConfig()
         self.mesh = mesh
+        if self.runtime.pixdec_matmul_precision is not None:
+            from mingunivision_tpu.config import with_pixdec_precision
+
+            # serving-tier pixel decode (RuntimeConfig docstring / BENCHMARKS
+            # "Pixel-decoder precision tiers"); golden/quality paths keep the
+            # model default ("high", fp32-class)
+            self.config = with_pixdec_precision(self.config, self.runtime.pixdec_matmul_precision)
         if mesh is not None and mesh.shape.get("expert", 1) * mesh.shape.get("model", 1) > 1:
             import dataclasses
 

@@ -142,9 +142,14 @@ class PixelDecoderConfig(_JsonMixin):
     ln_eps: float = 1e-6
     loss_type: str = "L1-plain"
     norm_pix_loss: bool = True
-    # fp32 matmul mode for this decoder: "high" = bf16x3 (default: measured
-    # +22% end-to-end recon throughput at 109 dB PSNR vs true fp32 — far past
-    # any perceptual/metric threshold), "highest" = true fp32.
+    # fp32 matmul tier for this decoder (BENCHMARKS "Pixel-decoder precision
+    # tiers"; v5e b8 512px enc_dec img/s @ PSNR-vs-true-fp32):
+    #   "highest" 41.4 (oracle) / "high" 50.7 @109dB / "default" 65.1 @60.3dB
+    #   / "bf16" 69.6 @50.3dB (whole stack in bf16 activations).
+    # "high" (bf16x3, fp32-class) is the quality default; serving selects a
+    # faster tier via RuntimeConfig.pixdec_matmul_precision — uint8 image
+    # quantization sits at 48.1 dB, so >=60 dB divergence is invisible in the
+    # saved PNG.
     matmul_precision: str = "high"
 
 
@@ -358,6 +363,25 @@ class RuntimeConfig(_JsonMixin):
     # multi-round mask persistence policy; "DROP" is the reference default
     # (modeling_bailingmm.py:279-299).
     past_mode: str = "DROP"  # DROP | KEEP
+    # Pixel-decoder matmul tier override for serving (None = model default
+    # "high"). "default" = single-pass bf16 MXU, measured 65.1 img/s @ 60.3 dB
+    # PSNR-vs-fp32 (vs 50.7 @ "high") — invisible in uint8 output (48.1 dB
+    # quantizer floor). "bf16" = 69.6 img/s @ 50.3 dB, max-throughput opt-in.
+    pixdec_matmul_precision: Optional[str] = None
+
+
+def with_pixdec_precision(config: "MingUniVisionConfig", precision: str) -> "MingUniVisionConfig":
+    """Return `config` with the pixel-decoder matmul tier replaced (serving
+    tiers; see PixelDecoderConfig.matmul_precision for the measured table)."""
+    import dataclasses
+
+    mt = config.mingtok
+    return dataclasses.replace(
+        config,
+        mingtok=dataclasses.replace(
+            mt, pixel_decoder=dataclasses.replace(mt.pixel_decoder, matmul_precision=precision)
+        ),
+    )
 
 
 _SUBCONFIG_TYPES = {

@@ -157,9 +157,20 @@ def make_semdec_cache(cfg, batch: int, max_len: int, dtype=jnp.bfloat16) -> ViTC
 
 
 def pixel_decoder_apply(params, cfg, tokens):
-    """tokens (B, L, D) fp32 -> patch pixels (B, L, p*p*3)."""
+    """tokens (B, L, D) fp32 -> patch pixels (B, L, p*p*3), returned fp32.
+
+    matmul_precision tiers (PixelDecoderConfig): "highest"/"high"/"default"
+    keep fp32 activations and set the fp32-matmul MXU mode; "bf16" runs the
+    whole block stack in bf16 activations (norm internals stay fp32) — the
+    measured v5e serving tier (BENCHMARKS "Pixel-decoder precision tiers").
+    """
     from mingunivision_tpu.ops.linear import fp32_matmul_precision
 
+    if cfg.matmul_precision == "bf16":
+        x = tokens.astype(jnp.bfloat16)
+        x = run_blocks(params["blocks"], x, num_heads=cfg.num_heads, ffn_layer=cfg.ffn_layer, ln_eps=cfg.ln_eps)
+        x = layer_norm(x, params["norm"]["w"], params["norm"]["b"], eps=cfg.ln_eps)
+        return dense(x, params["head"]).astype(jnp.float32)
     with fp32_matmul_precision(cfg.matmul_precision):
         x = tokens.astype(jnp.float32)
         x = run_blocks(params["blocks"], x, num_heads=cfg.num_heads, ffn_layer=cfg.ffn_layer, ln_eps=cfg.ln_eps)
@@ -204,8 +215,11 @@ def mingtok_pixel_decoder(params, cfg: MingTokConfig, features):
     from mingunivision_tpu.ops.linear import fp32_matmul_precision
 
     ratio = cfg.semantic_decoder.patch_size // cfg.pixel_decoder.patch_size
-    with fp32_matmul_precision(cfg.pixel_decoder.matmul_precision):
-        x = dense(features.astype(jnp.float32), params["sem_to_pix"])
+    if cfg.pixel_decoder.matmul_precision == "bf16":
+        x = dense(features.astype(jnp.bfloat16), params["sem_to_pix"]).astype(jnp.float32)
+    else:
+        with fp32_matmul_precision(cfg.pixel_decoder.matmul_precision):
+            x = dense(features.astype(jnp.float32), params["sem_to_pix"])
     x = expand_sem_to_pix_tokens(x, ratio)
     x = pixel_decoder_apply(params["pixel_decoder"], cfg.pixel_decoder, x)
     img = unpatchify(x, cfg.pixel_decoder.patch_size)

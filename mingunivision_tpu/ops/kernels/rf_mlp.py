@@ -165,6 +165,81 @@ from mingunivision_tpu.ops.kernels.intdot import (  # noqa: E402
 )
 
 
+def _kernel_q8_s8(
+    x_ref,
+    lnw_ref,
+    lnb_ref,
+    q1_ref,  # (1, w, CH) int8 — w12 gate columns
+    s1_ref,
+    b1_ref,
+    q2_ref,  # (1, w, CH) int8 — w12 up columns
+    s2_ref,
+    b2_ref,
+    q3_ref,  # (1, CH, w) int8 — w3 rows
+    s3_ref,
+    b3_ref,
+    mods_ref,
+    o_ref,
+    xcur_ref,  # VMEM f32 (Np, w)
+    xq_ref,  # VMEM s8 (Np, w) quantized modulated activation
+    st_ref,  # VMEM f32 (Np, 128): [sx]
+    acc_ref,  # VMEM f32 (Np, w) block output accumulator
+    *,
+    ln_eps: float,
+    compute_dtype,
+):
+    """int8 OPT-IN integer-dot variant (rf_mlp_stack(unpack_mode='s8') on int8
+    blocks): the exact kernel converts every int8 weight byte to bf16 on the
+    VPU before its dots; here the modulated activation quantizes per-row to s8
+    once per block and the weights stream through s8 x s8 -> s32 dots at the
+    HBM floor. Adds ~0.4%/matmul activation noise — int8 stays the QUALITY
+    tier by default (INT8_INT_DOTS=False)."""
+    from mingunivision_tpu.ops.kernels.intdot import mm8_s8, quant_rows_s8
+
+    l = pl.program_id(0)
+    c = pl.program_id(1)
+    w = x_ref.shape[-1]
+
+    @pl.when((l == 0) & (c == 0))
+    def _load_x():
+        xcur_ref[...] = x_ref[...].astype(jnp.float32)
+
+    @pl.when(c == 0)
+    def _modulate():
+        x = xcur_ref[...]
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+        ln = (x - mu) * jax.lax.rsqrt(var + ln_eps)
+        ln = ln * lnw_ref[...].reshape(-1)[None, :] + lnb_ref[...].reshape(-1)[None, :]
+        mods = mods_ref[0]
+        xs = ln * (1.0 + mods[:, w : 2 * w]) + mods[:, :w]
+        xq, sx = quant_rows_s8(xs)
+        xq_ref[...] = xq
+        st_ref[:, 0:1] = sx
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    xq = xq_ref[...]
+    sx = st_ref[:, 0:1]
+    w1 = q1_ref[...].reshape(q1_ref.shape[-2], q1_ref.shape[-1])
+    w2 = q2_ref[...].reshape(q2_ref.shape[-2], q2_ref.shape[-1])
+    g = mm8_s8(w1, xq, sx) * s1_ref[...].reshape(-1)[None, :] + b1_ref[...].reshape(-1)[None, :]
+    u = mm8_s8(w2, xq, sx) * s2_ref[...].reshape(-1)[None, :] + b2_ref[...].reshape(-1)[None, :]
+    h = jax.nn.silu(g) * u  # (Np, CH) f32
+    hq, sh = quant_rows_s8(h)
+    w3 = q3_ref[...].reshape(q3_ref.shape[-2], q3_ref.shape[-1])
+    po = mm8_s8(w3, hq, sh)
+    acc_ref[...] += po * s3_ref[...].reshape(-1)[None, :]
+
+    @pl.when(c == pl.num_programs(1) - 1)
+    def _residual():
+        mods = mods_ref[0]
+        xcur_ref[...] += mods[:, 2 * w :] * (acc_ref[...] + b3_ref[...].reshape(-1)[None, :])
+
+        @pl.when(l == pl.num_programs(0) - 1)
+        def _flush():
+            o_ref[...] = xcur_ref[...].astype(o_ref.dtype)
+
+
 def _kernel_q4(
     x_ref,
     lnw_ref,
@@ -374,6 +449,9 @@ def rf_mlp_supported(blocks) -> bool:
 INT4_UNPACK_MODE = "s8"  # v5e-measured best (1.02 ms/step vs i32 1.17 at the
 # real shape; see BENCHMARKS "RF int4 unpack sweep"). "s8" = integer-MXU dots
 # with per-row dynamically-quantized activations.
+# int8 is the QUALITY tier: exact convert kernel by default; set True (or pass
+# unpack_mode='s8') for integer-dot int8 (~0.4%/matmul activation noise).
+INT8_INT_DOTS = False
 
 
 def rf_mlp_stack(
@@ -385,13 +463,16 @@ def rf_mlp_stack(
     x: (B, w); mods: (L, B, 3w) precomputed AdaLN rows. Returns (B, w).
     unpack_mode (int4 only): nibble-unpack strategy, see _unpack_mm4.
     """
-    if unpack_mode is None:
-        unpack_mode = INT4_UNPACK_MODE
     w12 = blocks["mlp"]["w12"]["w"]
     w3 = blocks["mlp"]["w3"]["w"]
     b12 = blocks["mlp"]["w12"]["b"]  # (L, 2H)
     b3 = blocks["mlp"]["w3"]["b"]  # (L, w)
     bits = w12.bits
+    if unpack_mode is None:
+        # int4: measured-best integer-dot path. int8: exact convert kernel by
+        # default (s8 is a measured TIE there — BENCHMARKS "RF int4 unpack
+        # sweep"); INT8_INT_DOTS / unpack_mode="s8" opts in.
+        unpack_mode = INT4_UNPACK_MODE if bits == 4 else ("s8" if INT8_INT_DOTS else "exact")
     L, wq, h2 = w12.q.shape
     w = wq * 2 if bits == 4 else wq
     H = h2 // 2
@@ -435,6 +516,11 @@ def rf_mlp_stack(
         kernel = functools.partial(_kernel_q4, ln_eps=ln_eps, compute_dtype=x.dtype, unpack_mode=unpack_mode)
         w3_spec = pl.BlockSpec((1, H // 2, w), lambda l, c: (l, 0, 0))  # full, once per block
         third_scratch = pltpu.VMEM((Np, H), x.dtype)
+    elif bits == 8 and unpack_mode == "s8":
+        kernel = functools.partial(_kernel_q8_s8, ln_eps=ln_eps, compute_dtype=x.dtype)
+        w3_spec = pl.BlockSpec((1, CH, w), lambda l, c: (l, c, 0))
+        third_scratch = pltpu.VMEM((Np, w), jnp.float32)
+        extra_scratch = [pltpu.VMEM((Np, w), jnp.int8), pltpu.VMEM((Np, 128), jnp.float32)]
     else:
         kernel = functools.partial(_kernel, ln_eps=ln_eps, compute_dtype=x.dtype)
         w3_spec = pl.BlockSpec((1, CH, w), lambda l, c: (l, c, 0))

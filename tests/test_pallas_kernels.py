@@ -320,6 +320,12 @@ class TestRFMLPStack:
         want = np.asarray(xla_stack(x))
         got = np.asarray(rf_mlp_stack(blocks, x, mods, ln_eps=cfg.ln_eps, chunk=128, interpret=True))
         np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+        # opt-in int8 integer-dot mode: bounded activation-quant noise
+        s8 = np.asarray(
+            rf_mlp_stack(blocks, x, mods, ln_eps=cfg.ln_eps, chunk=128, interpret=True, unpack_mode="s8")
+        )
+        rel = np.linalg.norm(s8 - want) / (np.linalg.norm(want) + 1e-12)
+        assert rel < 0.02, f"int8 s8-mode rel-L2 {rel:.4f}"
 
     def test_int4_matches_xla_premod_path(self):
         """int4 split-halves RF stack kernel vs the XLA path on the same tables."""
