@@ -143,9 +143,10 @@ class PixelDecoderConfig(_JsonMixin):
     loss_type: str = "L1-plain"
     norm_pix_loss: bool = True
     # fp32 matmul tier for this decoder (BENCHMARKS "Pixel-decoder precision
-    # tiers"; v5e b8 512px enc_dec img/s @ PSNR-vs-true-fp32):
-    #   "highest" 41.4 (oracle) / "high" 50.7 @109dB / "default" 65.1 @60.3dB
-    #   / "bf16" 69.6 @50.3dB (whole stack in bf16 activations).
+    # tiers"; v5e b8 512px enc_dec img/s @ PSNR-vs-true-fp32, with the
+    # head-major flash-attention path active on the reduced tiers):
+    #   "highest" 41.4 (oracle) / "high" 50.7 @109dB / "default" 86.6 @60.3dB
+    #   / "bf16" 95.9 @50.3dB (whole stack in bf16 activations).
     # "high" (bf16x3, fp32-class) is the quality default; serving selects a
     # faster tier via RuntimeConfig.pixdec_matmul_precision — uint8 image
     # quantization sits at 48.1 dB, so >=60 dB divergence is invisible in the
@@ -364,9 +365,9 @@ class RuntimeConfig(_JsonMixin):
     # (modeling_bailingmm.py:279-299).
     past_mode: str = "DROP"  # DROP | KEEP
     # Pixel-decoder matmul tier override for serving (None = model default
-    # "high"). "default" = single-pass bf16 MXU, measured 65.1 img/s @ 60.3 dB
+    # "high"). "default" = single-pass bf16 MXU, measured 86.6 img/s @ 60.3 dB
     # PSNR-vs-fp32 (vs 50.7 @ "high") — invisible in uint8 output (48.1 dB
-    # quantizer floor). "bf16" = 69.6 img/s @ 50.3 dB, max-throughput opt-in.
+    # quantizer floor). "bf16" = 95.9 img/s @ 50.3 dB, max-throughput opt-in.
     pixdec_matmul_precision: Optional[str] = None
 
 

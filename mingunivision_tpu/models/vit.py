@@ -158,12 +158,42 @@ def _maybe_scale(params, name, y):
     return y
 
 
+def _attn_flash_headmajor(params, h, num_heads: int):
+    """qkv -> flash -> out-proj with NO token/head transpose passes: the
+    projections are einsummed straight to/from the kernel's (B, H, N, D)
+    layout (a separate (B,N,H,D)->(B,H,N,D) relayout costs more than the
+    kernel itself at the pixel-decoder shape; BENCHMARKS "ViT flash
+    attention")."""
+    from mingunivision_tpu.ops.kernels.flash import flash_vit_attention
+
+    B, N, C = h.shape
+    H = num_heads
+    D = C // H
+    ap = params["attn"]
+    wq = ap["qkv"]["w"].reshape(C, 3, H, D)
+    qkv = jnp.einsum("bnc,cshd->sbhnd", h, wq.astype(h.dtype), preferred_element_type=jnp.float32)
+    if "b" in ap["qkv"]:
+        qkv = qkv + ap["qkv"]["b"].astype(jnp.float32).reshape(3, 1, H, 1, D)
+    qkv = qkv.astype(h.dtype)
+    out = flash_vit_attention(qkv[0], qkv[1], qkv[2], scale=D**-0.5)  # (B, H, N, D)
+    wo = ap["proj"]["w"].reshape(H, D, C)
+    y = jnp.einsum("bhnd,hdc->bnc", out, wo.astype(h.dtype), preferred_element_type=jnp.float32)
+    if "b" in ap["proj"]:
+        y = y + ap["proj"]["b"].astype(jnp.float32)
+    return y.astype(h.dtype)
+
+
 def block_apply(params, x, *, num_heads: int, ffn_layer: str, is_causal: bool = False, ln_eps: float = 1e-6):
     """One full-sequence transformer block (no cache)."""
+    from mingunivision_tpu.ops.kernels.flash import flash_vit_usable
+
     h = layer_norm(x, params["norm1"]["w"], params["norm1"]["b"], eps=ln_eps)
-    q, k, v = _qkv(params, h, num_heads)
-    a = mha(q, k, v, is_causal=is_causal)
-    a = dense(a.reshape(x.shape), params["attn"]["proj"])
+    if not is_causal and flash_vit_usable(x.shape[1], x.dtype):
+        a = _attn_flash_headmajor(params, h, num_heads)
+    else:
+        q, k, v = _qkv(params, h, num_heads)
+        a = mha(q, k, v, is_causal=is_causal)
+        a = dense(a.reshape(x.shape), params["attn"]["proj"])
     x = x + _maybe_scale(params, "ls1", a)
     h = layer_norm(x, params["norm2"]["w"], params["norm2"]["b"], eps=ln_eps)
     return x + _maybe_scale(params, "ls2", ffn_apply(params["mlp"], h, ffn_layer))

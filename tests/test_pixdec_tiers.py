@@ -54,6 +54,36 @@ class TestPixdecTiers:
             rel = np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-12)
             assert rel < bound, (prec, rel)
 
+    def test_headmajor_flash_algebra_matches_block(self, monkeypatch):
+        """The head-major qkv/out-proj einsums around the flash kernel
+        (models/vit.py:_attn_flash_headmajor) must reproduce the token-major
+        _qkv+mha+proj path exactly. The TPU kernel is replaced by a head-major
+        XLA oracle so the surrounding algebra (weight reshape order, biases)
+        is pinned on CPU; on-device kernel numerics live in BENCHMARKS."""
+        import mingunivision_tpu.ops.kernels.flash as fl
+        from mingunivision_tpu.models.vit import _attn_flash_headmajor, _qkv, block_init
+        from mingunivision_tpu.ops.attention import mha
+        from mingunivision_tpu.ops.linear import dense
+
+        def fake_flash(q, k, v, *, scale, block=512):
+            return mha(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), scale=scale
+            ).transpose(0, 2, 1, 3)
+
+        monkeypatch.setattr(fl, "flash_vit_attention", fake_flash)
+        H, C = 4, 64
+        params = block_init(jax.random.PRNGKey(3), C, H, 4.0, "mlp", dtype=jnp.float32)
+        h = jnp.asarray(np.random.default_rng(4).standard_normal((2, 24, C)), jnp.float32)
+        got = np.asarray(_attn_flash_headmajor(params, h, H))
+        q, k, v = _qkv(params, h, H)
+        want = np.asarray(dense(mha(q, k, v).reshape(h.shape), params["attn"]["proj"]))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_flash_gate_off_on_cpu(self):
+        from mingunivision_tpu.ops.kernels.flash import flash_vit_usable
+
+        assert not flash_vit_usable(1024, jnp.bfloat16)  # CPU backend in tests
+
     def test_runtime_knob_replaces_tier(self):
         cfg = MingUniVisionConfig(mingtok=tiny_cfg("high"))
         rt = RuntimeConfig(pixdec_matmul_precision="default")
