@@ -151,13 +151,13 @@ if __name__ == "__main__":
     ):
         try:
             ms = bench_t2i_per_token(layers=layers, bits=bits, rf_bits=rf_bits, tokens=256, iters=1)
-            extra = {
-                "t2i_config": tag,
-                "t2i_measurement": "direct_256tok",
-                "t2i_per_token_ms": round(ms, 2),
-                "t2i_seconds_per_image_256tok": round(ms * 256 / 1e3, 2),
-                "t2i_images_per_min": round(60.0 / (ms * 256 / 1e3), 2),
-            }
+            extra.update(
+                t2i_config=tag,
+                t2i_measurement="direct_256tok",
+                t2i_per_token_ms=round(ms, 2),
+                t2i_seconds_per_image_256tok=round(ms * 256 / 1e3, 2),
+                t2i_images_per_min=round(60.0 / (ms * 256 / 1e3), 2),
+            )
             # batched serving tier: n guided images through ONE block-major
             # loop (re-measured post CFG fix — the round-2 numbers ran the
             # unguided branch and are void)
@@ -168,7 +168,7 @@ if __name__ == "__main__":
                 extra["t2i_batched_error"] = str(e)[:160]
             break
         except Exception as e:  # noqa: BLE001 — secondary metric must not kill the primary
-            extra = {"t2i_error": str(e)[:160]}
+            extra["t2i_error"] = str(e)[:160]
     try:
         extra["prefill_int4_28l_tok_s"] = bench_prefill_int4()
     except Exception as e:  # noqa: BLE001
