@@ -34,9 +34,18 @@ def quant_rows_s8_pair(lo, hi):
     c1 = lo32 - hi32 * (1.0 / 16.0)
     sa1 = jnp.max(jnp.abs(c1), axis=-1, keepdims=True) / 127.0 + 1e-12
     sa2 = jnp.max(jnp.abs(hi32), axis=-1, keepdims=True) / 127.0 + 1e-12
-    a1 = jnp.round(c1 / sa1).astype(jnp.int32).astype(jnp.int8)
-    a2 = jnp.round(hi32 / sa2).astype(jnp.int32).astype(jnp.int8)
-    corr = 8.0 * jnp.sum(lo32, axis=-1, keepdims=True)
+    a1r = jnp.round(c1 / sa1)
+    a2r = jnp.round(hi32 / sa2)
+    a1 = a1r.astype(jnp.int32).astype(jnp.int8)
+    a2 = a2r.astype(jnp.int32).astype(jnp.int8)
+    # corr from the QUANTIZED operands, not raw x_lo: the identity is then
+    # exact in the quantized activations (x̃_lo = a1*sa1 + a2*sa2/16), which
+    # cancels the per-row bias the +8 nibble offset would otherwise amplify
+    # out of the a1 rounding noise (~1.6x lower rel-L2, measured).
+    corr = 8.0 * (
+        jnp.sum(a1r, axis=-1, keepdims=True) * sa1
+        + jnp.sum(a2r, axis=-1, keepdims=True) * (sa2 * (1.0 / 16.0))
+    )
     return a1, a2, sa1, sa2, corr
 
 

@@ -27,7 +27,9 @@ except Exception:  # pragma: no cover
     GMM_AVAILABLE = False
 
 
-def moe_experts_gmm(experts, x_flat, topk_idx, topk_w, num_experts: int, *, tiling=(128, 512, 512)):
+def moe_experts_gmm(
+    experts, x_flat, topk_idx, topk_w, num_experts: int, *, tiling=(128, 512, 512), interpret=False
+):
     # default tiling measured on v5e: (128,512,512) = 7.0 ms/layer @1024 tok
     # (vs 22.5 ms at (128,128,128) and 10.1 ms masked-dense)
     """Exact top-k MoE via grouped matmul.
@@ -51,10 +53,10 @@ def moe_experts_gmm(experts, x_flat, topk_idx, topk_w, num_experts: int, *, tili
         xs = jnp.concatenate([xs, jnp.zeros((A_pad - A, xs.shape[1]), xs.dtype)], axis=0)
         group_sizes = group_sizes.at[num_experts - 1].add(A_pad - A)
 
-    g = _gmm(xs, experts["gate_proj"].astype(xs.dtype), group_sizes, tiling=tiling)
-    u = _gmm(xs, experts["up_proj"].astype(xs.dtype), group_sizes, tiling=tiling)
+    g = _gmm(xs, experts["gate_proj"].astype(xs.dtype), group_sizes, tiling=tiling, interpret=interpret)
+    u = _gmm(xs, experts["up_proj"].astype(xs.dtype), group_sizes, tiling=tiling, interpret=interpret)
     a = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(xs.dtype)
-    y = _gmm(a, experts["down_proj"].astype(xs.dtype), group_sizes, tiling=tiling)
+    y = _gmm(a, experts["down_proj"].astype(xs.dtype), group_sizes, tiling=tiling, interpret=interpret)
 
     # combine via GATHER-unsort (+ reshape-sum) — a scatter-add with duplicate
     # indices serializes on TPU

@@ -207,7 +207,69 @@ def _kernel_q8_chunked(
         o_ref[...] = lax.select(mask, y, o_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
 
 
-def _swiglu_gmm_q8(xs, w1, w3, w2, group_sizes, *, tm, chunk, interpret):
+def _kernel_q8_chunked_s8(
+    group_offsets_ref,
+    group_ids_ref,
+    m_tile_ids_ref,
+    x_ref,
+    q1_ref,
+    s1_ref,
+    q3_ref,
+    s3_ref,
+    q2_ref,
+    s2_ref,
+    o_ref,
+    acc_ref,
+    xq_ref,  # VMEM s8 (tm, h): per-row quantized x, computed once per tile
+    sx_ref,  # VMEM f32 (tm, 1)
+    *,
+    num_chunks: int,
+    tm: int,
+    h: int,
+):
+    """Integer-MXU variant of the int8 chunked kernel (see BENCHMARKS "RF int4
+    unpack sweep"): the exact kernel's bf16 x (int8->bf16) dots convert every
+    weight byte on the VPU — measured SLOWER than the bf16 kernel despite
+    moving half the bytes. Here x quantizes per-row to s8 once per tile and
+    gate/up stream through s8 x s8 -> s32 dots; the silu(g)*u activation
+    re-quantizes per chunk for the down dot. Adds ~0.4%/matmul activation
+    noise on top of the int8 tier's own error (bounded in tests)."""
+    from mingunivision_tpu.ops.kernels.intdot import mm8_s8, quant_rows_s8
+
+    t = pl.program_id(0)
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        xq, sx = quant_rows_s8(x_ref[...])
+        xq_ref[...] = xq
+        sx_ref[...] = sx
+
+    xq = xq_ref[...]
+    sx = sx_ref[...]
+    w1 = q1_ref[...].reshape(q1_ref.shape[-2], q1_ref.shape[-1])  # s8 (h, mc)
+    w3 = q3_ref[...].reshape(q3_ref.shape[-2], q3_ref.shape[-1])
+    w2 = q2_ref[...].reshape(q2_ref.shape[-2], q2_ref.shape[-1])  # s8 (mc, h)
+    g = mm8_s8(w1, xq, sx) * s1_ref[...].reshape(s1_ref.shape[-1])[None, :]
+    u = mm8_s8(w3, xq, sx) * s3_ref[...].reshape(s3_ref.shape[-1])[None, :]
+    a = jax.nn.silu(g) * u  # (tm, mc) f32
+    aq, sa = quant_rows_s8(a)
+    acc_ref[...] += mm8_s8(w2, aq, sa)
+
+    @pl.when(c == num_chunks - 1)
+    def _store():
+        mask = _get_store_mask(
+            grid_id=t,
+            group_metadata=(group_offsets_ref, group_ids_ref, m_tile_ids_ref),
+            tm=tm,
+            tn=h,
+        )
+        y = acc_ref[...] * s2_ref[...].reshape(s2_ref.shape[-1])[None, :]
+        o_ref[...] = lax.select(mask, y, o_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _swiglu_gmm_q8(xs, w1, w3, w2, group_sizes, *, tm, chunk, interpret, s8=False):
     A, h = xs.shape
     E, _, m = w1.q.shape
     if chunk == 0:
@@ -226,7 +288,16 @@ def _swiglu_gmm_q8(xs, w1, w3, w2, group_sizes, *, tm, chunk, interpret):
         visit_empty_groups=False,
     )
     group_offsets, group_ids, m_tile_ids = group_metadata
-    kernel = functools.partial(_kernel_q8_chunked, num_chunks=num_chunks, tm=tm, h=h)
+    if s8:
+        kernel = functools.partial(_kernel_q8_chunked_s8, num_chunks=num_chunks, tm=tm, h=h)
+        scratch = [
+            pltpu.VMEM((tm, h), jnp.float32),
+            pltpu.VMEM((tm, h), jnp.int8),
+            pltpu.VMEM((tm, 1), jnp.float32),
+        ]
+    else:
+        kernel = functools.partial(_kernel_q8_chunked, num_chunks=num_chunks, tm=tm, h=h)
+        scratch = [pltpu.VMEM((tm, h), jnp.float32)]
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((A, h), xs.dtype),
@@ -243,7 +314,7 @@ def _swiglu_gmm_q8(xs, w1, w3, w2, group_sizes, *, tm, chunk, interpret):
             ],
             out_specs=pl.BlockSpec((tm, h), lambda t, c, go, gi, mt: (mt[t], 0)),
             grid=(num_active_tiles, num_chunks),
-            scratch_shapes=[pltpu.VMEM((tm, h), jnp.float32)],
+            scratch_shapes=scratch,
         ),
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
@@ -325,7 +396,104 @@ def _kernel_q4_chunked(
         o_ref[...] = lax.select(mask, y, o_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
 
 
-def _swiglu_gmm_q4_chunked(xs, w1, w3, w2, group_sizes, *, tm, interpret):
+def _kernel_q4_chunked_s8(
+    group_offsets_ref,
+    group_ids_ref,
+    m_tile_ids_ref,
+    _pa_blk_ref,
+    _pb_blk_ref,
+    plane_a_ref,
+    plane_b_ref,
+    x_ref,
+    q1_ref,
+    s1_ref,
+    q3_ref,
+    s3_ref,
+    q2a_ref,
+    q2b_ref,
+    s2_ref,
+    o_ref,
+    acc_ref,
+    a1_ref,  # VMEM s8 (tm, d_half): combo operand (x_lo - x_hi/16) quantized
+    a2_ref,  # VMEM s8 (tm, d_half): x_hi quantized
+    sa1_ref,  # VMEM f32 (tm, 1)
+    sa2_ref,  # VMEM f32 (tm, 1)
+    corr_ref,  # VMEM f32 (tm, 1): 8*rowsum(x_lo)
+    *,
+    num_chunks: int,
+    tm: int,
+    h: int,
+    seg: int,
+):
+    """Integer-MXU variant of the plane-aware int4 chunked kernel: the x
+    split-halves quantize ONCE per tile to the two s8 operands of the packed
+    2-dot identity (intdot.quant_rows_s8_pair), so each gate/up chunk costs a
+    u8 mask + two s8 dots that stream packed bytes at the HBM floor (the bf16
+    kernel converts every unpacked nibble on the VPU). Down-proj segs select
+    the nibble plane in the fp32 epilogue of the same 2-dot trick:
+      lo plane: a @ (m - 8)        = sa*(aq@m - 8*rowsum(aq))
+      hi plane: a @ ((bx - m)/16)  = sa*(aq@bx - aq@m)/16,  bx = s8(b ^ 0x80)."""
+    from mingunivision_tpu.ops.kernels.intdot import mm4_s8, quant_rows_s8, quant_rows_s8_pair
+
+    t = pl.program_id(0)
+    c = pl.program_id(1)
+    d_half = q1_ref.shape[-2]
+
+    @pl.when(c == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        x = x_ref[...]
+        a1, a2, sa1, sa2, corr = quant_rows_s8_pair(x[:, :d_half], x[:, d_half:])
+        a1_ref[...] = a1
+        a2_ref[...] = a2
+        sa1_ref[...] = sa1
+        sa2_ref[...] = sa2
+        corr_ref[...] = corr
+
+    a1 = a1_ref[...]
+    a2 = a2_ref[...]
+    sa1 = sa1_ref[...]
+    sa2 = sa2_ref[...]
+    corr = corr_ref[...]
+
+    def gate_mm(q_ref):
+        qb = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1])  # u8 (d_half, chunk)
+        return mm4_s8(qb, a1, a2, sa1, sa2, corr)
+
+    g = gate_mm(q1_ref) * s1_ref[...].reshape(s1_ref.shape[-1])[None, :]
+    u = gate_mm(q3_ref) * s3_ref[...].reshape(s3_ref.shape[-1])[None, :]
+    a = jax.nn.silu(g) * u  # (tm, 2*seg) f32
+
+    def down_seg(q_ref, plane, a_seg):
+        qb = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1])  # u8 (seg, h)
+        bx = lax.bitcast_convert_type(qb ^ jnp.uint8(0x80), jnp.int8)
+        mlo = bx & jnp.int8(0xF)
+        aq, sa = quant_rows_s8(a_seg)
+        d_m = lax.dot_general(aq, mlo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32).astype(
+            jnp.float32
+        )
+        d_bx = lax.dot_general(aq, bx, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32).astype(
+            jnp.float32
+        )
+        rs = jnp.sum(aq.astype(jnp.float32), axis=-1, keepdims=True)
+        return jnp.where(plane == 0, (d_m - 8.0 * rs) * sa, (d_bx - d_m) * (sa * (1.0 / 16.0)))
+
+    acc_ref[...] += down_seg(q2a_ref, plane_a_ref[c], a[:, :seg])
+    acc_ref[...] += down_seg(q2b_ref, plane_b_ref[c], a[:, seg:])
+
+    @pl.when(c == num_chunks - 1)
+    def _store():
+        mask = _get_store_mask(
+            grid_id=t,
+            group_metadata=(group_offsets_ref, group_ids_ref, m_tile_ids_ref),
+            tm=tm,
+            tn=h,
+        )
+        y = acc_ref[...] * s2_ref[...].reshape(s2_ref.shape[-1])[None, :]
+        o_ref[...] = lax.select(mask, y, o_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _swiglu_gmm_q4_chunked(xs, w1, w3, w2, group_sizes, *, tm, interpret, s8=False):
     A, h = xs.shape
     E, d_half, m = w1.q.shape
     m_half = m // 2
@@ -357,7 +525,19 @@ def _swiglu_gmm_q4_chunked(xs, w1, w3, w2, group_sizes, *, tm, interpret):
     pa_blk_j = jnp.asarray(pa_blk)
     pb_blk_j = jnp.asarray(pb_blk)
 
-    kernel = functools.partial(_kernel_q4_chunked, num_chunks=num_chunks, tm=tm, h=h, seg=seg)
+    if s8:
+        kernel = functools.partial(_kernel_q4_chunked_s8, num_chunks=num_chunks, tm=tm, h=h, seg=seg)
+        scratch = [
+            pltpu.VMEM((tm, h), jnp.float32),
+            pltpu.VMEM((tm, d_half), jnp.int8),
+            pltpu.VMEM((tm, d_half), jnp.int8),
+            pltpu.VMEM((tm, 1), jnp.float32),
+            pltpu.VMEM((tm, 1), jnp.float32),
+            pltpu.VMEM((tm, 1), jnp.float32),
+        ]
+    else:
+        kernel = functools.partial(_kernel_q4_chunked, num_chunks=num_chunks, tm=tm, h=h, seg=seg)
+        scratch = [pltpu.VMEM((tm, h), jnp.float32)]
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((A, h), xs.dtype),
@@ -375,7 +555,7 @@ def _swiglu_gmm_q4_chunked(xs, w1, w3, w2, group_sizes, *, tm, interpret):
             ],
             out_specs=pl.BlockSpec((tm, h), lambda t, c, go, gi, mt, pa, pb, fa, fb: (mt[t], 0)),
             grid=(num_active_tiles, num_chunks),
-            scratch_shapes=[pltpu.VMEM((tm, h), jnp.float32)],
+            scratch_shapes=scratch,
         ),
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
@@ -398,6 +578,15 @@ def _swiglu_gmm_q4_chunked(xs, w1, w3, w2, group_sizes, *, tm, interpret):
     )
 
 
+# Opt-in integer-MXU (s8 x s8 dot) variants of the quantized prefill kernels,
+# same convention as moe_stream.INT_DOT_STREAM / rf_mlp.INT8_INT_DOTS: the
+# default kernels stay exact-dequant (bf16-grade); flipping these trades
+# ~0.4%/matmul activation-quant noise for streaming packed bytes at the HBM
+# floor instead of converting every weight byte on the VPU.
+INT_DOT_PREFILL_INT8 = False
+INT_DOT_PREFILL_INT4 = False
+
+
 def swiglu_gmm_quant(
     xs,
     w1,
@@ -409,17 +598,26 @@ def swiglu_gmm_quant(
     chunk: int = 0,
     interpret: bool = False,
     int4_chunked: bool = True,
+    s8: bool | None = None,
 ):
     """Quantized fused grouped SwiGLU. w1/w3/w2: QuantizedArray tables in the
     decode-kernel layout (int8: q (E, h, m)/(E, m, h); int4 split-halves packed
     along the contraction dim). int8 streams m-chunks (scales on results, down
     scale applied once at store); int4 defaults to the plane-aware chunked
     kernel (two seg-row views of the packed down table per chunk) with the
-    full-expert-block kernel as fallback. Returns (A, h) in xs.dtype."""
+    full-expert-block kernel as fallback. s8=True (or the INT_DOT_PREFILL_*
+    flags) switches the chunked kernels to integer-MXU dots. Returns (A, h) in
+    xs.dtype."""
     if w1.bits == 8:
-        return _swiglu_gmm_q8(xs, w1, w3, w2, group_sizes, tm=tm, chunk=chunk, interpret=interpret)
+        use_s8 = INT_DOT_PREFILL_INT8 if s8 is None else s8
+        return _swiglu_gmm_q8(
+            xs, w1, w3, w2, group_sizes, tm=tm, chunk=chunk, interpret=interpret, s8=use_s8
+        )
     if w1.bits == 4 and int4_chunked:
-        return _swiglu_gmm_q4_chunked(xs, w1, w3, w2, group_sizes, tm=tm, interpret=interpret)
+        use_s8 = INT_DOT_PREFILL_INT4 if s8 is None else s8
+        return _swiglu_gmm_q4_chunked(
+            xs, w1, w3, w2, group_sizes, tm=tm, interpret=interpret, s8=use_s8
+        )
     A, h = xs.shape
     bits = w1.bits
     E = w1.q.shape[0]
@@ -549,7 +747,17 @@ def swiglu_gmm_supported(experts, x_flat) -> bool:
     return False
 
 
-def moe_experts_swiglu_gmm(experts, x_flat, topk_idx, topk_w, num_experts: int, *, tm: int = 256, interpret: bool = False):
+def moe_experts_swiglu_gmm(
+    experts,
+    x_flat,
+    topk_idx,
+    topk_w,
+    num_experts: int,
+    *,
+    tm: int = 256,
+    interpret: bool = False,
+    s8: bool | None = None,
+):
     """Drop-in MoE prefill dispatch (same contract as moe_gmm.moe_experts_gmm)
     using the fused SwiGLU grouped matmul."""
     N, k = topk_idx.shape
@@ -575,6 +783,7 @@ def moe_experts_swiglu_gmm(experts, x_flat, topk_idx, topk_w, num_experts: int, 
             group_sizes,
             tm=tm,
             interpret=interpret,
+            s8=s8,
         )[:A]
     else:
         ys = swiglu_gmm(
@@ -593,3 +802,42 @@ def moe_experts_swiglu_gmm(experts, x_flat, topk_idx, topk_w, num_experts: int, 
     return jnp.einsum("nkh,nk->nh", per_assignment.astype(jnp.float32), topk_w.astype(jnp.float32)).astype(
         x_flat.dtype
     )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def moe_experts_swiglu_gmm_ad(
+    experts, x_flat, topk_idx, topk_w, num_experts: int, tm: int, interpret: bool = False
+):
+    """Differentiable fused-prefill entry (bf16 tables).
+
+    The raw fused pallas_call has no JVP rule (dynamic grid from the megablox
+    group metadata), so `jax.grad` through the TPU training forward would
+    crash. Forward = the fused single-pass kernel; backward recomputes through
+    the 3-call megablox composition (ops/kernels/moe_gmm.py), whose gmm/tgmm
+    kernels carry their own VJP — same math, exact gradients of the grouped
+    matmul, no (E, N, m) dense residuals.
+    """
+    return moe_experts_swiglu_gmm(experts, x_flat, topk_idx, topk_w, num_experts, tm=tm, interpret=interpret)
+
+
+def _swiglu_ad_fwd(experts, x_flat, topk_idx, topk_w, num_experts: int, tm: int, interpret: bool = False):
+    y = moe_experts_swiglu_gmm(experts, x_flat, topk_idx, topk_w, num_experts, tm=tm, interpret=interpret)
+    return y, (experts, x_flat, topk_idx, topk_w)
+
+
+def _swiglu_ad_bwd(num_experts: int, tm: int, interpret: bool, res, g):
+    from mingunivision_tpu.ops.kernels.moe_gmm import moe_experts_gmm
+
+    experts, x_flat, topk_idx, topk_w = res
+    _, vjp = jax.vjp(
+        lambda e, x, w: moe_experts_gmm(e, x, topk_idx, w, num_experts, interpret=interpret),
+        experts,
+        x_flat,
+        topk_w,
+    )
+    ge, gx, gw = vjp(g)
+    gidx = np.zeros(topk_idx.shape, dtype=jax.dtypes.float0)
+    return ge, gx, gidx, gw
+
+
+moe_experts_swiglu_gmm_ad.defvjp(_swiglu_ad_fwd, _swiglu_ad_bwd)

@@ -77,6 +77,62 @@ def test_quantized_fused_matches_dense(bits):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-4)
 
 
+@pytest.mark.parametrize("bits", [8, 4])
+def test_s8_integer_dot_matches_exact(bits):
+    """Integer-MXU chunked kernels (s8=True) vs the exact-dequant kernels.
+    The s8 path adds per-row activation-quant noise (~0.4%/matmul) on top of
+    identical weight handling — bound it relative to the exact kernel. The
+    bitcast/no-u8-operand construction makes interpret semantics match the
+    compiled Mosaic signed-dot semantics (CLAUDE.md)."""
+    from mingunivision_tpu.ops.kernels.moe_swiglu_gmm import swiglu_gmm_quant
+
+    E, h, m, N, k = 4, 256, 384, 64, 2
+    experts, x, idx, w = _setup(jax.random.PRNGKey(6), E, h, m, N, k)
+    q = {kk: quantize_array(v, bits) for kk, v in experts.items()}
+    A = N * k
+    flat_e = idx.reshape(-1)
+    order = jnp.argsort(flat_e, stable=True)
+    xs = jnp.take(x, order // k, axis=0)
+    gs = jnp.bincount(flat_e, length=E).astype(jnp.int32)
+    exact = swiglu_gmm_quant(xs, q["gate_proj"], q["up_proj"], q["down_proj"], gs, tm=32, interpret=True, s8=False)
+    got = swiglu_gmm_quant(xs, q["gate_proj"], q["up_proj"], q["down_proj"], gs, tm=32, interpret=True, s8=True)
+    exact = np.asarray(exact, np.float32)
+    got = np.asarray(got, np.float32)
+    rel_l2 = np.linalg.norm(got - exact) / (np.linalg.norm(exact) + 1e-9)
+    assert rel_l2 < 0.02, rel_l2
+    # and it still matches the fp oracle at the tier's own grade
+    ref = np.asarray(moe_experts_dense(q, x, idx, w, E), np.float32)
+    inv = jnp.argsort(order, stable=True)
+    comb = jnp.take(jnp.asarray(got), inv, axis=0).reshape(N, k, -1)
+    comb = np.asarray(jnp.einsum("nkh,nk->nh", comb, w.astype(jnp.float32)))
+    rel_l2_ref = np.linalg.norm(comb - ref) / (np.linalg.norm(ref) + 1e-9)
+    assert rel_l2_ref < 0.02, rel_l2_ref
+
+
+def test_grad_through_ad_wrapper_matches_dense():
+    """moe_experts_swiglu_gmm_ad: fused-kernel forward, megablox-vjp backward.
+    Both the forward value and grads w.r.t. expert tables / activations /
+    router weights must match jax.grad through the masked-dense oracle."""
+    from mingunivision_tpu.ops.kernels.moe_swiglu_gmm import moe_experts_swiglu_gmm_ad
+
+    E, h, m, N, k = 4, 128, 256, 64, 2
+    experts, x, idx, w = _setup(jax.random.PRNGKey(5), E, h, m, N, k)
+
+    def loss_ad(experts, x, w):
+        y = moe_experts_swiglu_gmm_ad(experts, x, idx, w, E, 32, True)
+        return jnp.sum(jnp.sin(y.astype(jnp.float32)))
+
+    def loss_ref(experts, x, w):
+        y = moe_experts_dense(experts, x, idx, w, E)
+        return jnp.sum(jnp.sin(y.astype(jnp.float32)))
+
+    (v_ad, g_ad) = jax.value_and_grad(loss_ad, argnums=(0, 1, 2))(experts, x, w)
+    (v_ref, g_ref) = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(experts, x, w)
+    np.testing.assert_allclose(float(v_ad), float(v_ref), rtol=1e-4)
+    for ga, gr in zip(jax.tree.leaves(g_ad), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gr), atol=2e-3, rtol=1e-3)
+
+
 def test_int4_full_block_fallback_matches():
     """The non-chunked int4 kernel (full-expert blocks) stays available via
     swiglu_gmm_quant(int4_chunked=False)."""
