@@ -309,6 +309,7 @@ def moe_block_apply(params, cfg: BailingMoeConfig, x, image_mask=None, audio_mas
         from mingunivision_tpu.ops.kernels.moe_gmm import GMM_AVAILABLE, moe_experts_gmm
         from mingunivision_tpu.ops.kernels.moe_swiglu_gmm import (
             moe_experts_swiglu_gmm,
+            moe_experts_swiglu_gmm_ad,
             swiglu_gmm_supported,
         )
         from mingunivision_tpu.utils.quantize import QuantizedArray
@@ -320,11 +321,19 @@ def moe_block_apply(params, cfg: BailingMoeConfig, x, image_mask=None, audio_mas
         # bf16 5.67/8.88 ms @1024/4096 tok (megablox 6.80/13.47); int8
         # dequant-fused 7.03/8.99 (masked-dense 10.19/30.99); int4
         # plane-aware chunked 5.48/9.45 (masked-dense 11.06/33.96).
-        is_int4 = isinstance(tabs["gate_proj"], QuantizedArray) and tabs["gate_proj"].bits == 4
+        is_quant = isinstance(tabs["gate_proj"], QuantizedArray)
+        is_int4 = is_quant and tabs["gate_proj"].bits == 4
         if on_tpu and not sharded and swiglu_gmm_supported(tabs, x_flat):
-            y = moe_experts_swiglu_gmm(
-                tabs, x_flat, topk_idx, topk_w, cfg.num_experts, tm=128 if is_int4 else 256
-            )
+            if is_quant:
+                # inference-only tiers: plain fused kernel (no grads through
+                # quantized tables)
+                y = moe_experts_swiglu_gmm(
+                    tabs, x_flat, topk_idx, topk_w, cfg.num_experts, tm=128 if is_int4 else 256
+                )
+            else:
+                # custom_vjp wrapper: fused kernel fwd, megablox gmm/tgmm bwd —
+                # keeps jax.grad working through the TPU training forward
+                y = moe_experts_swiglu_gmm_ad(tabs, x_flat, topk_idx, topk_w, cfg.num_experts, 256)
         elif GMM_AVAILABLE and on_tpu and not sharded and not isinstance(tabs["gate_proj"], QuantizedArray):
             y = moe_experts_gmm(tabs, x_flat, topk_idx, topk_w, cfg.num_experts)
         elif on_tpu and sharded and cfg.expert_mesh is not None and _sharded_swiglu_ok(

@@ -82,6 +82,23 @@ def bench_fn(f, *args, iters: int = 10, warmup: int = 2) -> float:
     return (time.perf_counter() - t0) / iters
 
 
+def bench_carry_fn(f, carry, *args, iters: int = 10, warmup: int = 2):
+    """bench_fn for steps of the form `carry, out = f(carry, *args)` that
+    DONATE their carry (e.g. make_train_step): each timed iteration feeds the
+    previous iteration's fresh carry, so donated buffers are never reused.
+    Returns (seconds_per_iter, final_carry)."""
+    carry, out = f(carry, *args)
+    force_sync(out)
+    for _ in range(warmup):
+        carry, out = f(carry, *args)
+    force_sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        carry, out = f(carry, *args)
+    force_sync(out)
+    return (time.perf_counter() - t0) / iters, carry
+
+
 def start_server(port: int = 9999):
     """Start the jax profiler server for on-demand capture."""
     jax.profiler.start_server(port)

@@ -148,9 +148,12 @@ class TestRFTraining:
         ids = jnp.asarray(np.random.default_rng(4).integers(0, cfg.vocab_size, (4, 12)))
         mask = jnp.ones((4, 12), jnp.int32)
 
+        # the steps DONATE their input state, so s2 needs its own param buffers
+        # built before s1's are consumed
+        params2 = jax.tree_util.tree_map(jnp.copy, params)
         s1 = TrainState(params, opt.init(params), jnp.int32(0))
+        s2 = TrainState(params2, opt.init(params2), jnp.int32(0))
         s1, loss1 = make_train_step(cfg, opt)(s1, ids, mask)
-        s2 = TrainState(params, opt.init(params), jnp.int32(0))
         s2, loss2 = make_train_step(cfg, opt, accum_steps=2)(s2, ids, mask)
         np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
         a = jax.tree_util.tree_leaves(s1.params)
