@@ -239,6 +239,10 @@ class BailingMoeConfig(_JsonMixin):
     # runtime-only: the jax Mesh for the shard_map decode path (excluded from
     # JSON / equality; api.py fills it in when constructed with a mesh)
     expert_mesh: Any = dataclasses.field(default=None, compare=False, repr=False)
+    # set by the training losses (engine/train.py): routes MoE dispatch through
+    # the custom_vjp kernel wrappers so jax.grad works; inference keeps the
+    # (non-differentiable but operand-layout-faster) stacked-table calls
+    moe_differentiable: bool = False
 
     @property
     def num_kv_groups(self) -> int:

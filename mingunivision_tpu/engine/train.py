@@ -17,6 +17,7 @@ so the velocity target the net must regress is v* = data - noise.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import NamedTuple
 
 import jax
@@ -74,6 +75,8 @@ def lm_loss(
     auxiliary losses (modeling_utils.py:563-600) weighted accordingly; the
     forward then also collects per-layer router stats."""
     B, T = input_ids.shape
+    # route MoE dispatch through the differentiable (custom_vjp) kernel paths
+    cfg = dataclasses.replace(cfg, moe_differentiable=True)
     want_aux = balance_alpha > 0 or z_alpha > 0 or group_alpha > 0
     cache = LLMCache.create(cfg, B, T, dtype=jnp.bfloat16)
     embeds = embed_tokens(params, input_ids)
@@ -156,6 +159,7 @@ def image_gen_loss(
     from mingunivision_tpu.engine.generate import linear_proj_apply
     from mingunivision_tpu.models.rf_head import vis_head_apply
 
+    llm_cfg = dataclasses.replace(llm_cfg, moe_differentiable=True)
     B, Tt = text_ids.shape
     N = sem_features.shape[1]
     T = Tt + N

@@ -343,18 +343,28 @@ def moe_block_apply(params, cfg: BailingMoeConfig, x, image_mask=None, audio_mas
             # over its local (expert, model) table block + psum — keeps the
             # measured 3.4-3.6x fused-kernel edge over GSPMD masked-dense at
             # 4096 tokens under sharding (parallel/moe_shard.py)
-            from mingunivision_tpu.parallel.moe_shard import moe_experts_swiglu_gmm_sharded
+            if cfg.moe_differentiable and not is_quant:
+                # sharded TRAINING forward: custom_vjp wrapper (kernel fwd,
+                # sharded masked-dense bwd) over per-layer tables — grads flow
+                # through dynamic_index's transpose into the stacked tree
+                from mingunivision_tpu.parallel.moe_shard import moe_experts_swiglu_gmm_sharded_ad
 
-            y = moe_experts_swiglu_gmm_sharded(
-                cfg.expert_mesh,
-                probe,
-                x_flat,
-                topk_idx,
-                topk_w,
-                layer_idx=layer_idx if experts_stacked is not None else None,
-                num_experts=cfg.num_experts,
-                tm=128 if is_int4 else 256,
-            )
+                y = moe_experts_swiglu_gmm_sharded_ad(
+                    cfg.expert_mesh, sliced_experts(), x_flat, topk_idx, topk_w, cfg.num_experts, 256
+                )
+            else:
+                from mingunivision_tpu.parallel.moe_shard import moe_experts_swiglu_gmm_sharded
+
+                y = moe_experts_swiglu_gmm_sharded(
+                    cfg.expert_mesh,
+                    probe,
+                    x_flat,
+                    topk_idx,
+                    topk_w,
+                    layer_idx=layer_idx if experts_stacked is not None else None,
+                    num_experts=cfg.num_experts,
+                    tm=128 if is_int4 else 256,
+                )
         else:
             y = moe_experts_dense(tabs, x_flat, topk_idx, topk_w, cfg.num_experts)
 

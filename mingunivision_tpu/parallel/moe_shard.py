@@ -30,8 +30,11 @@ localization + psum arithmetic on a virtual CPU mesh.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -270,6 +273,7 @@ def moe_experts_swiglu_gmm_sharded(
     axis_data: str = "data",
     tm: int = 256,
     interpret: bool = False,
+    force_dense: bool = False,
 ):
     """Sharded PREFILL MoE dispatch through the fused SwiGLU grouped-matmul.
 
@@ -329,7 +333,7 @@ def moe_experts_swiglu_gmm_sharded(
 
         from mingunivision_tpu.ops.kernels.moe_swiglu_gmm import swiglu_gmm, swiglu_gmm_quant
 
-        use_kernel = interpret or jax.default_backend() == "tpu"
+        use_kernel = (not force_dense) and (interpret or jax.default_backend() == "tpu")
         if use_kernel and isinstance(t["gate_proj"], QuantizedArray):
             ys = swiglu_gmm_quant(
                 xs, t["gate_proj"], t["up_proj"], t["down_proj"], group_sizes,
@@ -366,3 +370,46 @@ def moe_experts_swiglu_gmm_sharded(
         in_specs=(tab_specs, row_spec, idx_spec, idx_spec, P()),
         out_specs=row_spec,
     )(experts, x_flat, topk_idx, topk_w, lay)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 5, 6, 7))
+def moe_experts_swiglu_gmm_sharded_ad(
+    mesh, experts, x_flat, topk_idx, topk_w, num_experts: int, tm: int, interpret: bool = False
+):
+    """Differentiable sharded fused-prefill entry (bf16 per-layer tables).
+
+    The shard_map'd Pallas kernel has no JVP rule, so a sharded TPU TRAINING
+    forward through `moe_experts_swiglu_gmm_sharded` would crash under
+    jax.grad. Forward = the fused sharded kernel; backward differentiates the
+    SAME wrapper with `force_dense=True` — the masked-dense local compute +
+    psum path (virtual-mesh validated), whose autodiff transposes the expert/
+    model psums correctly, so gradients stay sharded (local table cotangents +
+    collectives) rather than forcing a global all-gather. Mirrors the
+    unsharded `moe_experts_swiglu_gmm_ad` (ops/kernels/moe_swiglu_gmm.py)."""
+    return moe_experts_swiglu_gmm_sharded(
+        mesh, experts, x_flat, topk_idx, topk_w, num_experts=num_experts, tm=tm, interpret=interpret
+    )
+
+
+def _sharded_ad_fwd(mesh, experts, x_flat, topk_idx, topk_w, num_experts: int, tm: int, interpret: bool = False):
+    y = moe_experts_swiglu_gmm_sharded(
+        mesh, experts, x_flat, topk_idx, topk_w, num_experts=num_experts, tm=tm, interpret=interpret
+    )
+    return y, (experts, x_flat, topk_idx, topk_w)
+
+
+def _sharded_ad_bwd(mesh, num_experts: int, tm: int, interpret: bool, res, g):
+    experts, x_flat, topk_idx, topk_w = res
+
+    def ref(e, x, w):
+        return moe_experts_swiglu_gmm_sharded(
+            mesh, e, x, topk_idx, w, num_experts=num_experts, tm=tm, force_dense=True
+        )
+
+    _, vjp = jax.vjp(ref, experts, x_flat, topk_w)
+    ge, gx, gw = vjp(g)
+    gidx = np.zeros(topk_idx.shape, dtype=jax.dtypes.float0)
+    return ge, gx, gidx, gw
+
+
+moe_experts_swiglu_gmm_sharded_ad.defvjp(_sharded_ad_fwd, _sharded_ad_bwd)

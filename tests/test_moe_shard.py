@@ -227,3 +227,32 @@ def test_sharded_predicates_int4_groups(monkeypatch):
     q8 = {k: quantize_array(v, 8) for k, v in tabs.items()}
     assert sharded_swiglu_gmm_supported(mesh, q8, x, idx)
     assert sharded_swiglu_gmm_supported(mesh, tabs, x, idx)
+
+
+def test_sharded_swiglu_ad_grads_match_dense_oracle():
+    """moe_experts_swiglu_gmm_sharded_ad: fused-kernel (interpret) forward in
+    shard_map, backward through the force_dense sharded path. Value and grads
+    w.r.t. tables / activations / gate weights must match jax.grad through the
+    UNSHARDED dense oracle — proving the sharded TPU training forward keeps
+    the fast kernel without breaking autodiff."""
+    from mingunivision_tpu.parallel.moe_shard import moe_experts_swiglu_gmm_sharded_ad
+
+    mesh = _mesh()
+    L, E, d, m, N, k = _prefill_shapes()
+    tabs = _tables(jax.random.PRNGKey(30), L, E, d, m, stacked=False)
+    x = jax.random.normal(jax.random.PRNGKey(31), (N, d), jnp.float32)
+    idx, w = _routing(jax.random.PRNGKey(32), N, k, E)
+
+    def loss_ad(tabs, x, w):
+        y = moe_experts_swiglu_gmm_sharded_ad(mesh, tabs, x, idx, w, E, 16, True)
+        return jnp.sum(jnp.sin(y))
+
+    def loss_ref(tabs, x, w):
+        y = moe_experts_dense(tabs, x, idx, w, E)
+        return jnp.sum(jnp.sin(y))
+
+    v_ad, g_ad = jax.value_and_grad(loss_ad, argnums=(0, 1, 2))(tabs, x, w)
+    v_ref, g_ref = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(tabs, x, w)
+    np.testing.assert_allclose(float(v_ad), float(v_ref), rtol=1e-5)
+    for ga, gr in zip(jax.tree_util.tree_leaves(g_ad), jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gr), atol=2e-4, rtol=1e-4)
