@@ -215,7 +215,7 @@ def make_scheduled_optimizer(peak_lr: float, warmup_steps: int, total_steps: int
     )
 
 
-def make_train_step(cfg: BailingMoeConfig, optimizer, accum_steps: int = 1, donate: bool = True):
+def make_train_step(cfg: BailingMoeConfig, optimizer, accum_steps: int = 1, donate: bool = True, **loss_kwargs):
     """LM train step; with accum_steps > 1 the batch's leading axis is split into
     microbatches scanned sequentially (grads averaged) — activation memory drops
     by the factor while weights/optimizer state are touched once.
@@ -225,10 +225,13 @@ def make_train_step(cfg: BailingMoeConfig, optimizer, accum_steps: int = 1, dona
     XLA updates params/adamw moments in place instead of holding two copies
     (~6.6 GB per copy at one 16B-A3B layer; two copies don't fit one v5e).
     Pass donate=False only if the caller must keep the pre-step state alive.
+
+    Extra keyword args (balance_alpha, z_alpha, group_alpha, logits_l2_alpha,
+    ep_groups) are forwarded to lm_loss — the router auxiliary losses.
     """
 
     def grads_of(params, input_ids, attention_mask):
-        return jax.value_and_grad(lm_loss)(params, cfg, input_ids, attention_mask)
+        return jax.value_and_grad(lm_loss)(params, cfg, input_ids, attention_mask, **loss_kwargs)
 
     def train_step(state: TrainState, input_ids, attention_mask):
         if accum_steps == 1:

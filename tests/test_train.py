@@ -245,3 +245,34 @@ def test_lm_loss_with_router_aux():
     g = jax.grad(lambda p: lm_loss(p, cfg, ids, mask, balance_alpha=0.01, z_alpha=0.001))(params)
     gate_g = g["layers"]["mlp"]["gate"]["w"]
     assert np.isfinite(np.asarray(gate_g)).all()
+
+
+class TestTrainerDriver:
+    def test_train_lm_smoke_and_resume(self, tmp_path):
+        """examples/train_lm.py: loss descends on the synthetic stream; async
+        checkpoints land; --resume restores the latest step and continues."""
+        import json as _json
+        import os
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ck = str(tmp_path / "ck")
+
+        def run(*extra):
+            out = subprocess.run(
+                [sys.executable, "examples/train_lm.py", "--tiny", "--allow-cpu",
+                 "--ckpt-dir", ck, "--ckpt-every", "10", "--log-every", "5", *extra],
+                cwd=repo, capture_output=True, text=True, timeout=500,
+            )
+            assert out.returncode == 0, out.stderr[-2000:]
+            return [
+                _json.loads(l) for l in out.stdout.splitlines() if l.startswith("{")
+            ], out.stdout
+
+        logs, _ = run("--steps", "20")
+        assert logs[-1]["step"] == 20
+        assert logs[-1]["loss"] < logs[0]["loss"] + 0.05  # descending-ish
+        logs2, stdout2 = run("--steps", "30", "--resume")
+        assert "resumed" in stdout2 and "step 20" in stdout2
+        assert logs2[-1]["step"] == 30
