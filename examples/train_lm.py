@@ -36,6 +36,12 @@ if "--allow-cpu" in sys.argv:
     # under axon the env-var route is overridden by sitecustomize (CLAUDE.md);
     # this must run before any device use
     jax.config.update("jax_platforms", "cpu")
+    if "--mesh" in sys.argv:
+        # virtual multi-device CPU for sharded smoke runs (before backend init)
+        n = 1
+        for v in sys.argv[sys.argv.index("--mesh") + 1].split(","):
+            n *= int(v)
+        jax.config.update("jax_num_cpu_devices", max(n, 1))
 
 import jax.numpy as jnp
 import numpy as np
@@ -82,6 +88,7 @@ def main(argv=None):
     ap.add_argument("--warmup", type=int, default=10)
     ap.add_argument("--balance-alpha", type=float, default=0.01)
     ap.add_argument("--z-alpha", type=float, default=1e-4)
+    ap.add_argument("--mesh", default=None, help="dp,ep,tp device mesh, e.g. 2,2,2")
     ap.add_argument("--data", default=None)
     ap.add_argument("--ckpt-dir", default=None)
     ap.add_argument("--ckpt-every", type=int, default=50)
@@ -108,8 +115,35 @@ def main(argv=None):
 
         cfg = BailingMoeConfig(num_hidden_layers=args.layers)
 
-    opt = make_scheduled_optimizer(args.lr, args.warmup, args.steps)
+    mesh = None
+    if args.mesh:
+        import contextlib
+        import dataclasses
+
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        dp, ep, tp = (int(v) for v in args.mesh.split(","))
+        devs = np.array(jax.devices()[: dp * ep * tp]).reshape(dp, ep, tp)
+        mesh = Mesh(devs, ("data", "expert", "model"))
+        # route the sharded MoE dispatch (TPU: fused sharded kernel with the
+        # custom_vjp training path; aux losses shard per __graft_entry__ dryrun)
+        cfg = dataclasses.replace(cfg, expert_tables_sharded=True, expert_mesh=mesh)
+        mesh_ctx = lambda: mesh
+        data_sharding = NamedSharding(mesh, P("data", None))
+        put = lambda a: jax.device_put(a, data_sharding)
+    else:
+        import contextlib
+
+        mesh_ctx = contextlib.nullcontext
+        put = lambda a: a
+
+    warmup = min(args.warmup, max(args.steps // 2, 1))  # keep decay_steps > 0
+    opt = make_scheduled_optimizer(args.lr, warmup, args.steps)
     params = init_bailing_moe_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    if mesh is not None:
+        from mingunivision_tpu.parallel.sharding import llm_param_shardings
+
+        params = jax.tree_util.tree_map(jax.device_put, params, llm_param_shardings(params, mesh))
     state = TrainState(params, opt.init(params), jnp.int32(0))
     del params
     step = make_train_step(
@@ -130,9 +164,9 @@ def main(argv=None):
     timer = StepTimer()
     losses = []
     for i in range(start_step, args.steps):
-        ids = jnp.asarray(stream.batch(args.batch, args.seq))
-        mask = jnp.ones_like(ids)
-        with timer.time("step"):
+        ids = put(jnp.asarray(stream.batch(args.batch, args.seq)))
+        mask = put(jnp.ones((args.batch, args.seq), jnp.int32))
+        with timer.time("step"), mesh_ctx():
             state, loss = step(state, ids, mask)
             # host sync for honest wall-clock (axon block_until_ready is a no-op)
             l = force_sync(loss)

@@ -276,3 +276,27 @@ class TestTrainerDriver:
         logs2, stdout2 = run("--steps", "30", "--resume")
         assert "resumed" in stdout2 and "step 20" in stdout2
         assert logs2[-1]["step"] == 30
+
+    def test_train_lm_sharded_mesh_matches_unsharded(self, tmp_path):
+        """--mesh 2,2,2 on the virtual CPU mesh: same seeds => the sharded
+        loss trajectory must equal the single-device run's (GSPMD math parity
+        through the full train loop)."""
+        import json as _json
+        import os
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+        def run(*extra):
+            out = subprocess.run(
+                [sys.executable, "examples/train_lm.py", "--tiny", "--allow-cpu",
+                 "--steps", "10", "--log-every", "10", *extra],
+                cwd=repo, capture_output=True, text=True, timeout=500,
+            )
+            assert out.returncode == 0, out.stderr[-2000:]
+            return [_json.loads(l) for l in out.stdout.splitlines() if l.startswith("{")]
+
+        single = run()
+        sharded = run("--mesh", "2,2,2")
+        assert abs(single[-1]["loss"] - sharded[-1]["loss"]) < 2e-3, (single, sharded)
