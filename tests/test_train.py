@@ -300,3 +300,21 @@ class TestTrainerDriver:
         single = run()
         sharded = run("--mesh", "2,2,2")
         assert abs(single[-1]["loss"] - sharded[-1]["loss"]) < 2e-3, (single, sharded)
+
+    def test_train_mingtok_smoke(self):
+        """examples/train_mingtok.py: prefetch-queue-fed joint loss descends."""
+        import json as _json
+        import os
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        out = subprocess.run(
+            [sys.executable, "examples/train_mingtok.py", "--tiny", "--allow-cpu",
+             "--steps", "12", "--log-every", "4"],
+            cwd=repo, capture_output=True, text=True, timeout=500,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        logs = [_json.loads(l) for l in out.stdout.splitlines() if l.startswith("{")]
+        assert logs[-1]["step"] == 12
+        assert logs[-1]["loss"] < logs[0]["loss"]
