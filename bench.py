@@ -129,7 +129,27 @@ def bench_t2i_per_token(layers: int = 28, tokens: int = 8, iters: int = 2, bits:
 if __name__ == "__main__":
     # JAX_PLATFORMS='' auto-pick silently falls back to host CPU when the axon
     # claim is not ready — a CPU number would be recorded as a TPU result.
-    assert jax.default_backend() == "tpu", f"expected TPU backend, got {jax.default_backend()}"
+    # If the TPU is unreachable, still honor the one-JSON-line contract with a
+    # zero value + explicit error rather than dying lineless.
+    try:
+        _backend = jax.default_backend()
+    except Exception as e:  # noqa: BLE001 — axon init can raise UNAVAILABLE
+        _backend = f"init-error: {e}"
+    if _backend != "tpu":
+        import sys
+
+        print(
+            json.dumps(
+                {
+                    "metric": "mingtok_512px_encode_decode_throughput",
+                    "value": 0.0,
+                    "unit": "images/sec/chip",
+                    "vs_baseline": 0.0,
+                    "extra": {"error": f"TPU backend unavailable ({str(_backend)[:200]}); refusing to record CPU numbers"},
+                }
+            )
+        )
+        sys.exit(1)
     # Headline = SERVING tier (pixdec "default": 1-pass bf16 MXU + ViT flash
     # attention; 60.3 dB PSNR vs true fp32 — invisible under the 48.1 dB uint8
     # quantizer; BENCHMARKS "Pixel-decoder precision tiers"). The fp32-class

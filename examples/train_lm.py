@@ -89,6 +89,7 @@ def main(argv=None):
     ap.add_argument("--balance-alpha", type=float, default=0.01)
     ap.add_argument("--z-alpha", type=float, default=1e-4)
     ap.add_argument("--mesh", default=None, help="dp,ep,tp device mesh, e.g. 2,2,2")
+    ap.add_argument("--remat", action="store_true", help="rematerialize layers in backward (fit deeper stacks)")
     ap.add_argument("--data", default=None)
     ap.add_argument("--ckpt-dir", default=None)
     ap.add_argument("--ckpt-every", type=int, default=50)
@@ -114,6 +115,10 @@ def main(argv=None):
         from mingunivision_tpu.config import BailingMoeConfig
 
         cfg = BailingMoeConfig(num_hidden_layers=args.layers)
+    if args.remat:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, remat_layers=True)
 
     mesh = None
     if args.mesh:

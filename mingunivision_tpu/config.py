@@ -243,6 +243,13 @@ class BailingMoeConfig(_JsonMixin):
     # the custom_vjp kernel wrappers so jax.grad works; inference keeps the
     # (non-differentiable but operand-layout-faster) stacked-table calls
     moe_differentiable: bool = False
+    # rematerialize each decoder layer in the backward pass (jax.checkpoint on
+    # the scan body): activation memory per layer drops to the layer BOUNDARY
+    # (B*T*h) instead of every intermediate (attention probs, expert g/u
+    # activations, logits of the router...), trading one extra forward. The
+    # standard TPU trick for fitting deeper stacks/batches in HBM. Training
+    # callers opt in (train_lm --remat); inference is unaffected (no grads).
+    remat_layers: bool = False
 
     @property
     def num_kv_groups(self) -> int:

@@ -514,7 +514,10 @@ def bailing_forward(
         return x, ys
 
     layer_ids = jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)
-    x, ys = lax.scan(body, inputs_embeds, (scanned, layer_ids, cache.k, cache.v))
+    # cfg.remat_layers: recompute the layer in the backward pass — activations
+    # saved per layer shrink to the scan carry/xs boundary (see config.py)
+    body_fn = jax.checkpoint(body) if cfg.remat_layers else body
+    x, ys = lax.scan(body_fn, inputs_embeds, (scanned, layer_ids, cache.k, cache.v))
     if return_router_stats:
         nk, nv, stats = ys
     else:

@@ -318,3 +318,22 @@ class TestTrainerDriver:
         logs = [_json.loads(l) for l in out.stdout.splitlines() if l.startswith("{")]
         assert logs[-1]["step"] == 12
         assert logs[-1]["loss"] < logs[0]["loss"]
+
+
+class TestRemat:
+    def test_remat_layers_grads_match(self):
+        """cfg.remat_layers recomputes layers in backward — loss and grads
+        must be IDENTICAL to the non-remat graph (same math, less memory)."""
+        import dataclasses
+
+        cfg = tiny_llm_config()
+        params = init_bailing_moe_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        ids = jnp.asarray(np.random.default_rng(7).integers(0, cfg.vocab_size, (2, 16)))
+        mask = jnp.ones((2, 16), jnp.int32)
+
+        v0, g0 = jax.value_and_grad(lm_loss)(params, cfg, ids, mask)
+        cfg_r = dataclasses.replace(cfg, remat_layers=True)
+        v1, g1 = jax.value_and_grad(lm_loss)(params, cfg_r, ids, mask)
+        np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
