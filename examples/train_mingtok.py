@@ -102,6 +102,7 @@ def main(argv=None):
     ap.add_argument("--ckpt-every", type=int, default=50)
     ap.add_argument("--log-every", type=int, default=10)
     ap.add_argument("--prefetch-threads", type=int, default=2)
+    ap.add_argument("--remat", action="store_true", help="rematerialize ViT blocks in backward")
     args = ap.parse_args(argv)
 
     import functools
@@ -134,7 +135,7 @@ def main(argv=None):
     def step(carry, imgs):
         params, opt_state = carry
         (loss, metrics), grads = jax.value_and_grad(mingtok_train_loss, has_aux=True)(
-            params, cfg, imgs, None
+            params, cfg, imgs, None, remat=args.remat
         )
         updates, opt_state = opt.update(grads, opt_state, params)
         return (optax.apply_updates(params, updates), opt_state), (loss, metrics)

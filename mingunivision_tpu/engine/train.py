@@ -267,6 +267,7 @@ def mingtok_train_loss(
     pixel_weight: float = 1.0,
     feature_weight: float = 1.0,
     compute_dtype=jnp.bfloat16,
+    remat: bool = False,
 ):
     """MingTok joint pretraining loss: pixel reconstruction + semantic
     feature-distillation.
@@ -286,14 +287,14 @@ def mingtok_train_loss(
     )
     from mingunivision_tpu.ops.linear import dense
 
-    feats = mingtok_encode(params, cfg, images, compute_dtype=compute_dtype)
+    feats = mingtok_encode(params, cfg, images, compute_dtype=compute_dtype, remat=remat)
     sem = feats["x_norm_patchtokens"].astype(jnp.float32)
 
     # pixel decode from the semantic tokens (mingtok_pixel_decoder path, kept
     # at the patch level for the loss)
     ratio = cfg.semantic_decoder.patch_size // cfg.pixel_decoder.patch_size
     pix_in = expand_sem_to_pix_tokens(dense(sem, params["sem_to_pix"]), ratio)
-    pred_patches = pixel_decoder_apply(params["pixel_decoder"], cfg.pixel_decoder, pix_in)
+    pred_patches = pixel_decoder_apply(params["pixel_decoder"], cfg.pixel_decoder, pix_in, remat=remat)
 
     loss = jnp.float32(0.0)
     metrics = {}

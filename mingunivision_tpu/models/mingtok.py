@@ -86,7 +86,7 @@ def init_mingtok_params(key, cfg: MingTokConfig, dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 
 
-def encoder_apply(params, cfg: ViTEncoderConfig, images, *, compute_dtype=jnp.bfloat16):
+def encoder_apply(params, cfg: ViTEncoderConfig, images, *, compute_dtype=jnp.bfloat16, remat: bool = False):
     """images (B, 3, H, W) -> 32-d latents (B, h*w + 1, out_dim), CLS last."""
     B, _, H, W = images.shape
     x = patch_embed_apply(params["patch_embed"], images.astype(compute_dtype), cfg.patch_size)
@@ -99,7 +99,7 @@ def encoder_apply(params, cfg: ViTEncoderConfig, images, *, compute_dtype=jnp.bf
     )
     x = x + pe.astype(compute_dtype)
 
-    x = run_blocks(params["blocks"], x, num_heads=cfg.num_heads, ffn_layer=cfg.ffn_layer, ln_eps=cfg.ln_eps)
+    x = run_blocks(params["blocks"], x, num_heads=cfg.num_heads, ffn_layer=cfg.ffn_layer, ln_eps=cfg.ln_eps, remat=remat)
 
     # out layer: channel-mean shortcut + norm -> GELU -> proj (vision_transformer.py:173-178)
     shortcut = x.reshape(*x.shape[:-1], cfg.out_dim, cfg.embed_dim // cfg.out_dim).mean(-1)
@@ -120,14 +120,14 @@ def _sem_in_proj(params, cfg, x):
     return dense(x, params["in_proj"]) + shortcut
 
 
-def semantic_decoder_apply(params, cfg, latents, *, compute_dtype=jnp.bfloat16, split_cls: bool = True):
+def semantic_decoder_apply(params, cfg, latents, *, compute_dtype=jnp.bfloat16, split_cls: bool = True, remat: bool = False):
     """Full-sequence (non-cached) semantic decode.
 
     latents: (B, N, in_dim). Returns dict with `x_norm_patchtokens` (B, N-1, D)
     and `x_norm_clstoken` when split_cls and N > 1, else the full normed sequence.
     """
     x = _sem_in_proj(params, cfg, latents.astype(compute_dtype))
-    x = run_blocks(params["blocks"], x, num_heads=cfg.num_heads, ffn_layer=cfg.ffn_layer, is_causal=True, ln_eps=cfg.ln_eps)
+    x = run_blocks(params["blocks"], x, num_heads=cfg.num_heads, ffn_layer=cfg.ffn_layer, is_causal=True, ln_eps=cfg.ln_eps, remat=remat)
     x_norm = layer_norm(x, params["norm"]["w"], params["norm"]["b"], eps=cfg.ln_eps)
     N = x_norm.shape[1]
     if split_cls and cfg.with_cls_token and N > 1:
@@ -156,7 +156,7 @@ def make_semdec_cache(cfg, batch: int, max_len: int, dtype=jnp.bfloat16) -> ViTC
 # ---------------------------------------------------------------------------
 
 
-def pixel_decoder_apply(params, cfg, tokens):
+def pixel_decoder_apply(params, cfg, tokens, *, remat: bool = False):
     """tokens (B, L, D) fp32 -> patch pixels (B, L, p*p*3), returned fp32.
 
     matmul_precision tiers (PixelDecoderConfig): "highest"/"high"/"default"
@@ -168,12 +168,12 @@ def pixel_decoder_apply(params, cfg, tokens):
 
     if cfg.matmul_precision == "bf16":
         x = tokens.astype(jnp.bfloat16)
-        x = run_blocks(params["blocks"], x, num_heads=cfg.num_heads, ffn_layer=cfg.ffn_layer, ln_eps=cfg.ln_eps)
+        x = run_blocks(params["blocks"], x, num_heads=cfg.num_heads, ffn_layer=cfg.ffn_layer, ln_eps=cfg.ln_eps, remat=remat)
         x = layer_norm(x, params["norm"]["w"], params["norm"]["b"], eps=cfg.ln_eps)
         return dense(x, params["head"]).astype(jnp.float32)
     with fp32_matmul_precision(cfg.matmul_precision):
         x = tokens.astype(jnp.float32)
-        x = run_blocks(params["blocks"], x, num_heads=cfg.num_heads, ffn_layer=cfg.ffn_layer, ln_eps=cfg.ln_eps)
+        x = run_blocks(params["blocks"], x, num_heads=cfg.num_heads, ffn_layer=cfg.ffn_layer, ln_eps=cfg.ln_eps, remat=remat)
         x = layer_norm(x, params["norm"]["w"], params["norm"]["b"], eps=cfg.ln_eps)
         return dense(x, params["head"])
 
@@ -183,14 +183,14 @@ def pixel_decoder_apply(params, cfg, tokens):
 # ---------------------------------------------------------------------------
 
 
-def mingtok_encode(params, cfg: MingTokConfig, images, *, compute_dtype=jnp.bfloat16):
+def mingtok_encode(params, cfg: MingTokConfig, images, *, compute_dtype=jnp.bfloat16, remat: bool = False):
     """Images -> semantic features + standardized latents.
 
     Returns {"x_norm_patchtokens": (B, N, 1024), "latent": (B, N+1, 32)} with
     latent standardized as (latent - mean) / scaling_factor (modeling_mingtok.py:162).
     """
-    latent = encoder_apply(params["encoder"], cfg.encoder, images, compute_dtype=compute_dtype)
-    feats = semantic_decoder_apply(params["semantic_decoder"], cfg.semantic_decoder, latent, compute_dtype=compute_dtype)
+    latent = encoder_apply(params["encoder"], cfg.encoder, images, compute_dtype=compute_dtype, remat=remat)
+    feats = semantic_decoder_apply(params["semantic_decoder"], cfg.semantic_decoder, latent, compute_dtype=compute_dtype, remat=remat)
     return {
         "x_norm_patchtokens": feats["x_norm_patchtokens"],
         "latent": (latent - cfg.mean) / cfg.scaling_factor,

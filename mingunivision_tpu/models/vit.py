@@ -199,13 +199,15 @@ def block_apply(params, x, *, num_heads: int, ffn_layer: str, is_causal: bool = 
     return x + _maybe_scale(params, "ls2", ffn_apply(params["mlp"], h, ffn_layer))
 
 
-def run_blocks(stacked_params, x, *, num_heads: int, ffn_layer: str, is_causal: bool = False, ln_eps: float = 1e-6):
-    """Scan the stacked block params over the sequence."""
+def run_blocks(stacked_params, x, *, num_heads: int, ffn_layer: str, is_causal: bool = False, ln_eps: float = 1e-6, remat: bool = False):
+    """Scan the stacked block params over the sequence. remat=True
+    rematerializes each block in the backward pass (training memory knob —
+    same trick as BailingMoeConfig.remat_layers)."""
 
     def body(carry, p):
         return block_apply(p, carry, num_heads=num_heads, ffn_layer=ffn_layer, is_causal=is_causal, ln_eps=ln_eps), None
 
-    out, _ = lax.scan(body, x, stacked_params)
+    out, _ = lax.scan(jax.checkpoint(body) if remat else body, x, stacked_params)
     return out
 
 

@@ -337,3 +337,22 @@ class TestRemat:
         np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
         for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+    def test_mingtok_remat_grads_match(self):
+        from mingunivision_tpu.config import tiny_mingtok_config
+        from mingunivision_tpu.engine.train import mingtok_train_loss
+        from mingunivision_tpu.models.mingtok import init_mingtok_params
+
+        cfg = tiny_mingtok_config()
+        params = init_mingtok_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        S = cfg.encoder.img_size
+        imgs = jnp.asarray(np.random.default_rng(8).standard_normal((1, 3, S, S)), jnp.float32)
+
+        def loss(p, remat):
+            return mingtok_train_loss(p, cfg, imgs, None, compute_dtype=jnp.float32, remat=remat)[0]
+
+        v0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params)
+        v1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
+        np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
