@@ -191,12 +191,22 @@ class ContinuousBatchingEngine:
         temperature: float = 1.0,
         top_k: int = 0,
         top_p: float = 1.0,
+        mesh=None,
     ):
         self.params = params
         self.cfg = cfg
         self.slots = slots
         self.max_len = max_len
         self.state = BatchState.create(cfg, slots, max_len, dtype)
+        if mesh is not None:
+            # sharded serving: KV slots over `data`, kv-heads over `model`;
+            # params are expected pre-sharded (parallel.sharding.shard_llm_params)
+            # and cfg carries expert_mesh/expert_tables_sharded (api.py does) so
+            # the decode-step MoE dispatch takes the shard_map kernel wrappers
+            from mingunivision_tpu.parallel.sharding import shard_batch_state
+
+            self.state = shard_batch_state(self.state, mesh)
+        self.mesh = mesh
         self.key = jax.random.PRNGKey(seed)
         self.sampling = dict(do_sample=do_sample, temperature=temperature, top_k=top_k, top_p=top_p)
         self.slot_req: Dict[int, Request] = {}

@@ -106,6 +106,21 @@ def shard_cache(cache, mesh: Mesh):
     return jax.device_put(cache, cache_sharding(mesh, cache))
 
 
+def batch_state_sharding(mesh: Mesh, state):
+    """Shardings for engine.batch_engine.BatchState: KV like the LLM cache
+    (slots over `data`, kv-heads over `model`), per-slot vectors over `data`.
+    Axes that don't divide fall back to replication (fit_spec)."""
+    kv = NamedSharding(mesh, fit_spec(P(None, "data", "model", None, None), state.k.shape, mesh))
+    row = NamedSharding(mesh, fit_spec(P("data", None), state.mask.shape, mesh))
+    vec = NamedSharding(mesh, fit_spec(P("data"), state.lengths.shape, mesh))
+    samp = type(state.sampling)(*(vec for _ in state.sampling))
+    return type(state)(kv, kv, row, vec, vec, vec, samp)
+
+
+def shard_batch_state(state, mesh: Mesh):
+    return jax.device_put(state, batch_state_sharding(mesh, state))
+
+
 def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
 

@@ -180,6 +180,7 @@ class InferenceServer:
                 slots=batch_slots,
                 max_len=batch_max_len,
                 dtype=infer.session._dtype,
+                mesh=getattr(infer, "mesh", None),
             )
             self.batch_worker = BatchTextWorker(engine, infer.config.llm.eos_token_id)
 

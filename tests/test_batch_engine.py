@@ -165,3 +165,32 @@ class TestPerRequestSampling:
             eng.run_to_completion()
             outs.append(tuple(r.tokens))
         assert len(set(outs)) > 1, "per-request do_sample had no effect"
+
+
+class TestShardedEngine:
+    def test_sharded_engine_matches_unsharded(self, llm):
+        """mesh= engine on the virtual CPU mesh (sharded params + sharded
+        BatchState): greedy tokens must be identical to the unsharded engine."""
+        from jax.sharding import Mesh
+
+        from mingunivision_tpu.parallel.sharding import shard_llm_params
+
+        cfg, params = llm
+        devs = np.array(jax.devices()[:8]).reshape(2, 2, 2)
+        mesh = Mesh(devs, ("data", "expert", "model"))
+        sharded_params = shard_llm_params(params, mesh)
+
+        rng = np.random.default_rng(5)
+        ids_a = rng.integers(0, 400, (5,))
+        ids_b = rng.integers(0, 400, (9,))
+
+        def tokens(p, m):
+            eng = ContinuousBatchingEngine(p, cfg, slots=2, max_len=256, dtype=jnp.float32, mesh=m)
+            ra = eng.add_request(ids_a, max_new_tokens=6)
+            rb = eng.add_request(ids_b, max_new_tokens=6)
+            eng.run_to_completion(max_steps=16)
+            return ra.tokens, rb.tokens
+
+        ta, tb = tokens(params, None)
+        sa, sb = tokens(sharded_params, mesh)
+        assert ta == sa and tb == sb
