@@ -40,8 +40,6 @@ def bench_lm_train(layers=1, B=2, T=1024, quick=False):
     depth-independent, so the extrapolation is an upper bound on full cost).
     Depth/batch are HBM-bound on one v5e: 2 layers @ B=2 already exceeds 16 GB
     (bf16 params+adamw moments+grads ~6.6 GB/layer-group + ~2 GB f32 logits)."""
-    import optax
-
     from mingunivision_tpu.config import BailingMoeConfig
     from mingunivision_tpu.engine.train import TrainState, make_optimizer, make_train_step
     from mingunivision_tpu.models.bailing_moe import init_bailing_moe_params

@@ -26,7 +26,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -36,10 +35,18 @@ if "--allow-cpu" in sys.argv:
     # under axon the env-var route is overridden by sitecustomize (CLAUDE.md);
     # this must run before any device use
     jax.config.update("jax_platforms", "cpu")
-    if "--mesh" in sys.argv:
+    _mesh_arg = next(
+        (
+            sys.argv[i].split("=", 1)[1] if "=" in sys.argv[i] else sys.argv[i + 1]
+            for i in range(len(sys.argv))
+            if sys.argv[i] == "--mesh" or sys.argv[i].startswith("--mesh=")
+        ),
+        None,
+    )
+    if _mesh_arg:
         # virtual multi-device CPU for sharded smoke runs (before backend init)
         n = 1
-        for v in sys.argv[sys.argv.index("--mesh") + 1].split(","):
+        for v in _mesh_arg.split(","):
             n *= int(v)
         jax.config.update("jax_num_cpu_devices", max(n, 1))
 
@@ -51,18 +58,20 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
 
 class TokenStream:
-    """Batched (B, T+1)-window sampler over a flat token-id array.
+    """Batched (B, T)-window sampler over a flat token-id array (lm_loss
+    shifts inputs/targets internally — feed T tokens, not T+1).
 
-    With a --data file: np.memmap windows at rng-chosen offsets. Without:
-    a synthetic stream of repeated vocab-patterns (period 97) + noise, which a
-    1-layer model can partially predict — loss descent is visible in smoke
-    runs, unlike uniform-random tokens whose optimal loss is log(V)."""
+    With a --data file: np.memmap windows at rng-chosen offsets (.npy keeps
+    its stored dtype; raw binaries read as --data-dtype). Without: a synthetic
+    stream of repeated vocab-patterns (period 97) + noise, which a 1-layer
+    model can partially predict — loss descent is visible in smoke runs,
+    unlike uniform-random tokens whose optimal loss is log(V)."""
 
-    def __init__(self, path, vocab_size: int, seed: int = 0):
+    def __init__(self, path, vocab_size: int, seed: int = 0, data_dtype: str = "uint32"):
         self.rng = np.random.default_rng(seed)
         self.vocab = vocab_size
         if path:
-            self.ids = np.load(path, mmap_mode="r") if path.endswith(".npy") else np.memmap(path, dtype=np.uint32, mode="r")
+            self.ids = np.load(path, mmap_mode="r") if path.endswith(".npy") else np.memmap(path, dtype=np.dtype(data_dtype), mode="r")
         else:
             base = self.rng.integers(0, vocab_size, 97)
             reps = np.tile(base, 4096 // 97 + 2)[:4096 * 2]
@@ -71,7 +80,9 @@ class TokenStream:
             self.ids = np.where(keep, reps, noise).astype(np.uint32)
 
     def batch(self, B: int, T: int) -> np.ndarray:
-        starts = self.rng.integers(0, len(self.ids) - T - 1, B)
+        if len(self.ids) < T + 1:
+            raise ValueError(f"data stream has {len(self.ids)} tokens; need at least seq+1 = {T + 1}")
+        starts = self.rng.integers(0, len(self.ids) - T + 1, B)
         return np.stack([np.asarray(self.ids[s : s + T]) for s in starts]).astype(np.int32)
 
 
@@ -91,6 +102,7 @@ def main(argv=None):
     ap.add_argument("--mesh", default=None, help="dp,ep,tp device mesh, e.g. 2,2,2")
     ap.add_argument("--remat", action="store_true", help="rematerialize layers in backward (fit deeper stacks)")
     ap.add_argument("--data", default=None)
+    ap.add_argument("--data-dtype", default="uint32", help="dtype of raw-binary --data files (.npy keeps its own)")
     ap.add_argument("--ckpt-dir", default=None)
     ap.add_argument("--ckpt-every", type=int, default=50)
     ap.add_argument("--log-every", type=int, default=10)
@@ -120,9 +132,10 @@ def main(argv=None):
 
         cfg = _dc.replace(cfg, remat_layers=True)
 
+    import contextlib
+
     mesh = None
     if args.mesh:
-        import contextlib
         import dataclasses
 
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -137,8 +150,6 @@ def main(argv=None):
         data_sharding = NamedSharding(mesh, P("data", None))
         put = lambda a: jax.device_put(a, data_sharding)
     else:
-        import contextlib
-
         mesh_ctx = contextlib.nullcontext
         put = lambda a: a
 
@@ -165,12 +176,12 @@ def main(argv=None):
             start_step = int(state.step)
             print(f"resumed from {latest} at step {start_step}", flush=True)
 
-    stream = TokenStream(args.data, cfg.vocab_size, seed=start_step)
+    stream = TokenStream(args.data, cfg.vocab_size, seed=start_step, data_dtype=args.data_dtype)
     timer = StepTimer()
     losses = []
+    mask = put(jnp.ones((args.batch, args.seq), jnp.int32))  # constant: hoisted
     for i in range(start_step, args.steps):
         ids = put(jnp.asarray(stream.batch(args.batch, args.seq)))
-        mask = put(jnp.ones((args.batch, args.seq), jnp.int32))
         with timer.time("step"), mesh_ctx():
             state, loss = step(state, ids, mask)
             # host sync for honest wall-clock (axon block_until_ready is a no-op)

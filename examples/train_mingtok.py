@@ -10,10 +10,12 @@ Wires the tokenizer training surface end-to-end:
     device, overlapping host preprocessing with the train step,
   - donated (params, opt_state) carry + async Orbax checkpoints.
 
-Data: --data points at a directory of images (any size; center-cropped to the
-config's resolution via processing/image_ops) or an .npy of uint8 NHWC
-batches. Without it, a synthetic structured image stream (colored gradients +
-shapes) keeps smoke runs meaningful.
+Data: --data points at a directory of images (any size; short-side resize +
+center crop, torchvision semantics) or an .npy of uint8 NHWC images. Without
+it, a synthetic structured image stream keeps smoke runs meaningful.
+--feature-weight > 0 adds the semantic-distillation term; the frozen-teacher
+targets come from --teacher, an .npy of (N_images, N_tokens, feature_dim)
+aligned index-for-index with the --data .npy (required in that combination).
 
 CPU smoke:  python examples/train_mingtok.py --tiny --steps 10 --allow-cpu
 One v5e:    python examples/train_mingtok.py --steps 200 --batch 2
@@ -23,7 +25,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -79,14 +80,16 @@ class ImageStream:
         left, top = round((nw - S) / 2.0), round((nh - S) / 2.0)
         return np.asarray(pil.crop((left, top, left + S, top + S)), np.uint8)
 
-    def batch(self, B: int) -> np.ndarray:
+    def batch(self, B: int):
+        """-> (uint8 (B, S, S, 3) images, (B,) source indices) — indices align
+        teacher-feature rows with their images for the distill term."""
         if self.arr is not None:
             idx = self.rng.integers(0, len(self.arr), B)
-            return np.stack([np.asarray(self.arr[i]) for i in idx])
+            return np.stack([np.asarray(self.arr[i]) for i in idx]), idx
         if self.files:
             idx = self.rng.integers(0, len(self.files), B)
-            return np.stack([self._load_crop(self.files[i]) for i in idx])
-        return synthetic_batch(self.rng, B, self.S)
+            return np.stack([self._load_crop(self.files[i]) for i in idx]), idx
+        return synthetic_batch(self.rng, B, self.S), np.zeros((B,), np.int64)
 
 
 def main(argv=None):
@@ -96,7 +99,8 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--lr", type=float, default=1e-4)
-    ap.add_argument("--feature-weight", type=float, default=0.0, help=">0 adds distill vs a frozen-teacher file")
+    ap.add_argument("--feature-weight", type=float, default=0.0, help=">0 adds distill vs the --teacher features")
+    ap.add_argument("--teacher", default=None, help=".npy (N_images, N_tokens, feat_dim) frozen-teacher features, aligned with --data .npy")
     ap.add_argument("--data", default=None)
     ap.add_argument("--ckpt-dir", default=None)
     ap.add_argument("--ckpt-every", type=int, default=50)
@@ -131,11 +135,19 @@ def main(argv=None):
     carry = (params, opt.init(params))
     del params
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(carry, imgs):
+    teacher_bank = None
+    if args.feature_weight > 0:
+        if not args.teacher:
+            sys.exit("--feature-weight > 0 requires --teacher (frozen-teacher feature .npy)")
+        teacher_bank = np.load(args.teacher, mmap_mode="r")
+
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("with_teacher",))
+    def step(carry, imgs, teacher, with_teacher: bool):
         params, opt_state = carry
         (loss, metrics), grads = jax.value_and_grad(mingtok_train_loss, has_aux=True)(
-            params, cfg, imgs, None, remat=args.remat
+            params, cfg, imgs, teacher if with_teacher else None,
+            feature_weight=args.feature_weight if with_teacher else 1.0,
+            remat=args.remat,
         )
         updates, opt_state = opt.update(grads, opt_state, params)
         return (optax.apply_updates(params, updates), opt_state), (loss, metrics)
@@ -144,15 +156,26 @@ def main(argv=None):
     stream = ImageStream(args.data, S)
     # normalization runs on native worker threads one batch AHEAD of the device
     pq = PrefetchQueue(num_threads=args.prefetch_threads)
-    pq.submit(stream.batch(args.batch))
+    pending_idx = {}  # ticket -> source indices (pops can reorder across threads)
 
+    def submit():
+        imgs, idx = stream.batch(args.batch)
+        pending_idx[pq.submit(imgs)] = idx
+
+    def teacher_for(idx):
+        if teacher_bank is None:
+            return jnp.zeros((args.batch, 0, 0), jnp.float32)  # unused
+        return jnp.asarray(np.stack([np.asarray(teacher_bank[i]) for i in idx]), jnp.bfloat16)
+
+    submit()
     timer = StepTimer()
     losses = []
     for i in range(args.steps):
-        _, imgs = pq.get(block=True)
-        pq.submit(stream.batch(args.batch))  # overlap with this step
+        ticket, imgs = pq.get(block=True)
+        idx = pending_idx.pop(ticket)
+        submit()  # overlap with this step
         with timer.time("step"):
-            carry, (loss, _) = step(carry, jnp.asarray(imgs))
+            carry, (loss, _) = step(carry, jnp.asarray(imgs), teacher_for(idx), teacher_bank is not None)
             l = force_sync(loss)
         losses.append(l)
         if (i + 1) % args.log_every == 0 or i + 1 == args.steps:

@@ -324,9 +324,9 @@ def moe_block_apply(params, cfg: BailingMoeConfig, x, image_mask=None, audio_mas
         is_quant = isinstance(tabs["gate_proj"], QuantizedArray)
         is_int4 = is_quant and tabs["gate_proj"].bits == 4
         if on_tpu and not sharded and swiglu_gmm_supported(tabs, x_flat):
-            if is_quant:
-                # inference-only tiers: plain fused kernel (no grads through
-                # quantized tables)
+            if is_quant or not cfg.moe_differentiable:
+                # inference tiers: plain fused kernel (no grads through
+                # quantized tables; same gate as the sharded branch)
                 y = moe_experts_swiglu_gmm(
                     tabs, x_flat, topk_idx, topk_w, cfg.num_experts, tm=128 if is_int4 else 256
                 )

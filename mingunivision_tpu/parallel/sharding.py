@@ -114,7 +114,8 @@ def batch_state_sharding(mesh: Mesh, state):
     row = NamedSharding(mesh, fit_spec(P("data", None), state.mask.shape, mesh))
     vec = NamedSharding(mesh, fit_spec(P("data"), state.lengths.shape, mesh))
     samp = type(state.sampling)(*(vec for _ in state.sampling))
-    return type(state)(kv, kv, row, vec, vec, vec, samp)
+    # keyword construction: immune to BatchState field reordering
+    return type(state)(k=kv, v=kv, mask=row, lengths=vec, cur=vec, active=vec, sampling=samp)
 
 
 def shard_batch_state(state, mesh: Mesh):
