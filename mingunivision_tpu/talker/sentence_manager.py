@@ -43,6 +43,22 @@ _DIGITS = "零一二三四五六七八九"
 _UNITS = ["", "十", "百", "千"]
 _BIG_UNITS = ["", "万", "亿"]
 
+# common measure words / unit suffixes that force VALUE reading of the number
+# before them (capability analog of num.py COM_QUANTIFIERS; a compact set
+# covering the everyday families: generic counters, people/animals/objects,
+# containers, time, length/weight/area, money)
+_QUANTIFIERS = (
+    "个|种|次|件|名|位|人|只|条|张|块|片|根|支|枝|颗|粒|朵|棵|头|匹|尾|口|双|对|套|批|组|群|队|"
+    "本|页|封|份|幅|首|曲|场|局|轮|回|遍|趟|步|层|间|所|家|户|座|栋|幢|台|辆|架|艘|部|门|"
+    "杯|瓶|壶|桶|盆|盒|碗|碟|盘|袋|箱|包|筐|篮|锅|勺|滴|"
+    "年|个月|月|周|天|日|小时|分钟|秒钟|秒|点钟|岁|届|期|代|辈|"
+    "千米|公里|厘米|毫米|微米|纳米|米|公分|寸|尺|丈|里|"
+    "千克|公斤|毫克|微克|克|吨|斤|两|钱|"
+    "平方千米|平方公里|平方米|平方厘米|平方|公顷|亩|升|毫升|立方米|"
+    "亿元|万元|元|角|毛|分钱|块钱|块|美元|欧元|日元|英镑|"
+    "倍|成|折|度|级|档|号|路|站|楼|班|节|课|题|句|字|词|行|段|篇|章|册|卷"
+)
+
 
 def _int_to_zh(n: int) -> str:
     """Integer -> Chinese reading (TN utils equivalent, text_norm/utils)."""
@@ -201,21 +217,31 @@ class TextNormalizer:
             lambda m: ("零下" if m.group(1) else "") + _number_to_zh(m.group(2)) + ("摄氏度" if m.group(3) == "摄氏度" else "度"),
             text,
         )
-        # currency
-        text = re.sub(r"￥\s*(\d+(?:\.\d+)?)", lambda m: _number_to_zh(m.group(1)) + "元", text)
+        # currency (¥/￥ prefix, RMB/rmb suffix — reference currency.py)
+        text = re.sub(r"[￥¥]\s*(\d+(?:\.\d+)?)", lambda m: _number_to_zh(m.group(1)) + "元", text)
+        text = re.sub(r"(\d+(?:\.\d+)?)(?:RMB|rmb)", lambda m: _number_to_zh(m.group(1)) + "元", text)
         # CJK-context dollars only (ASCII '.'/',' excluded from the lookahead —
         # they'd backtrack "$2.50" to "$2"; English money reads via en-num)
         text = re.sub(r"\$\s*(\d+(?:\.\d+)?)(?=$|[一-鿿，。！？])", lambda m: _number_to_zh(m.group(1)) + "美元", text)
+        # dates (reference chronology.py): 年[月[日]] with digit-wise years,
+        # month/day optional (year-only "2021年" reads 二零二一年, RE_DATE)
+        text = re.sub(
+            r"(\d{4})年(?:(0?[1-9]|1[0-2])月)?(?:(0?[1-9]|[12][0-9]|3[01])([日号]))?",
+            lambda m: _digits_to_zh(m.group(1))
+            + "年"
+            + (_number_to_zh(m.group(2)) + "月" if m.group(2) else "")
+            + (_number_to_zh(m.group(3)) + "日" if m.group(3) else ""),
+            text,
+        )
+        # separator dates 2023-05-11 / 2023/5/11 / 2023.05.11 (RE_DATE2)
+        text = re.sub(
+            r"(\d{4})([-_/.])(0?[1-9]|1[012])\2([12][0-9]|3[01]|0?[1-9])(?!\d)",
+            lambda m: _digits_to_zh(m.group(1)) + "年" + _number_to_zh(m.group(3)) + "月" + _number_to_zh(m.group(4)) + "日",
+            text,
+        )
         # percent / fraction
         text = re.sub(r"(\d+(?:\.\d+)?)%", lambda m: "百分之" + _number_to_zh(m.group(1)), text)
         text = re.sub(r"(\d+)/(\d+)(?=[一-鿿]|$|[，。！？])", lambda m: _number_to_zh(m.group(2)) + "分之" + _number_to_zh(m.group(1)), text)
-        # dates + times (reference chronology.py families)
-        text = re.sub(
-            r"(\d{4})年(\d{1,2})月(\d{1,2})[日号]",
-            lambda m: _digits_to_zh(m.group(1)) + "年" + _number_to_zh(m.group(2)) + "月" + _number_to_zh(m.group(3)) + "日",
-            text,
-        )
-
         def _zh_time(h, mnt, sec=None):
             out = _number_to_zh(h) + "点"
             out += "半" if mnt == "30" and sec is None else _number_to_zh(mnt) + "分"
@@ -249,15 +275,48 @@ class TextNormalizer:
             lambda m: _number_to_zh(m.group(1)) + "到" + _number_to_zh(m.group(2)),
             text,
         )
-        # phone (幺 reading, reference phonecode.py) + room numbers (address.py)
+        # license plates 京A12345 (num.py RE_LICENSE_PLATE): digits 幺-wise,
+        # letters kept
+        text = re.sub(
+            r"[京津沪渝冀豫云辽黑湘皖鲁新苏浙赣鄂桂甘晋蒙陕吉闽贵粤青藏川宁琼使领]([0-9A-Za-z]+)",
+            lambda m: m.group(0)[0] + _digits_to_zh(m.group(1), alt_one=True),
+            text,
+        )
+        # phone numbers (幺 reading, reference phonecode.py): mobile, landline
+        # with area code, 400 service numbers; segments read with a pause comma
         text = re.sub(r"1[3-9]\d{9}", lambda m: _digits_to_zh(m.group(0), alt_one=True), text)
+        text = re.sub(
+            r"(?<!\d)(0(?:10|2[1-3]|[3-9]\d{2}))-?([1-9]\d{6,7})(?!\d)",
+            lambda m: _digits_to_zh(m.group(1), alt_one=True) + "，" + _digits_to_zh(m.group(2), alt_one=True),
+            text,
+        )
+        text = re.sub(
+            r"(?<!\d)400-?(\d{3})-?(\d{4})(?!\d)",
+            lambda m: _digits_to_zh("400" + m.group(1) + m.group(2), alt_one=True),
+            text,
+        )
+        # room numbers (address.py RE_ADDRESS_room)
         text = re.sub(r"(\d{3,})(室|房间?号?)", lambda m: _digits_to_zh(m.group(1), alt_one=True) + m.group(2), text)
         # ordinal 第3 -> 第三
         text = re.sub(r"第(\d+)", lambda m: "第" + _int_to_zh(int(m.group(1))), text)
+        # number + measure word (num.py RE_POSITIVE_QUANTIFIERS): value reading,
+        # bare 2 -> 两, trailing + -> 多
+        def _quant(m):
+            n, suffix = m.group(1), m.group(2) or ""
+            if suffix == "+":
+                suffix = "多"
+            num = "两" if n == "2" and not suffix else _number_to_zh(n)
+            return num + suffix + m.group(3)
+
+        text = re.sub(r"(\d+)([多余几来+])?(" + _QUANTIFIERS + r")", _quant, text)
         # English-context numbers
         text = normalize_english_numbers(text)
-        # negative + plain numbers
+        # negative numbers
         text = re.sub(r"-(\d+(?:\.\d+)?)", lambda m: "负" + _number_to_zh(m.group(1)), text)
+        # leftover long digit strings (ids, codes): digit-wise 幺 reading
+        # (num.py RE_DEFAULT_NUM + replace_default_num_with_altone)
+        text = re.sub(r"(?<![\d.])\d{3,}(?![.\d])", lambda m: _digits_to_zh(m.group(0), alt_one=True), text)
+        # plain numbers: value reading
         text = re.sub(r"\d+(?:\.\d+)?", lambda m: _number_to_zh(m.group(0)), text)
         return text
 

@@ -224,6 +224,40 @@ class TestTextNormalizerFamilies:
         assert self.tn("8:00-9:30开会") == "八点零分到九点半开会"
         assert self.tn("用时1:02:03完赛") == "用时一点二分三秒完赛"
 
+    def test_separator_dates_and_year_only(self):
+        # chronology.py RE_DATE2 + RE_DATE year-only digit-wise reading
+        assert self.tn("2023-05-11发布") == "二零二三年五月十一日发布"
+        assert self.tn("2023/5/11见") == "二零二三年五月十一日见"
+        assert self.tn("2021年成立") == "二零二一年成立"
+        assert self.tn("2024年3月") == "二零二四年三月"
+
+    def test_license_plate(self):
+        # num.py RE_LICENSE_PLATE: digits 幺-wise, letters kept
+        assert self.tn("京A12345被拍") == "京A幺二三四五被拍"
+        assert self.tn("沪B88") == "沪B八八"
+
+    def test_landline_and_400(self):
+        # phonecode.py RE_TELEPHONE / RE_NATIONAL_UNIFORM_NUMBER
+        assert self.tn("打010-12345678") == "打零幺零，幺二三四五六七八"
+        assert self.tn("热线400-123-4567") == "热线四零零幺二三四五六七"
+
+    def test_rmb_suffix_currency(self):
+        # currency.py RE_CURRENCY_2
+        assert self.tn("付100RMB了") == "付一百元了"
+
+    def test_quantifier_two_and_plus(self):
+        # num.py RE_POSITIVE_QUANTIFIERS: bare 2 -> 两, '+' -> 多
+        assert self.tn("买2个") == "买两个"
+        assert self.tn("22个人") == "二十二个人"
+        assert self.tn("有100+件") == "有一百多件"
+        assert self.tn("3余次") == "三余次"
+
+    def test_default_num_digitwise(self):
+        # num.py RE_DEFAULT_NUM: leftover >=3-digit strings read 幺-digit-wise
+        assert self.tn("编号12305。") == "编号幺二三零五。"
+        # decimals keep value reading
+        assert self.tn("重3.1415") == "重三点一四一五"
+
 
 @pytest.fixture(scope="module")
 def tiny_exact_detok():
