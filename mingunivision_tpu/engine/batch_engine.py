@@ -83,6 +83,71 @@ class BatchState(NamedTuple):
         )
 
 
+def pooled_forward(params, cfg: BailingMoeConfig, x, k, v, mask, write_pos, active, positions=None):
+    """One single-token LLM forward over pool rows with PER-ROW KV positions.
+
+    The counterpart of `bailing_forward` for continuous-batching pools, where
+    every row sits at its own sequence offset (text slots: batched_decode_step;
+    image CFG rows: engine/image_pool.py). x: (B, 1, h) embeds; k/v:
+    (L, B, Hkv, S, D) head-major stacked caches; mask: (B, S) bool — must
+    already include the position being fed; write_pos: (B,) int32 per-row KV
+    write index; active: (B,) bool — inactive rows compute but keep their old
+    KV. positions: (B, 1) RoPE positions (defaults to write_pos — callers with
+    padding gaps pass mask-derived positions instead).
+
+    Returns (normed hidden (B, 1, h), new_k, new_v) — same final-rms_norm
+    semantics as bailing_forward.
+    """
+    B = x.shape[0]
+    Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    rows = jnp.arange(B)
+    if positions is None:
+        positions = write_pos[:, None]
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+
+    layers = params["layers"]
+    experts_stacked = layers["mlp"]["experts"]
+    scanned = {**layers, "mlp": {k: v for k, v in layers["mlp"].items() if k != "experts"}}
+
+    def layer(carry, inp):
+        h = carry
+        p, layer_idx, kc, vc = inp
+        hn = rms_norm(h, p["input_layernorm"]["w"], eps=cfg.rms_norm_eps)
+        qkv = dense(hn, p["attention"]["query_key_value"]).reshape(B, 1, Hq + 2 * Hkv, D)
+        q, kn, vn = jnp.split(qkv, [Hq, Hq + Hkv], axis=2)
+        q, kn = apply_rope(q, kn, cos, sin)
+        # head-major per-row write: kc (B, Hkv, S, D), new kv kn[:, 0] (B, Hkv, D)
+        hidx = jnp.arange(Hkv)[None, :]
+        old_k = kc[rows[:, None], hidx, write_pos[:, None]]  # (B, Hkv, D)
+        old_v = vc[rows[:, None], hidx, write_pos[:, None]]
+        kc = kc.at[rows[:, None], hidx, write_pos[:, None]].set(
+            jnp.where(active[:, None, None], kn[:, 0].astype(kc.dtype), old_k)
+        )
+        vc = vc.at[rows[:, None], hidx, write_pos[:, None]].set(
+            jnp.where(active[:, None, None], vn[:, 0].astype(vc.dtype), old_v)
+        )
+        # pool row masks already encode the causal bound (positions beyond a
+        # row's progress were never set), so either kernel takes them directly
+        from mingunivision_tpu.models.bailing_moe import _use_pallas_decode
+
+        if _use_pallas_decode(kc.shape[2]):
+            from mingunivision_tpu.ops.kernels.decode_attention import pallas_decode_attention
+
+            a = pallas_decode_attention(q, kc, vc, mask, scale=D**-0.5, kv_head_major=True)
+        else:
+            a = mha(q, kc, vc, mask=mask[:, None, None, :], scale=D**-0.5, kv_head_major=True)
+        h = h + dense(a.reshape(B, 1, Hq * D), p["attention"]["dense"])
+        hn = rms_norm(h, p["post_attention_layernorm"]["w"], eps=cfg.rms_norm_eps)
+        from mingunivision_tpu.models.bailing_moe import moe_block_apply
+
+        h = h + moe_block_apply(p["mlp"], cfg, hn, experts_stacked=experts_stacked, layer_idx=layer_idx)
+        return h, (kc, vc)
+
+    layer_ids = jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)
+    h, (nk, nv) = lax.scan(layer, x, (scanned, layer_ids, k, v))
+    return rms_norm(h, params["norm"]["w"], eps=cfg.rms_norm_eps), nk, nv
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
 def batched_decode_step(
     params,
@@ -94,50 +159,15 @@ def batched_decode_step(
     masked from state updates). Each slot samples with ITS OWN params
     (state.sampling). Returns (new_state, sampled (B,) int32)."""
     B = state.cur.shape[0]
-    Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     rows = jnp.arange(B)
 
     # mark the fed token's position for active slots
     mask = state.mask.at[rows, state.lengths].set(jnp.logical_or(state.mask[rows, state.lengths], state.active))
-    positions = state.lengths[:, None]  # (B, 1)
-    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
-
     x = embed_tokens(params, state.cur[:, None]).astype(state.k.dtype)
-
-    layers = params["layers"]
-    experts_stacked = layers["mlp"]["experts"]
-    scanned = {**layers, "mlp": {k: v for k, v in layers["mlp"].items() if k != "experts"}}
-
-    def layer(carry, inp):
-        h = carry
-        p, layer_idx, kc, vc = inp
-        hn = rms_norm(h, p["input_layernorm"]["w"], eps=cfg.rms_norm_eps)
-        qkv = dense(hn, p["attention"]["query_key_value"]).reshape(B, 1, Hq + 2 * Hkv, D)
-        q, k, v = jnp.split(qkv, [Hq, Hq + Hkv], axis=2)
-        q, k = apply_rope(q, k, cos, sin)
-        # head-major per-slot write: kc (B, Hkv, S, D), new kv k[:, 0] (B, Hkv, D)
-        hidx = jnp.arange(Hkv)[None, :]
-        old_k = kc[rows[:, None], hidx, state.lengths[:, None]]  # (B, Hkv, D)
-        old_v = vc[rows[:, None], hidx, state.lengths[:, None]]
-        kc = kc.at[rows[:, None], hidx, state.lengths[:, None]].set(
-            jnp.where(state.active[:, None, None], k[:, 0].astype(kc.dtype), old_k)
-        )
-        vc = vc.at[rows[:, None], hidx, state.lengths[:, None]].set(
-            jnp.where(state.active[:, None, None], v[:, 0].astype(vc.dtype), old_v)
-        )
-        a = mha(q, kc, vc, mask=mask[:, None, None, :], scale=D**-0.5, kv_head_major=True)
-        h = h + dense(a.reshape(B, 1, Hq * D), p["attention"]["dense"])
-        hn = rms_norm(h, p["post_attention_layernorm"]["w"], eps=cfg.rms_norm_eps)
-        from mingunivision_tpu.models.bailing_moe import moe_block_apply
-
-        h = h + moe_block_apply(p["mlp"], cfg, hn, experts_stacked=experts_stacked, layer_idx=layer_idx)
-        return h, (kc, vc)
-
-    layer_ids = jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)
-    h, (nk, nv) = lax.scan(layer, x, (scanned, layer_ids, state.k, state.v))
+    h, nk, nv = pooled_forward(params, cfg, x, state.k, state.v, mask, state.lengths, state.active)
     from mingunivision_tpu.models.bailing_moe import compute_logits as _logits
 
-    logits = _logits(params, cfg, rms_norm(h, params["norm"]["w"], eps=cfg.rms_norm_eps))[:, -1]
+    logits = _logits(params, cfg, h)[:, -1]
     sp = state.sampling
     nxt = sample_token_per_slot(
         logits, key, do_sample=sp.do_sample, temperature=sp.temperature, top_k=sp.top_k, top_p=sp.top_p

@@ -32,6 +32,7 @@ from mingunivision_tpu.models.vit import (
     patch_embed_init,
     run_blocks,
     run_blocks_cached,
+    run_blocks_cached_rows,
     stacked_block_init,
 )
 from mingunivision_tpu.ops.activations import gelu_exact
@@ -149,6 +150,27 @@ def semantic_decoder_step(params, cfg, latents, cache: ViTCache, *, compute_dtyp
 
 def make_semdec_cache(cfg, batch: int, max_len: int, dtype=jnp.bfloat16) -> ViTCache:
     return ViTCache.create(cfg.depth, batch, max_len, cfg.num_heads, cfg.embed_dim // cfg.num_heads, dtype)
+
+
+def mingtok_feature_decoder_rows(params, cfg: MingTokConfig, latents, k, v, write_pos, *, compute_dtype=jnp.bfloat16):
+    """`mingtok_feature_decoder` with PER-ROW cache positions (pool decode).
+
+    latents: (B, 1, z); k/v: stacked semantic-decoder caches
+    (depth, B, H, max_len, D); write_pos: (B,) int32 — row b's token index in
+    its own sequence (slots of a continuous-batching pool progress
+    independently). Returns ({"x_norm_patchtokens"}, new_k, new_v).
+    """
+    sd = cfg.semantic_decoder
+    x = latents * cfg.scaling_factor + cfg.mean
+    x = _sem_in_proj(params["semantic_decoder"], sd, x.astype(compute_dtype))
+    x, k, v = run_blocks_cached_rows(
+        params["semantic_decoder"]["blocks"], x, k, v, write_pos,
+        num_heads=sd.num_heads, ffn_layer=sd.ffn_layer, ln_eps=sd.ln_eps,
+    )
+    x_norm = layer_norm(
+        x, params["semantic_decoder"]["norm"]["w"], params["semantic_decoder"]["norm"]["b"], eps=sd.ln_eps
+    )
+    return {"x_norm_patchtokens": x_norm}, k, v
 
 
 # ---------------------------------------------------------------------------

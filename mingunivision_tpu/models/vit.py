@@ -249,6 +249,46 @@ def block_apply_cached(params, x, k_cache, v_cache, length, *, num_heads: int, f
     return x + ffn_apply(params["mlp"], h, ffn_layer), k_cache, v_cache
 
 
+def block_apply_cached_rows(params, x, k_cache, v_cache, write_pos, *, num_heads: int, ffn_layer: str, ln_eps: float = 1e-6):
+    """`block_apply_cached` for T=1 with PER-ROW write positions.
+
+    Rows of a continuous-batching pool sit at different sequence offsets
+    (engine/image_pool.py); `write_pos` (B,) int32 is each row's own KV write
+    index. k_cache/v_cache: (B, H, max_len, D) head-major for THIS layer.
+    """
+    B, T, C = x.shape
+    assert T == 1, "row-position cached step is single-token"
+    h = layer_norm(x, params["norm1"]["w"], params["norm1"]["b"], eps=ln_eps)
+    q, k, v = _qkv(params, h, num_heads)  # (B, 1, H, D)
+    rows = jnp.arange(B)[:, None]
+    hidx = jnp.arange(k_cache.shape[1])[None, :]
+    k_cache = k_cache.at[rows, hidx, write_pos[:, None]].set(k[:, 0].astype(k_cache.dtype))
+    v_cache = v_cache.at[rows, hidx, write_pos[:, None]].set(v[:, 0].astype(v_cache.dtype))
+    a = cached_decode_attention(q, k_cache, v_cache, write_pos + 1, kv_head_major=True)
+    x = x + dense(a.reshape(B, T, C), params["attn"]["proj"])
+    h = layer_norm(x, params["norm2"]["w"], params["norm2"]["b"], eps=ln_eps)
+    return x + ffn_apply(params["mlp"], h, ffn_layer), k_cache, v_cache
+
+
+def run_blocks_cached_rows(stacked_params, x, k, v, write_pos, *, num_heads: int, ffn_layer: str, ln_eps: float = 1e-6):
+    """Scan causal blocks with per-row write positions (pool decode).
+
+    k/v: (depth, B, H, max_len, D) stacked caches; write_pos: (B,) int32.
+    Returns (y, new_k, new_v) — the caller owns the per-row length bookkeeping
+    (a scalar ViTCache.length cannot represent rows at different offsets).
+    """
+
+    def body(carry, inp):
+        p, kc, vc = inp
+        y, nk, nv = block_apply_cached_rows(
+            p, carry, kc, vc, write_pos, num_heads=num_heads, ffn_layer=ffn_layer, ln_eps=ln_eps
+        )
+        return y, (nk, nv)
+
+    out, (nk, nv) = lax.scan(body, x, (stacked_params, k, v))
+    return out, nk, nv
+
+
 def run_blocks_cached(stacked_params, x, cache: ViTCache, *, num_heads: int, ffn_layer: str, ln_eps: float = 1e-6):
     """Scan causal blocks with the stacked cache; returns (y, new_cache)."""
 

@@ -135,6 +135,89 @@ class BatchTextWorker:
             self._inflight = still
 
 
+class ImagePoolWorker:
+    """Continuous-admission T2I serving (engine/image_pool.py): requests from
+    ANY /generate_image_batch POST are admitted into free pool slots while
+    earlier requests are mid-generation — the vLLM-style scheduler for the AR
+    image loop (the barrier batcher serving/image_batch.py admits only between
+    whole AR batches). Same thread/queue/drain discipline as BatchTextWorker."""
+
+    def __init__(self, engine):
+        import queue as _queue
+        import threading
+        from collections import deque
+
+        self.engine = engine  # ImagePoolEngine
+        self.queue: "_queue.Queue" = _queue.Queue()
+        self._pending: "deque" = deque()
+        self._inflight: list = []
+        self._running = True
+        self._thread = threading.Thread(target=self._loop, name="image-pool-worker", daemon=True)
+        self._thread.start()
+
+    def submit(self, batch: dict, key, gen_kwargs: dict = None) -> dict:
+        import threading
+
+        item = {"batch": batch, "key": key, "gen": gen_kwargs or {}, "event": threading.Event(), "req": None}
+        self.queue.put(item)
+        return item
+
+    def stop(self):
+        import queue as _queue
+
+        self._running = False
+        self._thread.join(timeout=5)
+        leftovers = list(self._pending) + list(self._inflight)
+        self._pending.clear()
+        self._inflight = []
+        try:
+            while True:
+                leftovers.append(self.queue.get_nowait())
+        except _queue.Empty:
+            pass
+        for item in leftovers:
+            item.setdefault("error", "server shutting down")
+            item["event"].set()
+
+    def _loop(self):
+        import queue as _queue
+
+        pending = self._pending
+        while self._running:
+            try:
+                while True:
+                    pending.append(self.queue.get_nowait())
+            except _queue.Empty:
+                pass
+            while pending and self.engine.has_free_slot():
+                item = pending.popleft()
+                try:
+                    item["req"] = self.engine.add_request(item["batch"], item["key"], **item["gen"])
+                except Exception as e:  # noqa: BLE001 — bad request must not kill the worker
+                    item["error"] = str(e)
+                    item["event"].set()
+                    continue
+                if item["req"] is None:
+                    item["error"] = "admission raced"
+                    item["event"].set()
+                else:
+                    self._inflight.append(item)
+            if not self.engine.slot_req:
+                try:
+                    pending.append(self.queue.get(timeout=0.05))
+                except _queue.Empty:
+                    pass
+                continue
+            self.engine.step()  # one jitted chunk for every active slot
+            still = []
+            for item in self._inflight:
+                if item["req"].done:
+                    item["event"].set()
+                else:
+                    still.append(item)
+            self._inflight = still
+
+
 class InferenceServer:
     def __init__(
         self,
@@ -146,9 +229,14 @@ class InferenceServer:
         talker_pipeline=None,
         batch_slots: int = 0,
         batch_max_len: int = 1024,
+        image_pool_slots: int = 0,
+        image_pool_chunk: int = 32,
     ):
         """batch_slots > 0 enables the continuous-batching text endpoint
-        (/generate_batch) with that many concurrent decode slots."""
+        (/generate_batch) with that many concurrent decode slots;
+        image_pool_slots > 0 switches /generate_image_batch to slot-level
+        continuous admission (engine/image_pool.py) — requests from different
+        POSTs co-schedule and admit mid-generation."""
         self.infer = infer  # a MingUniVisionInfer (holds the default session)
         self.host = host
         self.port = port
@@ -183,6 +271,18 @@ class InferenceServer:
                 mesh=getattr(infer, "mesh", None),
             )
             self.batch_worker = BatchTextWorker(engine, infer.config.llm.eos_token_id)
+        self.image_pool_worker = None
+        if image_pool_slots > 0:
+            from mingunivision_tpu.engine.image_pool import ImagePoolEngine
+
+            pool = ImagePoolEngine(
+                infer.params,
+                infer.config,
+                infer.runtime,
+                slots=image_pool_slots,
+                chunk=image_pool_chunk,
+            )
+            self.image_pool_worker = ImagePoolWorker(pool)
 
     # -- request handling -----------------------------------------------------
 
@@ -264,17 +364,15 @@ class InferenceServer:
         self.stats["tokens"] += len(text.split())
         return {"ret_code": int(RetCode.OK), "text": text, "images": images}
 
-    def _run_generate_image_batch(self, payload: dict) -> dict:
-        """N independent T2I requests through ONE batched AR loop
-        (serving/image_batch.py: block-major CFG rows amortize decode weight
-        reads — measured 2.8x images/min at 4 concurrent on v5e)."""
-        import jax as _jax
-
-        from mingunivision_tpu.serving.image_batch import batched_image_generation
-
-        requests = payload["requests"]
+    def _build_image_batches(self, requests) -> list:
+        """Processor outputs for each T2I request. A request is either a
+        `messages` list or {"messages": [...], "text_cfg"/"image_cfg"/
+        "temperature"/"seed": ...} (per-request generation params — pool mode
+        honors them per slot)."""
         batches = []
-        for messages in requests:
+        for r in requests:
+            opts = r if isinstance(r, dict) and "messages" in r else {}
+            messages = opts.get("messages", r)
             messages = self._decode_images(messages)
             text = self.infer.processor.apply_chat_template(messages, add_generation_prompt=True)
             imgs = self.infer.processor.process_vision_info(messages)
@@ -285,8 +383,21 @@ class InferenceServer:
                     "attention_mask": b.attention_mask,
                     "uncond_attention_mask": b.uncond_attention_mask,
                     "text_uncond_attention_mask": b.text_uncond_attention_mask,
+                    "_opts": opts,
                 }
             )
+        return batches
+
+    def _run_generate_image_batch(self, payload: dict) -> dict:
+        """N independent T2I requests through ONE batched AR loop
+        (serving/image_batch.py: block-major CFG rows amortize decode weight
+        reads — measured 2.8x images/min at 4 concurrent on v5e)."""
+        import jax as _jax
+
+        from mingunivision_tpu.serving.image_batch import batched_image_generation
+
+        requests = payload["requests"]
+        batches = [{k: v for k, v in b.items() if k != "_opts"} for b in self._build_image_batches(requests)]
         seed = int(payload.get("seed", 0))
         imgs = batched_image_generation(
             self.infer.params,
@@ -488,8 +599,41 @@ class InferenceServer:
                     return web.json_response({"ret_code": int(RetCode.BAD_REQUEST), "error": "missing requests"}, status=400)
             except json.JSONDecodeError:
                 return web.json_response({"ret_code": int(RetCode.BAD_REQUEST), "error": "invalid json"}, status=400)
+            loop = asyncio.get_running_loop()
+            if self.image_pool_worker is not None:
+                # continuous admission: each request lands in a pool slot as
+                # one frees up — concurrent POSTs co-schedule mid-generation
+                import jax as _jax
+
+                try:
+                    batches = await loop.run_in_executor(
+                        self.executor, self._build_image_batches, payload["requests"]
+                    )
+                except Exception as e:  # noqa: BLE001
+                    self.stats["errors"] += 1
+                    return web.json_response({"ret_code": int(RetCode.INTERNAL_ERROR), "error": str(e)}, status=500)
+                seed = int(payload.get("seed", 0))
+                items = []
+                for i, b in enumerate(batches):
+                    opts = b.pop("_opts", {})
+                    key = _jax.random.PRNGKey(int(opts.get("seed", seed + i)))
+                    gen = {k: float(opts[k]) for k in ("text_cfg", "image_cfg", "temperature") if k in opts}
+                    items.append(self.image_pool_worker.submit(b, key, gen))
+                images = []
+                for item in items:
+                    ok = await loop.run_in_executor(None, item["event"].wait, 600.0)
+                    if not ok:
+                        item["error"] = "image pool timeout"
+                    if item.get("error"):
+                        self.stats["errors"] += 1
+                        return web.json_response(
+                            {"ret_code": int(RetCode.INTERNAL_ERROR), "error": item["error"]}, status=500
+                        )
+                    images.append(_png_b64(item["req"].image))
+                self.stats["requests"] += len(items)
+                self.stats["images"] += len(items)
+                return web.json_response({"ret_code": int(RetCode.OK), "images": images})
             try:
-                loop = asyncio.get_running_loop()
                 result = await loop.run_in_executor(self.executor, self._run_generate_image_batch, payload)
                 return web.json_response(result)
             except Exception as e:  # noqa: BLE001
