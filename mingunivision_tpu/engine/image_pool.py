@@ -267,6 +267,7 @@ class ImagePoolEngine:
         chunk: int = 32,
         decode_pixels: bool = True,
         image_start_token: Optional[int] = None,
+        mesh=None,
     ):
         self.params = params
         self.cfg = cfg
@@ -276,6 +277,14 @@ class ImagePoolEngine:
         self.decode_pixels = decode_pixels
         self.dtype = jnp.float32 if runtime.compute_dtype == "float32" else jnp.bfloat16
         self.state = ImagePoolState.create(cfg, slots, runtime.max_seq_len, self.dtype)
+        if mesh is not None:
+            # sharded pool serving: CFG rows over `data`, kv-heads over `model`;
+            # params are expected pre-sharded (parallel.sharding helpers) with
+            # cfg.llm carrying expert_mesh when the shard_map MoE kernels apply
+            from mingunivision_tpu.parallel.sharding import shard_image_pool_state
+
+            self.state = shard_image_pool_state(self.state, mesh)
+        self.mesh = mesh
         self.start_tok = int(
             image_start_token if image_start_token is not None else cfg.llm.image_start_token
         )

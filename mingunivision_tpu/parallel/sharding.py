@@ -122,6 +122,30 @@ def shard_batch_state(state, mesh: Mesh):
     return jax.device_put(state, batch_state_sharding(mesh, state))
 
 
+def image_pool_state_sharding(mesh: Mesh, state):
+    """Shardings for engine.image_pool.ImagePoolState: CFG rows over `data`,
+    kv-heads over `model` (LLM cache layout), per-slot vectors over `data`.
+    rf_sample's block-slice/concat over rows compiles to GSPMD collectives;
+    non-dividing axes fall back to replication (fit_spec)."""
+    kv = NamedSharding(mesh, fit_spec(P(None, "data", "model", None, None), state.k.shape, mesh))
+    row = NamedSharding(mesh, fit_spec(P("data", None), state.masks.shape, mesh))
+    vec = NamedSharding(mesh, fit_spec(P("data"), state.lengths.shape, mesh))
+    emb = NamedSharding(mesh, fit_spec(P("data", None, None), state.embeds.shape, mesh))
+    sem = NamedSharding(mesh, fit_spec(P("data", None, None), state.sem_tokens.shape, mesh))
+    sem_kv = NamedSharding(mesh, fit_spec(P(None, "data", "model", None, None), state.sem_k.shape, mesh))
+    slot_mat = NamedSharding(mesh, fit_spec(P("data", None), state.last_hidden.shape, mesh))
+    keys = NamedSharding(mesh, fit_spec(P("data", None), state.rf_keys.shape, mesh))
+    return type(state)(
+        k=kv, v=kv, masks=row, lengths=vec, iters=vec, active=vec, embeds=emb,
+        sem_tokens=sem, sem_k=sem_kv, sem_v=sem_kv, last_hidden=slot_mat,
+        rf_keys=keys, text_cfg=vec, image_cfg=vec, temperature=vec,
+    )
+
+
+def shard_image_pool_state(state, mesh: Mesh):
+    return jax.device_put(state, image_pool_state_sharding(mesh, state))
+
+
 def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
 

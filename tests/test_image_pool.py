@@ -198,6 +198,24 @@ class TestPoolParity:
         solo_b = _solo(cfg, params, rt, b, kb)
         np.testing.assert_array_equal(rb.sem_tokens, solo_b.sem_tokens)
 
+    def test_sharded_pool_parity(self, setup):
+        """ImagePoolEngine(mesh=): same sem tokens sharded (dp2/ep2/tp2 virtual
+        mesh) vs single-device — the 16B pool-serving path."""
+        from mingunivision_tpu.parallel.mesh import MeshConfig, make_mesh
+        from mingunivision_tpu.parallel.sharding import shard_mm_params
+
+        cfg, params, rt = setup
+        req = _req(np.random.default_rng(9), 6)
+        key = jax.random.PRNGKey(13)
+        ref = _solo(cfg, params, rt, req, key, slots=2, chunk=3)
+
+        mesh = make_mesh(MeshConfig(data=2, expert=2, model=2))
+        sharded = shard_mm_params(params, mesh)
+        eng = ImagePoolEngine(sharded, cfg, rt, slots=2, chunk=3, mesh=mesh)
+        r = eng.add_request(req, key)
+        eng.run_until_idle()
+        np.testing.assert_allclose(r.sem_tokens, ref.sem_tokens, atol=2e-5, rtol=2e-5)
+
     def test_pool_full_and_throughput_accounting(self, setup):
         cfg, params, rt = setup
         req = _req(np.random.default_rng(7), 5)
@@ -206,3 +224,17 @@ class TestPoolParity:
         assert eng.add_request(req, jax.random.PRNGKey(1)) is None  # full
         done = eng.run_until_idle()
         assert len(done) == 1 and done[0].image is None and done[0].sem_tokens is not None
+
+    def test_quantized_tier_pool(self, setup):
+        """The int4-LLM serving tier runs through the pool (QuantizedArray
+        expert tables under pooled_forward's moe dispatch)."""
+        from mingunivision_tpu.utils.quantize import quantize_tree
+
+        cfg, params, rt = setup
+        qparams = dict(params)
+        qparams["llm"] = quantize_tree(params["llm"], bits=4)
+        req = _req(np.random.default_rng(8), 5)
+        eng = ImagePoolEngine(qparams, cfg, rt, slots=2, chunk=4)
+        r = eng.add_request(req, jax.random.PRNGKey(2))
+        eng.run_until_idle()
+        assert r.done and np.isfinite(r.sem_tokens).all() and np.isfinite(r.image).all()
