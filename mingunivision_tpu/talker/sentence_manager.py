@@ -320,6 +320,106 @@ class TextNormalizer:
         text = re.sub(r"\d+(?:\.\d+)?", lambda m: _number_to_zh(m.group(0)), text)
         return text
 
+    INTERPRET_MODES = (
+        "cardinal", "currency", "digits", "telephone", "address",
+        "date", "time", "id", "measure", "punctuation",
+    )
+
+    def normalize_custom(self, text: str, *, interpret_as: str) -> str:
+        """Caller-directed reading: apply ONLY the rule family named by
+        `interpret_as`, instead of the full auto-detect pipeline. Capability
+        analog of the reference's Normalizer.normalize_custom
+        (sentence_manager/text_norm/normalizer.py:165-245) with the same mode
+        vocabulary: the TTS caller marks a span as e.g. an address or an id
+        and the number reading obeys that tag."""
+        if interpret_as not in self.INTERPRET_MODES:
+            raise ValueError(f"interpret_as={interpret_as!r} not in {self.INTERPRET_MODES}")
+        num = lambda m: _number_to_zh(m.group(0))
+        if interpret_as == "cardinal":
+            text = text.replace(",", "")
+            text = re.sub(r"(\d+(?:\.\d+)?)%", lambda m: "百分之" + _number_to_zh(m.group(1)), text)
+            text = re.sub(r"(\d+)/(\d+)", lambda m: _number_to_zh(m.group(2)) + "分之" + _number_to_zh(m.group(1)), text)
+            text = re.sub(r"-?\d+(?:\.\d+)?", lambda m: ("负" + _number_to_zh(m.group(0)[1:])) if m.group(0)[0] == "-" else _number_to_zh(m.group(0)), text)
+        elif interpret_as == "currency":
+            text = text.replace(",", "")
+            text = re.sub(r"[￥¥]\s*(\d+(?:\.\d+)?)", lambda m: _number_to_zh(m.group(1)) + "元", text)
+            text = re.sub(r"(\d+(?:\.\d+)?)(?:RMB|rmb)", lambda m: _number_to_zh(m.group(1)) + "元", text)
+            text = re.sub(r"\$\s*(\d+(?:\.\d+)?)", lambda m: _number_to_zh(m.group(1)) + "美元", text)
+            text = re.sub(r"\d+(?:\.\d+)?", num, text)
+        elif interpret_as == "digits":
+            text = re.sub(r"\d+", lambda m: _digits_to_zh(m.group(0)), text)
+        elif interpret_as == "telephone":
+            text = re.sub(r"1[3-9]\d{9}", lambda m: _digits_to_zh(m.group(0), alt_one=True), text)
+            text = re.sub(
+                r"(?<!\d)(0(?:10|2[1-3]|[3-9]\d{2}))-?([1-9]\d{6,7})(?!\d)",
+                lambda m: _digits_to_zh(m.group(1), alt_one=True) + "，" + _digits_to_zh(m.group(2), alt_one=True),
+                text,
+            )
+            text = re.sub(r"\d+", lambda m: _digits_to_zh(m.group(0), alt_one=True), text)
+        elif interpret_as == "address":
+            text = text.replace("-", "杠")
+            # trailing unit/room number reads digit-wise with 幺; other numbers
+            # (street/building/floor counts) read by value
+            text = re.sub(r"(\d+)(室)?$", lambda m: _digits_to_zh(m.group(1), alt_one=True) + (m.group(2) or ""), text)
+            text = re.sub(r"\d+", num, text)
+        elif interpret_as == "date":
+            text = re.sub(
+                r"(\d{4})年(?:(0?[1-9]|1[0-2])月)?(?:(0?[1-9]|[12][0-9]|3[01])([日号]))?",
+                lambda m: _digits_to_zh(m.group(1)) + "年"
+                + (_number_to_zh(m.group(2)) + "月" if m.group(2) else "")
+                + (_number_to_zh(m.group(3)) + "日" if m.group(3) else ""),
+                text,
+            )
+            text = re.sub(
+                r"(\d{4})([-_/.])(0?[1-9]|1[012])\2([12][0-9]|3[01]|0?[1-9])(?!\d)",
+                lambda m: _digits_to_zh(m.group(1)) + "年" + _number_to_zh(m.group(3)) + "月" + _number_to_zh(m.group(4)) + "日",
+                text,
+            )
+            text = text.replace("-", "至")
+        elif interpret_as == "time":
+            def _zh_time(h, mnt, sec=None):
+                out = _number_to_zh(h) + "点"
+                out += "半" if mnt == "30" and sec is None else _number_to_zh(mnt) + "分"
+                if sec is not None:
+                    out += _number_to_zh(sec) + "秒"
+                return out
+
+            text = re.sub(
+                r"(\d{1,2}):(\d{2})[-~～](\d{1,2}):(\d{2})(?!\d)",
+                lambda m: _zh_time(m.group(1), m.group(2)) + "到" + _zh_time(m.group(3), m.group(4)),
+                text,
+            )
+            text = re.sub(r"(\d{1,2}):(\d{2}):(\d{2})(?!\d)", lambda m: _zh_time(m.group(1), m.group(2), m.group(3)), text)
+            text = re.sub(r"(\d{1,2}):(\d{2})(?!\d)", lambda m: _zh_time(m.group(1), m.group(2)), text)
+        elif interpret_as == "id":
+            text = re.sub(r"\d+", lambda m: _digits_to_zh(m.group(0), alt_one=True), text)
+            text = text.replace("_", "下划线").replace("-", "杠").upper()
+            text = re.sub(r"[A-Z]+", lambda m: " " + " ".join(m.group(0)) + " ", text).strip()
+        elif interpret_as == "measure":
+            # longest units first so cm/mm resolve before m, kg before g
+            text = text.replace("㎡", "平方米").replace("cm²", "平方厘米").replace("m²", "平方米")
+            text = re.sub(r"(?<=\d)cm(?![a-zA-Z])", "厘米", text)
+            text = re.sub(r"(?<=\d)mm(?![a-zA-Z])", "毫米", text)
+            text = re.sub(r"(?<=\d)km(?![a-zA-Z])", "千米", text)
+            text = re.sub(r"(?<=\d)m(?![a-zA-Z])", "米", text)
+            text = re.sub(r"(?<=\d)kg(?![a-zA-Z])", "千克", text)
+            text = re.sub(r"(?<=\d)g(?![a-zA-Z])", "克", text)
+            text = re.sub(r"\d+(?:\.\d+)?", num, text)
+        elif interpret_as == "punctuation":
+            spoken = {
+                "…": "省略号", "“": "双引号", "”": "双引号", '"': "双引号",
+                "‘": "单引号", "’": "单引号", "'": "单引号",
+                "（": "左括号", "）": "右括号", "(": "左括号", ")": "右括号",
+                "!": "叹号", "！": "叹号", "?": "问号", "？": "问号",
+                "，": "逗号", ",": "逗号", "。": "句号", "：": "冒号", ":": "冒号",
+                "；": "分号", ";": "分号", "-": "杠", "_": "下划线",
+                "+": "加号", "=": "等号", "/": "斜杠", "\\": "反斜杠",
+                "@": "艾特", "#": "井号", "%": "百分号", "&": "和号", "*": "星号",
+            }
+            text = re.sub("…+", "省略号", text)
+            text = "".join(spoken.get(ch, ch) for ch in text)
+        return text
+
 
 @dataclass
 class SentenceManagerConfig:

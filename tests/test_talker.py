@@ -258,6 +258,25 @@ class TestTextNormalizerFamilies:
         # decimals keep value reading
         assert self.tn("重3.1415") == "重三点一四一五"
 
+    def test_interpret_as_explicit_modes(self):
+        # caller-directed reading (reference normalizer.normalize_custom):
+        # the SAME digit string reads differently under each tag
+        nc = self.tn.normalize_custom
+        assert nc("-3.5", interpret_as="cardinal") == "负三点五"
+        assert nc("1,234", interpret_as="cardinal") == "一千二百三十四"
+        assert nc("¥12.5", interpret_as="currency") == "十二点五元"
+        assert nc("302", interpret_as="digits") == "三零二"
+        assert nc("13912345678", interpret_as="telephone") == "幺三九幺二三四五六七八"
+        # address: value reading for buildings, 幺-digit-wise for the room tail
+        assert nc("5幢4单元201室", interpret_as="address") == "五幢四单元二零幺室"
+        assert nc("2023-11-05", interpret_as="date") == "二零二三年十一月五日"
+        assert nc("8:30", interpret_as="time") == "八点半"
+        assert nc("a_1b-2", interpret_as="id") == "A 下划线幺 B 杠二"
+        assert nc("5cm", interpret_as="measure") == "五厘米"
+        assert nc("你好!", interpret_as="punctuation") == "你好叹号"
+        with pytest.raises(ValueError):
+            nc("x", interpret_as="nonsense")
+
 
 @pytest.fixture(scope="module")
 def tiny_exact_detok():
