@@ -281,6 +281,7 @@ class InferenceServer:
                 infer.runtime,
                 slots=image_pool_slots,
                 chunk=image_pool_chunk,
+                mesh=getattr(infer, "mesh", None),
             )
             self.image_pool_worker = ImagePoolWorker(pool)
 
