@@ -349,3 +349,51 @@ class TestAOT16BLower:
         # (+2.4 GiB table-layout copies) trips it
         temp_gib = ma.temp_size_in_bytes / 2**30
         assert temp_gib < 10.5, f"decode-step XLA temps {temp_gib:.2f} GiB/device (CPU baseline 8.5)"
+
+    def test_16b_prefill_step_lowers_and_compiles(self):
+        """The OTHER serving-critical 16B graph: a 4096-token prefill append
+        (flash path off: the CPU lowering must match the GSPMD masked-dense
+        dispatch the sharded TPU graph uses, as in the decode test above)."""
+        from mingunivision_tpu.models.bailing_moe import bailing_forward
+        from mingunivision_tpu.parallel.sharding import cache_sharding
+
+        import dataclasses
+
+        cfg = dataclasses.replace(BailingMoeConfig(), moe_force_dispatch="dense")
+        mesh = make_mesh(MeshConfig(data=1, expert=2, model=4))
+        B, S, T = 1, 4096, 4096
+
+        params_sh = jax.eval_shape(
+            lambda k: init_bailing_moe_params(k, cfg, dtype=jnp.bfloat16), jax.random.PRNGKey(0)
+        )
+        param_shardings = llm_param_shardings(params_sh, mesh)
+        params_abs = jax.tree_util.tree_map(
+            lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+            params_sh,
+            param_shardings,
+        )
+        cache_sh = jax.eval_shape(lambda: LLMCache.create(cfg, B, S, jnp.bfloat16))
+        csh = cache_sharding(mesh, cache_sh)
+        cache_abs = jax.tree_util.tree_map(
+            lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh), cache_sh, csh
+        )
+        repl = NamedSharding(mesh, P())
+        embeds = jax.ShapeDtypeStruct((B, T, cfg.hidden_size), jnp.bfloat16, sharding=repl)
+        mask = jax.ShapeDtypeStruct((B, S), jnp.bool_, sharding=repl)
+
+        @jax.jit
+        def prefill_step(params, embeds, cache, mask):
+            return bailing_forward(params, cfg, embeds, cache, mask)
+
+        compiled = prefill_step.lower(params_abs, embeds, cache_abs, mask).compile()
+        try:
+            ma = compiled.memory_analysis()
+        except Exception:
+            return
+        arg_gib = ma.argument_size_in_bytes / 2**30
+        assert 3.5 < arg_gib < 5.0, f"sharded 16B prefill args {arg_gib:.2f} GiB/device"
+        # prefill temps are dominated by the 4096-token activations plus the
+        # same CPU-only fp32 expert-table upcast as the decode test; bound one
+        # layout-copy regression above the measured CPU baseline
+        temp_gib = ma.temp_size_in_bytes / 2**30
+        assert temp_gib < 14.0, f"prefill-step XLA temps {temp_gib:.2f} GiB/device"
