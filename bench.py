@@ -130,11 +130,37 @@ if __name__ == "__main__":
     # JAX_PLATFORMS='' auto-pick silently falls back to host CPU when the axon
     # claim is not ready — a CPU number would be recorded as a TPU result.
     # If the TPU is unreachable, still honor the one-JSON-line contract with a
-    # zero value + explicit error rather than dying lineless.
+    # zero value + explicit error rather than dying lineless. The claim can
+    # also HANG indefinitely (observed when the remote grant is wedged), so a
+    # watchdog emits the line and exits if discovery doesn't finish in 15 min
+    # (fresh claims after a lease release legitimately take ~8 min).
+    import threading
+
+    _claim_timeout = float(os.environ.get("BENCH_CLAIM_TIMEOUT_S", "900"))
+
+    def _claim_watchdog():
+        print(
+            json.dumps(
+                {
+                    "metric": "mingtok_512px_encode_decode_throughput",
+                    "value": 0.0,
+                    "unit": "images/sec/chip",
+                    "vs_baseline": 0.0,
+                    "extra": {"error": f"TPU claim hung >{_claim_timeout:.0f}s (axon grant wedged); refusing to block the driver"},
+                }
+            ),
+            flush=True,
+        )
+        os._exit(2)
+
+    _wd = threading.Timer(_claim_timeout, _claim_watchdog)
+    _wd.daemon = True
+    _wd.start()
     try:
         _backend = jax.default_backend()
     except Exception as e:  # noqa: BLE001 — axon init can raise UNAVAILABLE
         _backend = f"init-error: {e}"
+    _wd.cancel()
     if _backend != "tpu":
         import sys
 
