@@ -218,3 +218,51 @@ class MingUniVisionInfer:
 
     def reset_inner_state(self):
         self.session.reset_inner_state()
+
+    # -- query-adaptive video frame scoring ------------------------------------
+
+    def make_frame_scorer(self, batch_size: int = 8):
+        """Cross-modal video-frame relevance scorer — the LongVU slot.
+
+        The reference's `select_frames_based_on_query` (bailingmm_utils.py:
+        307-360) delegates to an EXTERNAL LongVU VLM it does not ship, noting it
+        "can also be replaced with other text/visual encoders". Here the
+        encoders are this checkpoint's own: `linear_proj(MingTok features)`
+        lives in the LLM's input-embedding space (prefill scatters those rows
+        among word embeddings — modeling_bailingmm.py:152-204), so cosine
+        similarity between a frame's mean projected feature and the mean word
+        embedding of the query is a *trained* cross-modal relevance — no extra
+        checkpoint.
+
+        Returns `scorer(frames, query) -> (T,) float scores`, pluggable into
+        `processing.media.select_frames_by_relevance` / `adaptive_frame_rows` /
+        `VideoReader.load(sample="adaptive", scorer=...)`. With a falsy query,
+        frames are scored by distinctiveness (distance from the mean frame
+        feature), so the selector still prefers visually informative moments.
+        """
+        import numpy as np
+
+        from mingunivision_tpu.models.bailing_moe import embed_tokens
+        from mingunivision_tpu.processing.image_ops import preprocess_generation
+
+        def scorer(frames: np.ndarray, query=None) -> np.ndarray:
+            pix = np.stack(
+                [preprocess_generation(f, self.processor.gen_image_size) for f in np.asarray(frames)]
+            )  # (T, 3, S, S)
+            feats = []
+            for i in range(0, len(pix), batch_size):  # bound device memory
+                chunk = pix[i : i + batch_size]
+                f = self.session.extract_image_features(chunk)  # (n*N, hidden)
+                f = f.reshape(len(chunk), -1, f.shape[-1]).mean(axis=1)
+                feats.append(np.asarray(f, np.float32))
+            fv = np.concatenate(feats)  # (T, hidden)
+            if not query:
+                return np.linalg.norm(fv - fv.mean(0, keepdims=True), axis=-1)
+            ids = self.processor.tokenizer.encode(str(query), add_special_tokens=False)
+            qe = np.asarray(
+                embed_tokens(self.params["llm"], jnp.asarray([ids])), np.float32
+            )[0].mean(axis=0)
+            fn = fv / np.maximum(np.linalg.norm(fv, axis=-1, keepdims=True), 1e-8)
+            return fn @ (qe / max(float(np.linalg.norm(qe)), 1e-8))
+
+        return scorer

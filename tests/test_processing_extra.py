@@ -277,3 +277,45 @@ class TestAdaptiveFrameMerge:
         frames[70] = rng.integers(0, 255, (8, 8, 3))  # one visually distinct moment
         rows = adaptive_frame_rows(frames, 60)
         assert 70 in rows or 71 in rows
+
+
+class TestCrossmodalFrameScorer:
+    """api.MingUniVisionInfer.make_frame_scorer — the in-checkpoint LongVU slot
+    (reference bailingmm_utils.py:307-360 delegates to an external VLM)."""
+
+    @pytest.fixture(scope="class")
+    def infer(self):
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        from examples.test_infer_unified import build_tiny_infer
+
+        return build_tiny_infer()
+
+    def test_no_query_distinctiveness(self, infer):
+        scorer = infer.make_frame_scorer(batch_size=3)
+        frames = np.zeros((4, 32, 48, 3), np.uint8)
+        frames[..., 1] = 80  # identical green-ish frames...
+        frames[2] = np.random.default_rng(0).integers(0, 255, (32, 48, 3))  # ...one outlier
+        s = scorer(frames, None)
+        assert s.shape == (4,)
+        assert np.isfinite(s).all()
+        # mean-distance math: the outlier scores 3x the duplicates, regardless of weights
+        assert s[2] > s[0] and s[2] > s[1] and s[2] > s[3]
+
+    def test_query_scores_deterministic_and_pluggable(self, infer):
+        from mingunivision_tpu.processing.media import select_frames_by_relevance
+
+        scorer = infer.make_frame_scorer(batch_size=2)
+        frames = np.random.default_rng(1).integers(0, 255, (5, 40, 40, 3), np.uint8)
+        s1 = scorer(frames, "a red panda climbing a tree")
+        s2 = scorer(frames, "a red panda climbing a tree")
+        assert s1.shape == (5,)
+        np.testing.assert_allclose(s1, s2)  # deterministic
+        assert (np.abs(s1) <= 1.0 + 1e-5).all()  # cosine range
+        keep = select_frames_by_relevance(frames, num_keep=3, query="q", scorer=scorer)
+        assert len(keep) == 3 and (np.diff(keep) > 0).all()
+        # query changes the ranking input (different text -> different scores)
+        s3 = scorer(frames, "completely different query about the ocean")
+        assert not np.allclose(s1, s3)
