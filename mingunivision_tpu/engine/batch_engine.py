@@ -8,8 +8,11 @@ step regardless of batch — decode is bandwidth-bound, so batching is nearly
 free throughput). Requests are admitted into free slots (prefill writes the
 slot's rows), finished slots are freed immediately.
 
-Paged attention is unnecessary in this design: slots are static-shape cache
-rows, and TPU HBM is allocated once up front (no fragmentation to page over).
+This dense pool reserves `max_len` KV positions per slot — simple and
+recompile-free, but pool HBM is slots * max_len regardless of actual lengths.
+For long-max_len serving, engine/paged.py provides the block-paged tier
+(vLLM PagedAttention analog): same host interface, KV in allocator-owned
+pages, HBM ∝ tokens in flight.
 """
 
 from __future__ import annotations

@@ -25,6 +25,7 @@ import time
 from collections import OrderedDict
 from concurrent.futures import ThreadPoolExecutor
 from enum import IntEnum
+from typing import Optional
 
 
 class RetCode(IntEnum):
@@ -115,7 +116,17 @@ class BatchTextWorker:
                     item["error"] = str(e)
                     item["event"].set()
                     continue
-                if item["req"] is None or item["req"].done:  # pool raced / instant stop
+                if item["req"] is None:
+                    # paged engine: free slot but no pages right now — requeue
+                    # and retry after in-flight requests release pages; if the
+                    # pool is IDLE this request can never fit (prompt needs
+                    # more pages than the pool holds) — fail it instead
+                    if self.engine.slot_req:
+                        pending.appendleft(item)
+                        break
+                    item["error"] = "request exceeds the KV page pool"
+                    item["event"].set()
+                elif item["req"].done:  # instant stop (eos/image-start first)
                     item["event"].set()
                 else:
                     self._inflight.append(item)
@@ -231,12 +242,19 @@ class InferenceServer:
         batch_max_len: int = 1024,
         image_pool_slots: int = 0,
         image_pool_chunk: int = 32,
+        paged_kv: bool = False,
+        page_size: int = 64,
+        num_pages: Optional[int] = None,
     ):
         """batch_slots > 0 enables the continuous-batching text endpoint
         (/generate_batch) with that many concurrent decode slots;
         image_pool_slots > 0 switches /generate_image_batch to slot-level
         continuous admission (engine/image_pool.py) — requests from different
-        POSTs co-schedule and admit mid-generation."""
+        POSTs co-schedule and admit mid-generation. paged_kv switches the text
+        pool to the block-paged engine (engine/paged.py, the vLLM
+        PagedAttention analog): KV HBM ∝ tokens in flight, sized by
+        num_pages * page_size; exhausted pools stall slots instead of OOMing
+        (single-device tier — unsharded)."""
         self.infer = infer  # a MingUniVisionInfer (holds the default session)
         self.host = host
         self.port = port
@@ -260,16 +278,32 @@ class InferenceServer:
         self._sessions: OrderedDict = OrderedDict([("default", infer.session)])
         self.batch_worker = None
         if batch_slots > 0:
-            from mingunivision_tpu.engine.batch_engine import ContinuousBatchingEngine
+            mesh = getattr(infer, "mesh", None)
+            if paged_kv:
+                if mesh is not None:
+                    raise ValueError("paged_kv is the single-device tier; use the dense pool with a mesh")
+                from mingunivision_tpu.engine.paged import PagedBatchingEngine
 
-            engine = ContinuousBatchingEngine(
-                infer.params["llm"],
-                infer.config.llm,
-                slots=batch_slots,
-                max_len=batch_max_len,
-                dtype=infer.session._dtype,
-                mesh=getattr(infer, "mesh", None),
-            )
+                engine = PagedBatchingEngine(
+                    infer.params["llm"],
+                    infer.config.llm,
+                    slots=batch_slots,
+                    max_len=batch_max_len,
+                    page_size=page_size,
+                    num_pages=num_pages,
+                    dtype=infer.session._dtype,
+                )
+            else:
+                from mingunivision_tpu.engine.batch_engine import ContinuousBatchingEngine
+
+                engine = ContinuousBatchingEngine(
+                    infer.params["llm"],
+                    infer.config.llm,
+                    slots=batch_slots,
+                    max_len=batch_max_len,
+                    dtype=infer.session._dtype,
+                    mesh=mesh,
+                )
             self.batch_worker = BatchTextWorker(engine, infer.config.llm.eos_token_id)
         self.image_pool_worker = None
         if image_pool_slots > 0:

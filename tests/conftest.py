@@ -19,3 +19,14 @@ jax.config.update("jax_platforms", "cpu")
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
+
+# Persistent compile cache for the suite, keyed by the HOST's CPU-feature
+# fingerprint (the VM migrates between hosts; CPU AOT artifacts from another
+# host load with machine-feature mismatch and can SIGILL — CLAUDE.md). A warm
+# cache cuts the 1-core suite time sharply and shrinks the in-process compile
+# load (one observed XLA:CPU compiler SIGSEGV mid-suite was compile-time).
+from __graft_entry__ import _host_fingerprint  # noqa: E402
+
+_cache_dir = f"/tmp/jax_cache_pytest_{_host_fingerprint()}"
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)

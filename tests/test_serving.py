@@ -335,3 +335,63 @@ def test_same_session_streams_serialize(tiny_infer):
             assert m["errors"] == 0
 
     asyncio.run(run())
+
+
+def test_generate_batch_paged_kv(tiny_infer):
+    """paged_kv=True serves /generate_batch through the block-paged engine:
+    same results as the dense pool, and a tiny page budget forces requeue/stall
+    paths without failing requests."""
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from mingunivision_tpu.serving.server import InferenceServer
+
+    dense = InferenceServer(tiny_infer, batch_slots=3, batch_max_len=256)
+    # 6 pages of 32 = 192 tokens in flight; three ~10-token prompts + decode fit,
+    # but only after requeue when admissions burst
+    paged = InferenceServer(
+        tiny_infer, batch_slots=3, batch_max_len=256, paged_kv=True, page_size=32, num_pages=6
+    )
+    msgs = [
+        [{"role": "HUMAN", "content": [{"type": "text", "text": t}]}]
+        for t in ("one prompt", "a different longer prompt here", "third")
+    ]
+
+    async def run(app):
+        async with TestClient(TestServer(app)) as client:
+            async def ask(m):
+                r = await client.post("/generate_batch", json={"messages": m, "max_new_tokens": 6})
+                assert r.status == 200, await r.text()
+                return (await r.json())["text"]
+
+            return await asyncio.gather(*(ask(m) for m in msgs))
+
+    got_d = asyncio.run(run(dense.build_app()))
+    got_p = asyncio.run(run(paged.build_app()))
+    assert got_p == got_d
+    dense.batch_worker.stop()
+    paged.batch_worker.stop()
+
+    # a prompt that can never fit the pool fails cleanly instead of hanging
+    small = InferenceServer(tiny_infer, batch_slots=1, batch_max_len=256, paged_kv=True,
+                            page_size=32, num_pages=2)
+
+    async def run_big():
+        async with TestClient(TestServer(small.build_app())) as client:
+            big = [{"role": "HUMAN", "content": [{"type": "text", "text": "x " * 80}]}]
+            r = await client.post("/generate_batch", json={"messages": big, "max_new_tokens": 4})
+            assert r.status in (400, 429, 500), await r.text()
+
+    asyncio.run(run_big())
+    small.batch_worker.stop()
+
+    # mesh + paged_kv is rejected explicitly
+    import pytest as _pytest
+
+    tiny_infer.mesh = None  # ensure attribute exists
+    class _FakeMesh:  # noqa: N801
+        pass
+
+    tiny_infer.mesh = _FakeMesh()
+    with _pytest.raises(ValueError):
+        InferenceServer(tiny_infer, batch_slots=2, paged_kv=True)
+    tiny_infer.mesh = None
