@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--slots", type=int, nargs="+", default=[1, 4, 8, 16])
     ap.add_argument("--max-len", type=int, default=1024)
     ap.add_argument("--bits", type=int, default=16, choices=[4, 8, 16], help="weight tier (4 fits the full 28-layer model on one chip)")
+    ap.add_argument("--paged", action="store_true", help="bench the block-paged KV tier (engine/paged.py) instead of the dense pool")
+    ap.add_argument("--page-size", type=int, default=64)
     args = ap.parse_args()
     assert jax.default_backend() == "tpu", jax.default_backend()
 
@@ -47,6 +49,52 @@ def main():
         shapes = jax.eval_shape(lambda k: init_bailing_moe_params(k, cfg, dtype=jnp.bfloat16), jax.random.PRNGKey(0))
         params = random_quantized_like(jax.random.PRNGKey(0), shapes, bits=args.bits)
     rng = np.random.default_rng(0)
+
+    if args.paged:
+        import time
+
+        from mingunivision_tpu.engine.paged import PagedKVState, paged_decode_step
+        from mingunivision_tpu.utils.profiling import force_sync
+
+        page = args.page_size
+        maxp = (args.max_len + page - 1) // page
+        for B in args.slots:
+            num_pages = B * maxp  # every slot fully backed (steady-state upper bound)
+            state = PagedKVState.create(cfg, B, num_pages, page, jnp.bfloat16)
+            state = state._replace(
+                lengths=jnp.full((B,), 128, jnp.int32),
+                cur=jnp.asarray(rng.integers(0, cfg.vocab_size, (B,)), jnp.int32),
+                active=jnp.ones((B,), bool),
+            )
+            tables = jnp.asarray(
+                np.arange(B * maxp, dtype=np.int32).reshape(B, maxp)
+            )  # slot b owns pages [b*maxp, (b+1)*maxp)
+            key = jax.random.PRNGKey(1)
+            s, toks = paged_decode_step(params, cfg, state, tables, key)  # compile
+            force_sync(toks)
+            iters = 20
+            t0 = time.perf_counter()
+            for i in range(iters):
+                s, toks = paged_decode_step(params, cfg, s, tables, jax.random.fold_in(key, i))
+            force_sync(toks)
+            dt = (time.perf_counter() - t0) / iters
+            print(
+                json.dumps(
+                    {
+                        "bench": "paged_decode",
+                        "slots": B,
+                        "layers": args.layers,
+                        "bits": args.bits,
+                        "page_size": page,
+                        "num_pages": num_pages,
+                        "step_ms": round(dt * 1e3, 2),
+                        "tokens_per_s": round(B / dt, 1),
+                    }
+                ),
+                flush=True,
+            )
+            del s, state
+        return
 
     for B in args.slots:
         state = BatchState.create(cfg, B, args.max_len, jnp.bfloat16)
