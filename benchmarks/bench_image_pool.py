@@ -73,8 +73,11 @@ def main():
         am = np.ones((1, T), np.int64)
         return {"input_ids": ids, "attention_mask": am}
 
-    # warm compile: one admission + one chunk
-    r0 = eng.add_request(req(37), jax.random.PRNGKey(0))
+    # warm compile: BOTH prefill buckets the measured prompts (16..120) hit,
+    # plus a full chunk cycle — otherwise bucket-128 prefill compiles through
+    # the slow axon tunnel INSIDE the timed loop and dominates wall_s
+    eng.add_request(req(37), jax.random.PRNGKey(0))
+    eng.add_request(req(100), jax.random.PRNGKey(0))
     eng.step()
     eng.run_until_idle()
 

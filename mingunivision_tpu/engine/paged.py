@@ -173,6 +173,27 @@ def _admit_pages(k_pages, v_pages, cache_k, cache_v, page_ids):
     return lax.fori_loop(0, maxp, body, (k_pages, v_pages))
 
 
+@functools.partial(jax.jit, donate_argnames=("cache_k", "cache_v"))
+def _gather_pages(cache_k, cache_v, k_pages, v_pages, page_ids, n_pages):
+    """Inverse of `_admit_pages`: copy the first `n_pages` table entries into a
+    dense cache row (prefix-cache hit — the reused prefix KV seeds the dense
+    cache the suffix prefill appends to). `n_pages` is a traced scalar so one
+    compiled graph serves every hit length."""
+    L, _, Hkv, Smax, D = cache_k.shape
+    page = k_pages.shape[3]
+
+    def body(i, kv):
+        ck, cv = kv
+        pid = page_ids[i]
+        src_k = k_pages[:, pid][:, None]  # (L, 1, Hkv, page, D)
+        src_v = v_pages[:, pid][:, None]
+        ck = lax.dynamic_update_slice(ck, src_k.astype(ck.dtype), (0, 0, 0, i * page, 0))
+        cv = lax.dynamic_update_slice(cv, src_v.astype(cv.dtype), (0, 0, 0, i * page, 0))
+        return ck, cv
+
+    return lax.fori_loop(0, n_pages, body, (cache_k, cache_v))
+
+
 @functools.partial(jax.jit, donate_argnames=("state",))
 def _set_slot(state: PagedKVState, slot, length, cur, active):
     return state._replace(
@@ -206,6 +227,74 @@ class PageAllocator:
         return len(self.free)
 
 
+class PrefixPageCache:
+    """Content-addressed registry of full-page prompt KV (vLLM automatic
+    prefix caching analog; reference bar: vLLM APC over the serving path the
+    reference rides, SURVEY §2.9).
+
+    A full page of KV is identified by the CHAIN hash of every token id from
+    position 0 through the page's end (K/V at position i depend on the whole
+    prefix, so content-addressing must too — same scheme as vLLM's block
+    hashes). Pages whose refcount drops to 0 are RETAINED in LRU order and
+    evicted only when the allocator runs dry."""
+
+    def __init__(self):
+        from collections import OrderedDict
+
+        self.hash_to_page: Dict[int, int] = {}
+        self.page_hash: Dict[int, int] = {}
+        self.ref: Dict[int, int] = {}
+        self.lru = OrderedDict()  # refcount-0 registered pages, oldest first
+
+    @staticmethod
+    def chain_hashes(ids: np.ndarray, page: int) -> List[int]:
+        """One hash per FULL page of the prompt (partial tail pages are not
+        content-addressable: their KV would keep growing)."""
+        hs: List[int] = []
+        h = 0
+        for i in range(len(ids) // page):
+            h = hash((h, np.asarray(ids[i * page : (i + 1) * page], np.int64).tobytes()))
+            hs.append(h)
+        return hs
+
+    def lookup(self, h: int) -> Optional[int]:
+        return self.hash_to_page.get(h)
+
+    def pin(self, pid: int):
+        self.lru.pop(pid, None)
+        self.ref[pid] = self.ref.get(pid, 0) + 1
+
+    def unpin(self, pid: int):
+        self.ref[pid] -= 1
+        if self.ref[pid] == 0:
+            self.lru[pid] = None  # reclaimable, retained until pressure
+
+    def register(self, h: int, pid: int):
+        """Map h -> pid with refcount 1 (the admitting slot owns it). No-op if
+        another page already holds this hash (possible after partial eviction
+        punched a hole in an earlier chain)."""
+        if h in self.hash_to_page:
+            return False
+        self.hash_to_page[h] = pid
+        self.page_hash[pid] = h
+        self.ref[pid] = self.ref.get(pid, 0)
+        return True
+
+    def evict_one(self) -> Optional[int]:
+        """Drop the oldest refcount-0 cached page; returns its id (now free)."""
+        if not self.lru:
+            return None
+        pid, _ = self.lru.popitem(last=False)
+        h = self.page_hash.pop(pid)
+        del self.hash_to_page[h]
+        del self.ref[pid]
+        return pid
+
+    @property
+    def cached_pages(self) -> int:
+        return len(self.page_hash)
+
+
 class PagedBatchingEngine:
     """ContinuousBatchingEngine with block-paged KV (same host interface).
 
@@ -213,6 +302,13 @@ class PagedBatchingEngine:
     set it to the expected tokens in flight, not slots * max_len. A slot that
     needs a page when the pool is exhausted STALLS (drops its active bit, keeps
     its pages and sampling state) and resumes automatically when pages free up.
+
+    `prefix_cache=True` enables automatic prefix caching (the vLLM APC analog):
+    full prompt pages are content-addressed by token-chain hash; a request
+    whose prompt prefix is cached shares those pages (refcounted) and prefills
+    only the suffix. Refcount-0 cached pages persist in LRU order and are
+    evicted under allocation pressure. Shared pages are never written: decode
+    writes land at positions >= T, always past the last shared full page.
     """
 
     def __init__(
@@ -230,6 +326,7 @@ class PagedBatchingEngine:
         temperature: float = 1.0,
         top_k: int = 0,
         top_p: float = 1.0,
+        prefix_cache: bool = False,
     ):
         assert max_len % page_size == 0, "max_len must be a multiple of page_size"
         self.params = params
@@ -252,8 +349,31 @@ class PagedBatchingEngine:
         self.slot_req: Dict[int, Request] = {}
         self.slot_budget: Dict[int, int] = {}
         self._next_id = 0
+        self.prefix = PrefixPageCache() if prefix_cache else None
+        self.prefix_hit_tokens = 0  # prompt tokens whose prefill was SKIPPED
+        self.prefix_miss_tokens = 0  # prompt tokens actually prefilled
 
     # -- admission ----------------------------------------------------------
+
+    def _alloc(self, n: int) -> Optional[List[int]]:
+        """allocator.alloc with prefix-cache eviction under pressure: cached
+        refcount-0 pages are reclaimed LRU-first until n pages are free."""
+        while self.allocator.available < n and self.prefix is not None:
+            pid = self.prefix.evict_one()
+            if pid is None:
+                break
+            self.allocator.release([pid])
+        return self.allocator.alloc(n)
+
+    def _release_pages(self, pages: List[int]):
+        """Return a finished slot's pages: registered (content-addressed) pages
+        are unpinned into the prefix cache's LRU; plain pages go straight back
+        to the free list."""
+        for pid in pages:
+            if self.prefix is not None and pid in self.prefix.page_hash:
+                self.prefix.unpin(pid)
+            else:
+                self.allocator.release([pid])
 
     def _free_slot(self) -> Optional[int]:
         for b in range(self.slots):
@@ -283,8 +403,26 @@ class PagedBatchingEngine:
         T = len(ids)
         assert T + max_new_tokens < self.max_len
         n_pages = (T + 1 + self.page - 1) // self.page  # covers the first decode write
-        pages = self.allocator.alloc(n_pages)
+
+        # Prefix-cache probe: longest run of already-cached full pages, capped
+        # so at least one prompt token is always recomputed (the sampler needs
+        # the last position's logits — same cap as vLLM's "recompute last block").
+        hashes: List[int] = []
+        hit_pages: List[int] = []
+        if self.prefix is not None:
+            hashes = self.prefix.chain_hashes(ids, self.page)
+            for h in hashes[: (T - 1) // self.page]:
+                pid = self.prefix.lookup(h)
+                if pid is None:
+                    break
+                hit_pages.append(pid)
+        n_hit = len(hit_pages)
+        for pid in hit_pages:  # pin BEFORE allocating so eviction can't take them
+            self.prefix.pin(pid)
+        pages = self._alloc(n_pages - n_hit)
         if pages is None:
+            for pid in hit_pages:
+                self.prefix.unpin(pid)
             return None
         req = Request(ids, max_new_tokens, self._next_id, do_sample=do_sample,
                       temperature=temperature, top_k=top_k, top_p=top_p)
@@ -295,23 +433,44 @@ class PagedBatchingEngine:
         }
 
         # bucketed single-row dense prefill, then page-copy (same prefill graph
-        # as the dense engine: parity by construction)
+        # as the dense engine: parity by construction). On a prefix hit only the
+        # SUFFIX is prefilled: hit pages are gathered into the dense cache
+        # (cache.length = Tc) and `prefill` appends at positions [Tc, T) —
+        # the multi-round append path engine/generate.py:93-117 already honors.
         from mingunivision_tpu.engine.generate import prefill
 
-        Tb = min(self.max_len, -(-T // PREFILL_BUCKET) * PREFILL_BUCKET)
+        Tc = n_hit * self.page  # cached prompt tokens whose prefill is skipped
+        Ts = T - Tc
+        Tb = min(self.max_len, -(-Ts // PREFILL_BUCKET) * PREFILL_BUCKET)
         ids_pad = np.zeros((1, Tb), np.int64)
-        ids_pad[0, :T] = ids
+        ids_pad[0, :Ts] = ids[Tc:]
         cache1 = LLMCache.create(self.cfg, 1, self.max_len, self.state.k_pages.dtype)
+        if n_hit:
+            gids = np.full((self.maxp,), self.scratch_pid, np.int32)
+            gids[:n_hit] = hit_pages
+            ck, cv = _gather_pages(
+                cache1.k, cache1.v, self.state.k_pages, self.state.v_pages,
+                jnp.asarray(gids), jnp.int32(n_hit),
+            )
+            cache1 = LLMCache(ck, cv, jnp.asarray(Tc, jnp.int32))
         mask1 = jnp.zeros((1, self.max_len), bool).at[:, :T].set(True)
         embeds = embed_tokens(self.params, jnp.asarray(ids_pad)).astype(self.state.k_pages.dtype)
         logits, cache1 = prefill(self.params, self.cfg, embeds, cache1, mask1)
         self.key, sub = jax.random.split(self.key)
         first = int(sample_token(logits, sub, **req_sampling)[0])
+        self.prefix_hit_tokens += Tc
+        self.prefix_miss_tokens += Ts
 
         page_ids = np.full((self.maxp,), self.scratch_pid, np.int32)
-        page_ids[: len(pages)] = pages
+        page_ids[:n_hit] = hit_pages
+        page_ids[n_hit : n_hit + len(pages)] = pages
+        # copy only the NEWLY computed chunks into their pages — shared hit
+        # pages already hold identical KV, and rewriting them would race with
+        # other slots reading them this step.
+        copy_ids = page_ids.copy()
+        copy_ids[:n_hit] = self.scratch_pid
         kp, vp = _admit_pages(
-            self.state.k_pages, self.state.v_pages, cache1.k, cache1.v, jnp.asarray(page_ids)
+            self.state.k_pages, self.state.v_pages, cache1.k, cache1.v, jnp.asarray(copy_ids)
         )
         self.state = self.state._replace(
             k_pages=kp,
@@ -320,7 +479,14 @@ class PagedBatchingEngine:
         )
         self.state = _set_slot(self.state, slot, jnp.int32(T), jnp.int32(first), True)
         self.tables[slot] = page_ids
-        self.slot_pages[slot] = list(pages)
+        self.slot_pages[slot] = list(hit_pages) + list(pages)
+        if self.prefix is not None:
+            # content-address the freshly computed full prompt pages so later
+            # requests with the same prefix skip their prefill
+            for i in range(n_hit, len(hashes)):
+                pid = int(page_ids[i])
+                if self.prefix.register(hashes[i], pid):
+                    self.prefix.pin(pid)
         self.slot_lengths[slot] = T
         self.stalled[slot] = False
         req.tokens.append(first)
@@ -335,7 +501,7 @@ class PagedBatchingEngine:
         if req is not None:
             req.done = True
         self.slot_budget.pop(slot, None)
-        self.allocator.release(self.slot_pages.pop(slot, []))
+        self._release_pages(self.slot_pages.pop(slot, []))
         self.tables[slot] = self.scratch_pid
         self.slot_lengths.pop(slot, None)
         self.stalled.pop(slot, None)
@@ -353,7 +519,7 @@ class PagedBatchingEngine:
             need = pos // self.page + 1
             owned = len(self.slot_pages[slot])
             if need > owned:
-                got = self.allocator.alloc(need - owned)
+                got = self._alloc(need - owned)
                 if got is None:
                     if not self.stalled[slot]:
                         self.stalled[slot] = True

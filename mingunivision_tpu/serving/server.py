@@ -245,6 +245,7 @@ class InferenceServer:
         paged_kv: bool = False,
         page_size: int = 64,
         num_pages: Optional[int] = None,
+        prefix_cache: bool = False,
     ):
         """batch_slots > 0 enables the continuous-batching text endpoint
         (/generate_batch) with that many concurrent decode slots;
@@ -254,7 +255,9 @@ class InferenceServer:
         pool to the block-paged engine (engine/paged.py, the vLLM
         PagedAttention analog): KV HBM ∝ tokens in flight, sized by
         num_pages * page_size; exhausted pools stall slots instead of OOMing
-        (single-device tier — unsharded)."""
+        (single-device tier — unsharded). prefix_cache additionally
+        content-addresses full prompt pages so repeated prefixes (shared
+        system prompts) skip their prefill — the vLLM APC analog."""
         self.infer = infer  # a MingUniVisionInfer (holds the default session)
         self.host = host
         self.port = port
@@ -292,6 +295,7 @@ class InferenceServer:
                     page_size=page_size,
                     num_pages=num_pages,
                     dtype=infer.session._dtype,
+                    prefix_cache=prefix_cache,
                 )
             else:
                 from mingunivision_tpu.engine.batch_engine import ContinuousBatchingEngine

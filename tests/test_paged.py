@@ -146,6 +146,132 @@ class TestPageLifecycle:
         assert r1.tokens == rs.tokens  # stall/resume didn't perturb the stream
 
 
+class TestPrefixCache:
+    """Automatic prefix caching (vLLM APC analog): compute skip, sharing
+    safety, refcounted retention, eviction under pressure."""
+
+    def _engine(self, llm, **kw):
+        cfg, params = llm
+        kw.setdefault("slots", 3)
+        kw.setdefault("max_len", 256)
+        kw.setdefault("page_size", 32)
+        kw.setdefault("dtype", jnp.float32)
+        return PagedBatchingEngine(params, cfg, prefix_cache=True, **kw)
+
+    def test_hit_tokens_match_cold_run(self, llm):
+        """Same prompt twice: the second admission must skip the cached full
+        pages AND emit the same greedy tokens as the cold run."""
+        cfg, params = llm
+        rng = np.random.default_rng(10)
+        ids = rng.integers(0, 400, (70,))  # 2 full pages + partial (page 32)
+        eng = self._engine(llm, num_pages=12)
+        r1 = eng.add_request(ids, 8)
+        eng.run_to_completion()
+        assert eng.prefix_hit_tokens == 0 and eng.prefix.cached_pages == 2
+        r2 = eng.add_request(ids, 8)
+        eng.run_to_completion()
+        assert eng.prefix_hit_tokens == 64  # both full pages reused
+        assert r2.tokens == r1.tokens
+
+    def test_partial_prefix_hit(self, llm):
+        """A prompt sharing only the first page reuses exactly that page."""
+        cfg, params = llm
+        rng = np.random.default_rng(11)
+        a = rng.integers(0, 400, (70,))
+        b = np.concatenate([a[:32], rng.integers(0, 400, (38,))])
+        eng = self._engine(llm, num_pages=12)
+        eng.add_request(a, 4)
+        eng.run_to_completion()
+        rb = eng.add_request(b, 4)
+        eng.run_to_completion()
+        assert eng.prefix_hit_tokens == 32
+        # oracle: same request in a prefix-cache-free engine
+        solo = PagedBatchingEngine(params, cfg, slots=1, max_len=256, page_size=32,
+                                   num_pages=12, dtype=jnp.float32)
+        rs = solo.add_request(b, 4)
+        solo.run_to_completion()
+        assert rb.tokens == rs.tokens
+
+    def test_fully_paged_prompt_recomputes_last_page(self, llm):
+        """T a multiple of page with every page cached: the last page must be
+        recomputed (the sampler needs the final position's logits)."""
+        cfg, params = llm
+        rng = np.random.default_rng(12)
+        ids = rng.integers(0, 400, (64,))  # exactly 2 pages
+        eng = self._engine(llm, num_pages=12)
+        r1 = eng.add_request(ids, 4)
+        eng.run_to_completion()
+        r2 = eng.add_request(ids, 4)
+        eng.run_to_completion()
+        assert eng.prefix_hit_tokens == 32  # only page 0 skipped
+        assert r2.tokens == r1.tokens
+
+    def test_concurrent_sharing_is_read_only(self, llm):
+        """Two live slots sharing prefix pages with different suffixes: both
+        match their solo oracles (shared pages never corrupted by decode)."""
+        cfg, params = llm
+        rng = np.random.default_rng(13)
+        common = rng.integers(0, 400, (32,))
+        a = np.concatenate([common, rng.integers(0, 400, (10,))])
+        b = np.concatenate([common, rng.integers(0, 400, (20,))])
+
+        def solo(ids):
+            e = PagedBatchingEngine(params, cfg, slots=1, max_len=256, page_size=32,
+                                    num_pages=12, dtype=jnp.float32, seed=3)
+            r = e.add_request(ids, 8)
+            e.run_to_completion()
+            return r.tokens
+
+        want_a, want_b = solo(a), solo(b)
+        eng = self._engine(llm, num_pages=12, seed=3)
+        ra = eng.add_request(a, 8)
+        rb = eng.add_request(b, 8)  # admitted while ra is mid-flight
+        assert eng.prefix_hit_tokens == 32
+        assert eng.prefix.ref[eng.slot_pages[0][0]] == 2  # page 0 shared
+        eng.run_to_completion()
+        assert ra.tokens == want_a and rb.tokens == want_b
+
+    def test_cached_pages_evicted_under_pressure(self, llm):
+        """Refcount-0 cached pages are reclaimed LRU-first when the free list
+        runs dry — admission succeeds where a retained-forever policy would
+        reject, and correctness is unaffected."""
+        cfg, params = llm
+        rng = np.random.default_rng(14)
+        eng = self._engine(llm, num_pages=4, max_len=128)
+        r1 = eng.add_request(rng.integers(0, 400, (70,)), 4)  # 3 pages, 2 cached after
+        assert r1 is not None
+        eng.run_to_completion()
+        assert eng.prefix.cached_pages == 2 and eng.allocator.available == 2
+        old_hashes = set(eng.prefix.hash_to_page)
+        # needs 4 pages: must evict both cached pages to fit
+        r2 = eng.add_request(rng.integers(0, 400, (100,)), 4)
+        assert r2 is not None
+        assert not old_hashes & set(eng.prefix.hash_to_page)  # both evicted
+        eng.run_to_completion()
+        assert r2.done
+
+    def test_hit_respects_per_request_sampling(self, llm):
+        """A sampled request over a cached prefix draws from the same stream
+        as its cold twin (prefix reuse must not perturb sampling)."""
+        cfg, params = llm
+        rng = np.random.default_rng(15)
+        ids = rng.integers(0, 400, (40,))
+        kw = dict(do_sample=True, temperature=0.8, top_k=7)
+        eng = self._engine(llm, num_pages=12, seed=11)
+        r1 = eng.add_request(ids, 6, **kw)
+        eng.run_to_completion()
+        cold = PagedBatchingEngine(params, cfg, slots=3, max_len=256, page_size=32,
+                                   num_pages=12, dtype=jnp.float32, seed=11)
+        c1 = cold.add_request(ids, 6, **kw)
+        cold.run_to_completion()
+        c2 = cold.add_request(ids, 6, **kw)
+        cold.run_to_completion()
+        r2 = eng.add_request(ids, 6, **kw)  # hit
+        eng.run_to_completion()
+        assert r1.tokens == c1.tokens
+        assert r2.tokens == c2.tokens  # same key schedule, hit == cold
+
+
 class TestPagedAttentionKernel:
     def _setup(self, key, B=3, Hq=4, Hkv=2, D=8, page=16, P=6, maxp=4):
         ks = jax.random.split(key, 4)
