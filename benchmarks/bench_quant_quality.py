@@ -1,0 +1,121 @@
+"""End-to-end quantization QUALITY bound for the headline int4 T2I tier
+(VERDICT r3 weak #6): the same synthetic bf16 weights are quantized to
+int4-linear (the integer-MXU serving tier) and int4-NF4 (the reference's exact
+bnb numerics, mingunivisioninfer.py:47-56), and all three engines run the SAME
+image generation (same start embeds, same RNG keys, greedy semantic rollout).
+
+Measured per engine pair:
+  - sem cosine / rel-L2 between the generated semantic-token trajectories
+    (the AR loop's own outputs — LLM + vis_head + 16-step RF sampler)
+  - pixel PSNR between the decoded images (both decoded through the SAME bf16
+    MingTok pixel decoder, so the delta isolates the quantized LLM+RF stack)
+
+No released checkpoint exists in this image, so weights are synthetic
+(N(0, 0.02) — the regime NF4's codebook is optimized for); the resulting bound
+is a property of the ARCHITECTURE + quantizer, not of one checkpoint.
+
+Usage: python benchmarks/bench_quant_quality.py [--layers 28] [--tokens 64]
+Prints JSON lines; the summary table lives in BENCHMARKS.md "int4 quality".
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=28)
+    ap.add_argument("--tokens", type=int, default=64)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu-tiny", action="store_true", help="tiny CPU smoke config")
+    args = ap.parse_args()
+
+    from mingunivision_tpu.config import (
+        BailingMoeConfig,
+        ImageGenConfig,
+        MingUniVisionConfig,
+        tiny_llm_config,
+        tiny_mingtok_config,
+        tiny_rf_config,
+    )
+    from mingunivision_tpu.engine.generate import generate_image_tokens, init_linear_proj_params
+    from mingunivision_tpu.models.bailing_moe import LLMCache, embed_tokens, init_bailing_moe_params
+    from mingunivision_tpu.models.mingtok import init_mingtok_params, mingtok_pixel_decoder
+    from mingunivision_tpu.models.rf_head import init_rf_head_params, init_vis_head_params
+    from mingunivision_tpu.utils.quantize import quantize_tree
+
+    if args.cpu_tiny:
+        jax.config.update("jax_platforms", "cpu")
+        llm_cfg = tiny_llm_config()
+        mm = MingUniVisionConfig(mingtok=tiny_mingtok_config(), llm=llm_cfg, rf_head=tiny_rf_config(), mlp_depth=2)
+    else:
+        llm_cfg = BailingMoeConfig(num_hidden_layers=args.layers)
+        mm = MingUniVisionConfig(llm=llm_cfg)
+    dtype = jnp.bfloat16
+    ks = jax.random.split(jax.random.PRNGKey(args.seed), 5)
+    base = {
+        "llm": init_bailing_moe_params(ks[0], llm_cfg, dtype=dtype),
+        "mingtok": init_mingtok_params(ks[1], mm.mingtok, dtype=dtype),
+        "rf_head": init_rf_head_params(ks[2], mm.rf_head, dtype=dtype),
+        "vis_head": init_vis_head_params(ks[3], llm_cfg.hidden_size, mm.rf_head.z_channels, dtype=dtype),
+        "linear_proj": init_linear_proj_params(ks[4], mm.mingtok.feature_dim, llm_cfg.hidden_size, mm.mlp_depth, dtype=dtype),
+    }
+
+    def tier(scheme):
+        p = dict(base)
+        p["llm"] = quantize_tree(base["llm"], bits=4, scheme=scheme)
+        p["rf_head"] = quantize_tree(base["rf_head"], bits=4, scheme=scheme)
+        return p
+
+    igen = ImageGenConfig(num_image_tokens=args.tokens)
+    Smax = 512
+    start = embed_tokens(base["llm"], jnp.asarray([[1]])).astype(dtype)
+
+    def run(p):
+        cache = LLMCache.create(llm_cfg, 3, Smax, dtype)
+        cache = LLMCache(cache.k, cache.v, jnp.int32(16))
+        masks = jnp.zeros((3, Smax), bool).at[:, :16].set(True)
+        res = generate_image_tokens(
+            p, llm_cfg, mm.mingtok, mm.rf_head, igen, start, cache, masks,
+            jax.random.PRNGKey(args.seed + 1), cfg_rows=3,
+        )
+        sem = np.asarray(res.sem_tokens, np.float32)  # (N, feat)
+        img = np.asarray(
+            mingtok_pixel_decoder(base["mingtok"], mm.mingtok, jnp.asarray(sem, jnp.float32)[None]),
+            np.float32,
+        )
+        return sem, img
+
+    t0 = time.time()
+    results = {}
+    for name, p in (("bf16", base), ("int4_linear", tier("linear")), ("int4_nf4", tier("nf4"))):
+        results[name] = run(p)
+        print(json.dumps({"tier": name, "elapsed_s": round(time.time() - t0, 1)}), flush=True)
+
+    def compare(a, b):
+        sa, ia = results[a]
+        sb, ib = results[b]
+        cos = float(np.sum(sa * sb) / (np.linalg.norm(sa) * np.linalg.norm(sb) + 1e-9))
+        rel = float(np.linalg.norm(sb - sa) / (np.linalg.norm(sa) + 1e-9))
+        mse = float(((ia - ib) ** 2).mean())
+        psnr = float(10 * np.log10(4.0 / max(mse, 1e-12)))  # [-1,1] range -> peak 2
+        return {"pair": f"{a}_vs_{b}", "sem_cosine": round(cos, 4), "sem_rel_l2": round(rel, 4), "pixel_psnr_db": round(psnr, 2)}
+
+    for pair in (("bf16", "int4_linear"), ("bf16", "int4_nf4"), ("int4_nf4", "int4_linear")):
+        print(json.dumps(compare(*pair)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -110,7 +110,13 @@ class MingUniVisionInfer:
             "vis_head": vis_head_params_from_torch(sub("model."), root="vis_head"),
             "linear_proj": linear_proj_params_from_torch(sd, self.config.mlp_depth, root="linear_proj"),
         }
-        quant_bits = {"int8": 8, "int4": 4}.get(self.runtime.param_dtype)
+        _TIER_BITS = {"int8": 8, "int4": 4, "int4-nf4": 4}
+        quant_bits = _TIER_BITS.get(self.runtime.param_dtype)
+        # "int4-nf4" = the reference's EXACT int4 numerics (bnb NormalFloat4
+        # codebook, mingunivisioninfer.py:47-56) on the XLA dequant paths;
+        # plain "int4" = linear-symmetric, integer-MXU kernel tier (faster —
+        # deviation between the two is bounded in BENCHMARKS "int4 quality").
+        scheme = "nf4" if str(self.runtime.param_dtype).endswith("nf4") else "linear"
         dtype = jnp.float32 if self.runtime.param_dtype == "float32" else jnp.bfloat16
         if self.mesh is None:
             params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
@@ -120,9 +126,11 @@ class MingUniVisionInfer:
                 # MingTok stays bf16 (recon parity)
                 from mingunivision_tpu.utils.quantize import quantize_tree
 
-                rf_bits = {"int8": 8, "int4": 4}.get(self.runtime.rf_param_dtype or self.runtime.param_dtype, quant_bits)
-                params["llm"] = quantize_tree(params["llm"], bits=quant_bits)
-                params["rf_head"] = quantize_tree(params["rf_head"], bits=rf_bits)
+                rf_tier = self.runtime.rf_param_dtype or self.runtime.param_dtype
+                rf_bits = _TIER_BITS.get(rf_tier, quant_bits)
+                rf_scheme = "nf4" if str(rf_tier).endswith("nf4") else "linear"
+                params["llm"] = quantize_tree(params["llm"], bits=quant_bits, scheme=scheme)
+                params["rf_head"] = quantize_tree(params["rf_head"], bits=rf_bits, scheme=rf_scheme)
         else:
             # sharded load: keep leaves on the HOST (ml_dtypes bf16 numpy) so the
             # 33 GB bf16 16B tree never materializes on one 16 GB chip — __init__'s
@@ -139,7 +147,9 @@ class MingUniVisionInfer:
 
                 # same tier resolution as the unsharded branch: rf_param_dtype
                 # may pin the RF head to a different width than the LLM
-                rf_bits = {"int8": 8, "int4": 4}.get(self.runtime.rf_param_dtype or self.runtime.param_dtype, quant_bits)
+                rf_tier = self.runtime.rf_param_dtype or self.runtime.param_dtype
+                rf_bits = _TIER_BITS.get(rf_tier, quant_bits)
+                rf_scheme = "nf4" if str(rf_tier).endswith("nf4") else "linear"
                 try:
                     cpus = jax.local_devices(backend="cpu") if jax.default_backend() != "cpu" else []
                 except RuntimeError:
@@ -149,8 +159,8 @@ class MingUniVisionInfer:
                 # Pallas kernels stay eligible under the shard_map wrappers
                 mp = self.mesh.shape.get("model", 1)
                 with ctx:  # quantize on host, off the accelerator
-                    params["llm"] = quantize_tree(params["llm"], bits=quant_bits, model_shards=mp)
-                    params["rf_head"] = quantize_tree(params["rf_head"], bits=rf_bits)
+                    params["llm"] = quantize_tree(params["llm"], bits=quant_bits, model_shards=mp, scheme=scheme)
+                    params["rf_head"] = quantize_tree(params["rf_head"], bits=rf_bits, scheme=rf_scheme)
         if tokenizer is None:
             try:
                 from transformers import AutoTokenizer

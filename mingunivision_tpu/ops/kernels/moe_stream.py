@@ -236,7 +236,13 @@ INT_DOT_STREAM_INT8 = False
 def _is_q(w, bits: int) -> bool:
     from mingunivision_tpu.utils.quantize import QuantizedArray
 
-    return isinstance(w, QuantizedArray) and w.bits == bits
+    # NF4 tables (nonlinear codebook) can't ride the offset-binary dequant
+    # in-kernel; they take the XLA dequant paths (utils/quantize.py docstring)
+    return (
+        isinstance(w, QuantizedArray)
+        and w.bits == bits
+        and getattr(w, "scheme", "linear") == "linear"
+    )
 
 
 def _is_q8(w) -> bool:

@@ -734,6 +734,8 @@ def swiglu_gmm_supported(experts, x_flat) -> bool:
     if all(isinstance(w, jnp.ndarray) for w in ws):
         E, h, m = ws[0].shape
         return h % 128 == 0 and m % 128 == 0
+    if any(isinstance(w, QuantizedArray) and getattr(w, "scheme", "linear") != "linear" for w in ws):
+        return False  # NF4 codebook tables ride the XLA dequant paths
     for bits in (8, 4):
         if all(isinstance(w, QuantizedArray) and w.bits == bits for w in ws):
             if bits == 4 and any(getattr(w, "groups", 1) != 1 for w in ws):

@@ -437,6 +437,8 @@ def rf_mlp_supported(blocks) -> bool:
         return False
     if w12.bits != w3.bits or w12.bits not in (8, 4):
         return False
+    if getattr(w12, "scheme", "linear") != "linear" or getattr(w3, "scheme", "linear") != "linear":
+        return False  # NF4 codebook tables ride the XLA dequant paths
     L, wq, h2 = w12.q.shape
     w = wq * 2 if w12.bits == 4 else wq
     H = h2 // 2

@@ -85,6 +85,8 @@ def sharded_stream_supported(mesh: Mesh, experts, x_flat, topk_idx) -> bool:
     ws = (experts["gate_proj"], experts["up_proj"], experts["down_proj"])
     ep = mesh.shape.get("expert", 1)
     mp = mesh.shape.get("model", 1)
+    if any(isinstance(w, QuantizedArray) and getattr(w, "scheme", "linear") != "linear" for w in ws):
+        return False  # NF4 codebook tables ride the XLA dequant paths
     if any(isinstance(w, QuantizedArray) and w.bits == 4 for w in ws):
         if not all(isinstance(w, QuantizedArray) and w.bits == 4 for w in ws):
             return False
@@ -224,6 +226,8 @@ def sharded_swiglu_gmm_supported(mesh: Mesh, experts, x_flat, topk_idx) -> bool:
     E, m = ga.shape[-3], ga.shape[-1]
     if E % ep or m % mp:
         return False
+    if any(isinstance(w, QuantizedArray) and getattr(w, "scheme", "linear") != "linear" for w in ws):
+        return False  # NF4 codebook tables ride the XLA dequant paths
     if any(isinstance(w, QuantizedArray) and w.bits == 4 for w in ws):
         if not all(isinstance(w, QuantizedArray) and w.bits == 4 for w in ws):
             return False

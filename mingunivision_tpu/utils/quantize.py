@@ -1,10 +1,22 @@
-"""Weight-only int8 quantization.
+"""Weight-only int8/int4 quantization.
 
 Reference tiers (mingunivisioninfer.py:46-78, README VRAM 44/22/14 GB): int8 via
 optimum-quanto, int4 via bitsandbytes NF4. TPU equivalent: symmetric per-channel
 int8 weights dequantized inside the matmul read — XLA fuses convert+scale into
 the weight stream, so HBM traffic (the decode bottleneck) halves while compute
 stays bf16 on the MXU. int4 is packed two-nibbles-per-byte with the same scheme.
+
+int4 ships TWO numerics schemes:
+  - "linear" (default): symmetric offset-binary in [-7, 7] — the layout the
+    integer-MXU Pallas kernels consume (serving speed tier).
+  - "nf4": the bitsandbytes NormalFloat4 nonlinear codebook the reference's
+    int4 tier actually uses (mingunivisioninfer.py:47-56) — 16 quantiles of a
+    standard normal, looked up at dequant and scaled by the per-channel absmax.
+    Granularity deviation vs bnb: per-OUTPUT-CHANNEL absmax instead of flat
+    block-64, matching this repo's scale layout (measured lower RMS error on
+    normal weights than the linear scheme either way — tests/test_quantize.py).
+    NF4 tables ride the dequant-fused XLA paths; the integer-dot kernels
+    require "linear" and their `*_supported` gates check the scheme.
 
 `QuantizedArray` is a pytree leaf-pair; every weight consumer goes through
 `dequant_weight` / `take_weight` so quantized and full-precision params are
@@ -34,24 +46,28 @@ class QuantizedArray:
     is itself a valid single-group packed table, so the Pallas int4 kernels run
     unchanged on each device's local shard (parallel/moe_shard.py)."""
 
-    __slots__ = ("q", "s", "bits", "groups")
+    __slots__ = ("q", "s", "bits", "groups", "scheme")
 
-    def __init__(self, q, s, bits: int = 8, groups: int = 1):
+    def __init__(self, q, s, bits: int = 8, groups: int = 1, scheme: str = "linear"):
         self.q = q
         self.s = s
         self.bits = int(bits) if not hasattr(bits, "dtype") else int(bits)
         self.groups = int(groups)
+        self.scheme = str(scheme)
 
     def tree_flatten(self):
-        return (self.q, self.s), (self.bits, self.groups)
+        return (self.q, self.s), (self.bits, self.groups, self.scheme)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         if isinstance(aux, tuple):
-            bits, groups = aux
+            if len(aux) == 3:
+                bits, groups, scheme = aux
+            else:  # pre-`scheme` layout
+                (bits, groups), scheme = aux, "linear"
         else:  # aux written by the pre-`groups` layout (old checkpoints)
-            bits, groups = aux, 1
-        return cls(children[0], children[1], bits, groups)
+            bits, groups, scheme = aux, 1, "linear"
+        return cls(children[0], children[1], bits, groups, scheme)
 
     @property
     def shape(self):
@@ -72,9 +88,30 @@ def _scale_axes(ndim: int):
     return ndim - 2
 
 
-def quantize_array(w, bits: int = 8, groups: int = 1) -> QuantizedArray:
-    """Symmetric per-channel quantization; int4 packs two nibbles per byte along
-    the contraction axis (offset-binary, values in [-7, 7]).
+# The 16 NormalFloat4 code values (quantiles of N(0,1) normalized to [-1, 1];
+# the bitsandbytes/QLoRA NF4 data type the reference's int4 tier loads with,
+# mingunivisioninfer.py:47-56).
+NF4_CODE = np.asarray(
+    [
+        -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+        -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+        0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+        0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+        0.7229568362236023, 1.0,
+    ],
+    np.float32,
+)
+_NF4_MID = (NF4_CODE[1:] + NF4_CODE[:-1]) / 2.0  # bucket boundaries for encode
+
+
+def quantize_array(w, bits: int = 8, groups: int = 1, scheme: str = "linear") -> QuantizedArray:
+    """Per-channel quantization; int4 packs two nibbles per byte along the
+    contraction axis.
+
+    scheme="linear" (default): symmetric offset-binary, values in [-7, 7] —
+    the layout the integer-MXU kernels consume.
+    scheme="nf4" (int4 only): nibble = index into the NF4 codebook, scale =
+    per-channel absmax (codebook max is 1.0) — the reference's bnb-NF4 numerics.
 
     int4 packing pairs element i with element i + n/2 ("split-halves"): the low
     nibble plane IS rows [0, n/2), the high plane rows [n/2, n) — unpacking is a
@@ -87,14 +124,20 @@ def quantize_array(w, bits: int = 8, groups: int = 1) -> QuantizedArray:
     w = jnp.asarray(w, jnp.float32)
     ax = _scale_axes(w.ndim)
     amax = jnp.max(jnp.abs(w), axis=ax, keepdims=True)
-    qmax = 127.0 if bits == 8 else 7.0
-    s = jnp.maximum(amax / qmax, 1e-8)
-    q = jnp.clip(jnp.round(w / s), -qmax, qmax).astype(jnp.int8)
-    if bits != 4:
-        return QuantizedArray(q, s.astype(jnp.float32), bits)
+    if scheme == "nf4":
+        assert bits == 4, "nf4 is a 4-bit scheme"
+        s = jnp.maximum(amax, 1e-8)
+        # nearest-codebook-entry index via the midpoint boundaries
+        qo = jnp.searchsorted(jnp.asarray(_NF4_MID), (w / s)).astype(jnp.uint8)  # [0, 15]
+    else:
+        qmax = 127.0 if bits == 8 else 7.0
+        s = jnp.maximum(amax / qmax, 1e-8)
+        q = jnp.clip(jnp.round(w / s), -qmax, qmax).astype(jnp.int8)
+        if bits != 4:
+            return QuantizedArray(q, s.astype(jnp.float32), bits)
+        qo = (q + 8).astype(jnp.uint8)  # [1, 15]
     n = w.shape[ax]
     assert n % (2 * groups) == 0, (n, groups)
-    qo = (q + 8).astype(jnp.uint8)  # [1, 15]
     blk = n // groups
     packed = []
     for g in range(groups):
@@ -102,7 +145,7 @@ def quantize_array(w, bits: int = 8, groups: int = 1) -> QuantizedArray:
         hi = jnp.take(qo, jnp.arange(g * blk + blk // 2, (g + 1) * blk), axis=ax)
         packed.append(lo | (hi << 4))
     q = jnp.concatenate(packed, axis=ax).astype(jnp.uint8) if groups > 1 else packed[0].astype(jnp.uint8)
-    return QuantizedArray(q, s.astype(jnp.float32), bits, groups)
+    return QuantizedArray(q, s.astype(jnp.float32), bits, groups, scheme)
 
 
 def dequant_weight(w, dtype):
@@ -110,8 +153,13 @@ def dequant_weight(w, dtype):
     if isinstance(w, QuantizedArray):
         if w.bits == 4:
             ax = _scale_axes(w.q.ndim)
-            lo = (w.q & 0xF).astype(jnp.int8) - 8
-            hi = (w.q >> 4).astype(jnp.int8) - 8
+            nf4 = getattr(w, "scheme", "linear") == "nf4"
+            if nf4:
+                lo = (w.q & 0xF).astype(jnp.int32)
+                hi = (w.q >> 4).astype(jnp.int32)
+            else:
+                lo = (w.q & 0xF).astype(jnp.int8) - 8
+                hi = (w.q >> 4).astype(jnp.int8) - 8
             G = w.groups
             if G == 1:
                 # split-halves: low plane is the first half, high the second
@@ -125,6 +173,9 @@ def dequant_weight(w, dtype):
                     parts.append(jnp.take(lo, idx, axis=ax))
                     parts.append(jnp.take(hi, idx, axis=ax))
                 q = jnp.concatenate(parts, axis=ax)
+            if nf4:
+                vals = jnp.take(jnp.asarray(NF4_CODE), q)  # codebook lookup
+                return (vals * w.s).astype(dtype)
             return (q.astype(jnp.float32) * w.s).astype(dtype)
         return (w.q.astype(jnp.float32) * w.s).astype(dtype)
     return w.astype(dtype)
@@ -138,14 +189,14 @@ def take_weight(w, idx, axis: int = 0):
     """
     if isinstance(w, QuantizedArray):
         s = w.s if w.s.shape[axis] == 1 else jnp.take(w.s, idx, axis=axis)
-        return QuantizedArray(jnp.take(w.q, idx, axis=axis), s, w.bits, w.groups)
+        return QuantizedArray(jnp.take(w.q, idx, axis=axis), s, w.bits, w.groups, getattr(w, "scheme", "linear"))
     return jnp.take(w, idx, axis=axis)
 
 
 _QUANT_MIN_SIZE = 1 << 16  # don't quantize small tensors (norms, biases, gates)
 
 
-def quantize_tree(params, bits: int = 8, min_size: int = _QUANT_MIN_SIZE, model_shards: int = 1):
+def quantize_tree(params, bits: int = 8, min_size: int = _QUANT_MIN_SIZE, model_shards: int = 1, scheme: str = "linear"):
     """Quantize every large >=2-D floating leaf of a param pytree.
 
     Router gates, norms and biases stay fp (routing numerics are fp32-sensitive,
@@ -187,7 +238,7 @@ def quantize_tree(params, bits: int = 8, min_size: int = _QUANT_MIN_SIZE, model_
             n = x.shape[_scale_axes(x.ndim)]
             if n % (2 * model_shards) == 0:
                 groups = model_shards
-        return quantize_array(x, bits, groups=groups)
+        return quantize_array(x, bits, groups=groups, scheme=scheme if bits == 4 else "linear")
 
     return jax.tree_util.tree_map_with_path(visit, params)
 

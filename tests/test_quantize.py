@@ -218,3 +218,77 @@ class TestInt4SamplerQualityBound:
         rel = np.linalg.norm(q - ref) / (np.linalg.norm(ref) + 1e-9)
         assert rel < 0.15, f"int4 16-step latent diverged {rel:.3f} (>15%)"
         assert np.isfinite(q).all()
+
+
+class TestNF4:
+    """NF4 codebook numerics (the reference's bnb int4 tier,
+    mingunivisioninfer.py:47-56): nearest-quantile encode, exact codebook
+    dequant, lower error than linear-symmetric on normal weights, and kernel
+    gates that route NF4 tables to the XLA dequant paths."""
+
+    def test_dequant_matches_nearest_codebook_oracle(self):
+        from mingunivision_tpu.utils.quantize import NF4_CODE
+
+        rng = np.random.default_rng(0)
+        w = rng.normal(0, 0.02, (64, 48)).astype(np.float32)
+        qa = quantize_array(w, 4, scheme="nf4")
+        got = np.asarray(dequant_weight(qa, jnp.float32))
+        s = np.abs(w).max(axis=0, keepdims=True)
+        idx = np.abs((w / s)[..., None] - np.asarray(NF4_CODE)[None, None, :]).argmin(-1)
+        np.testing.assert_allclose(got, np.asarray(NF4_CODE)[idx] * s, atol=1e-7)
+
+    def test_nf4_beats_linear_on_normal_weights(self):
+        rng = np.random.default_rng(1)
+        w = rng.normal(0, 0.05, (512, 256)).astype(np.float32)
+        def rel_rms(qa):
+            d = np.asarray(dequant_weight(qa, jnp.float32))
+            return np.sqrt(((d - w) ** 2).mean()) / np.sqrt((w ** 2).mean())
+        assert rel_rms(quantize_array(w, 4, scheme="nf4")) < rel_rms(quantize_array(w, 4))
+
+    def test_grouped_nf4_matches_single_group(self):
+        rng = np.random.default_rng(2)
+        w = rng.normal(0, 0.02, (8, 64, 32)).astype(np.float32)
+        a = np.asarray(dequant_weight(quantize_array(w, 4, scheme="nf4"), jnp.float32))
+        b = np.asarray(dequant_weight(quantize_array(w, 4, groups=2, scheme="nf4"), jnp.float32))
+        np.testing.assert_allclose(a, b, atol=1e-7)
+
+    def test_take_weight_preserves_scheme(self):
+        from mingunivision_tpu.utils.quantize import take_weight
+
+        rng = np.random.default_rng(3)
+        w = rng.normal(0, 0.02, (8, 64, 32)).astype(np.float32)
+        qa = quantize_array(w, 4, scheme="nf4")
+        sub = take_weight(qa, jnp.asarray([3, 1]))
+        assert sub.scheme == "nf4"
+        got = np.asarray(dequant_weight(sub, jnp.float32))
+        want = np.asarray(dequant_weight(qa, jnp.float32))[[3, 1]]
+        np.testing.assert_allclose(got, want, atol=1e-7)
+
+    def test_kernel_gates_reject_nf4(self):
+        from mingunivision_tpu.ops.kernels.moe_stream import stream_supported
+        from mingunivision_tpu.ops.kernels.moe_swiglu_gmm import swiglu_gmm_supported
+
+        rng = np.random.default_rng(4)
+        experts = {
+            k: quantize_array(rng.normal(0, 0.02, (4, 256, 128) if k != "down_proj" else (4, 128, 256)).astype(np.float32), 4, scheme="nf4")
+            for k in ("gate_proj", "up_proj", "down_proj")
+        }
+        x = jnp.zeros((2, 256), jnp.bfloat16)
+        idx = jnp.zeros((2, 2), jnp.int32)
+        assert not swiglu_gmm_supported(experts, x)
+        assert not stream_supported(experts, x, idx)
+
+    def test_nf4_llm_forward_close_to_fp32(self):
+        cfg = tiny_llm_config()
+        params = init_bailing_moe_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        qparams = quantize_tree(params, bits=4, min_size=1024, scheme="nf4")
+        ids = np.asarray([[5, 9, 22, 301, 7]])
+        def fwd(p):
+            cache = LLMCache.create(cfg, 1, 16, jnp.float32)
+            mask = jnp.zeros((1, 16), bool).at[:, :5].set(True)
+            x = embed_tokens(p, jnp.asarray(ids)).astype(jnp.float32)
+            h, _ = bailing_forward(p, cfg, x, cache, mask)
+            return np.asarray(compute_logits(p, cfg, h))
+        ref, got = fwd(params), fwd(qparams)
+        rel = np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-9)
+        assert np.isfinite(got).all() and rel < 0.35, rel
