@@ -86,7 +86,7 @@ class BatchState(NamedTuple):
         )
 
 
-def pooled_forward(params, cfg: BailingMoeConfig, x, k, v, mask, write_pos, active, positions=None):
+def pooled_forward(params, cfg: BailingMoeConfig, x, k, v, mask, write_pos, active, positions=None, lora_bank=None, lora_ids=None):
     """One single-token LLM forward over pool rows with PER-ROW KV positions.
 
     The counterpart of `bailing_forward` for continuous-batching pools, where
@@ -112,11 +112,13 @@ def pooled_forward(params, cfg: BailingMoeConfig, x, k, v, mask, write_pos, acti
     experts_stacked = layers["mlp"]["experts"]
     scanned = {**layers, "mlp": {k: v for k, v in layers["mlp"].items() if k != "experts"}}
 
+    from mingunivision_tpu.models.bailing_moe import _dense_lora
+
     def layer(carry, inp):
         h = carry
-        p, layer_idx, kc, vc = inp
+        p, layer_idx, kc, vc, lora = inp
         hn = rms_norm(h, p["input_layernorm"]["w"], eps=cfg.rms_norm_eps)
-        qkv = dense(hn, p["attention"]["query_key_value"]).reshape(B, 1, Hq + 2 * Hkv, D)
+        qkv = _dense_lora(hn, p["attention"]["query_key_value"], lora, "query_key_value", lora_ids).reshape(B, 1, Hq + 2 * Hkv, D)
         q, kn, vn = jnp.split(qkv, [Hq, Hq + Hkv], axis=2)
         q, kn = apply_rope(q, kn, cos, sin)
         # head-major per-row write: kc (B, Hkv, S, D), new kv kn[:, 0] (B, Hkv, D)
@@ -139,15 +141,15 @@ def pooled_forward(params, cfg: BailingMoeConfig, x, k, v, mask, write_pos, acti
             a = pallas_decode_attention(q, kc, vc, mask, scale=D**-0.5, kv_head_major=True)
         else:
             a = mha(q, kc, vc, mask=mask[:, None, None, :], scale=D**-0.5, kv_head_major=True)
-        h = h + dense(a.reshape(B, 1, Hq * D), p["attention"]["dense"])
+        h = h + _dense_lora(a.reshape(B, 1, Hq * D), p["attention"]["dense"], lora, "dense", lora_ids)
         hn = rms_norm(h, p["post_attention_layernorm"]["w"], eps=cfg.rms_norm_eps)
         from mingunivision_tpu.models.bailing_moe import moe_block_apply
 
-        h = h + moe_block_apply(p["mlp"], cfg, hn, experts_stacked=experts_stacked, layer_idx=layer_idx)
+        h = h + moe_block_apply(p["mlp"], cfg, hn, experts_stacked=experts_stacked, layer_idx=layer_idx, lora=lora, lora_ids=lora_ids)
         return h, (kc, vc)
 
     layer_ids = jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)
-    h, (nk, nv) = lax.scan(layer, x, (scanned, layer_ids, k, v))
+    h, (nk, nv) = lax.scan(layer, x, (scanned, layer_ids, k, v, lora_bank))
     return rms_norm(h, params["norm"]["w"], eps=cfg.rms_norm_eps), nk, nv
 
 
@@ -157,17 +159,22 @@ def batched_decode_step(
     cfg: BailingMoeConfig,
     state: BatchState,
     key,
+    lora_bank=None,
+    lora_ids=None,
 ):
     """One decode step for every active slot (inactive slots compute but are
     masked from state updates). Each slot samples with ITS OWN params
-    (state.sampling). Returns (new_state, sampled (B,) int32)."""
+    (state.sampling). Returns (new_state, sampled (B,) int32).
+
+    lora_bank/lora_ids: optional multi-LoRA bank (lora.py); lora_ids (B,)
+    selects each slot's adapter row (0 = null)."""
     B = state.cur.shape[0]
     rows = jnp.arange(B)
 
     # mark the fed token's position for active slots
     mask = state.mask.at[rows, state.lengths].set(jnp.logical_or(state.mask[rows, state.lengths], state.active))
     x = embed_tokens(params, state.cur[:, None]).astype(state.k.dtype)
-    h, nk, nv = pooled_forward(params, cfg, x, state.k, state.v, mask, state.lengths, state.active)
+    h, nk, nv = pooled_forward(params, cfg, x, state.k, state.v, mask, state.lengths, state.active, lora_bank=lora_bank, lora_ids=lora_ids)
     from mingunivision_tpu.models.bailing_moe import compute_logits as _logits
 
     logits = _logits(params, cfg, h)[:, -1]
@@ -198,6 +205,7 @@ class Request:
     temperature: Optional[float] = None
     top_k: Optional[int] = None
     top_p: Optional[float] = None
+    lora_id: int = 0  # bank row (0 = null adapter / base model)
 
 
 PREFILL_BUCKET = 64  # admission prompts right-pad to multiples of this
@@ -225,12 +233,24 @@ class ContinuousBatchingEngine:
         top_k: int = 0,
         top_p: float = 1.0,
         mesh=None,
+        lora_bank=None,
+        lora_names: Optional[List[str]] = None,
     ):
         self.params = params
         self.cfg = cfg
         self.slots = slots
         self.max_len = max_len
         self.state = BatchState.create(cfg, slots, max_len, dtype)
+        # multi-LoRA serving: a stacked adapter bank + per-slot adapter rows
+        # (0 = null). The bank is a normal jit argument — adapter mixtures
+        # never recompile (lora.py).
+        self.lora_bank = lora_bank
+        from mingunivision_tpu.lora import LoRARegistry
+
+        self.lora_registry = LoRARegistry(lora_names)
+        self.slot_lora = np.zeros((slots,), np.int32)
+        self._lora_dev = None  # device mirror, re-uploaded only on mutation
+        self._lora_dirty = True
         if mesh is not None:
             # sharded serving: KV slots over `data`, kv-heads over `model`;
             # params are expected pre-sharded (parallel.sharding.shard_llm_params)
@@ -267,12 +287,15 @@ class ContinuousBatchingEngine:
         temperature: Optional[float] = None,
         top_k: Optional[int] = None,
         top_p: Optional[float] = None,
+        lora: Optional[str] = None,
     ) -> Optional[Request]:
         """Admit a request: prefill into a free slot. None if pool is full.
-        Sampling kwargs override the engine defaults for THIS request only."""
+        Sampling kwargs override the engine defaults for THIS request only.
+        `lora` names an adapter from the engine's bank (None = base model)."""
         slot = self._free_slot()
         if slot is None:
             return None
+        lora_id = self.lora_registry.resolve(lora)
         req = Request(
             np.asarray(input_ids).reshape(-1),
             max_new_tokens,
@@ -281,6 +304,7 @@ class ContinuousBatchingEngine:
             temperature=temperature,
             top_k=top_k,
             top_p=top_p,
+            lora_id=lora_id,
         )
         self._next_id += 1
         req_sampling = {
@@ -300,9 +324,15 @@ class ContinuousBatchingEngine:
         cache1 = LLMCache.create(self.cfg, 1, self.max_len, self.state.k.dtype)
         mask1 = jnp.zeros((1, self.max_len), bool).at[:, :T].set(True)
         embeds = embed_tokens(self.params, jnp.asarray(ids_pad)).astype(self.state.k.dtype)
-        logits, cache1 = prefill(self.params, self.cfg, embeds, cache1, mask1)
+        logits, cache1 = prefill(
+            self.params, self.cfg, embeds, cache1, mask1,
+            lora_bank=self.lora_bank,
+            lora_ids=jnp.full((1,), req.lora_id, jnp.int32) if self.lora_bank is not None else None,
+        )
         self.key, sub = jax.random.split(self.key)
         first = int(sample_token(logits, sub, **req_sampling)[0])
+        self.slot_lora[slot] = req.lora_id
+        self._lora_dirty = True
 
         st = self.state
         self.state = BatchState(
@@ -326,6 +356,8 @@ class ContinuousBatchingEngine:
         if req is not None:
             req.done = True
         self.slot_budget.pop(slot, None)
+        self.slot_lora[slot] = 0
+        self._lora_dirty = True
         self.state = self.state._replace(active=self.state.active.at[slot].set(False))
 
     # -- stepping -------------------------------------------------------------
@@ -335,7 +367,14 @@ class ContinuousBatchingEngine:
         if not self.slot_req:
             return {}
         self.key, sub = jax.random.split(self.key)
-        self.state, toks = batched_decode_step(self.params, self.cfg, self.state, sub)
+        if self.lora_bank is not None and (self._lora_dirty or self._lora_dev is None):
+            self._lora_dev = jnp.asarray(self.slot_lora)
+            self._lora_dirty = False
+        self.state, toks = batched_decode_step(
+            self.params, self.cfg, self.state, sub,
+            lora_bank=self.lora_bank,
+            lora_ids=self._lora_dev if self.lora_bank is not None else None,
+        )
         toks = np.asarray(toks)
         active = np.asarray(self.state.active)
         out = {}

@@ -90,7 +90,7 @@ def scatter_image_embeds(inputs_embeds, input_ids, image_embeds, image_patch_tok
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "use_flash"), donate_argnames=("cache",))
-def prefill(params, cfg: BailingMoeConfig, inputs_embeds, cache: LLMCache, attn_mask, image_mask=None, *, use_flash: bool = False):
+def prefill(params, cfg: BailingMoeConfig, inputs_embeds, cache: LLMCache, attn_mask, image_mask=None, *, use_flash: bool = False, lora_bank=None, lora_ids=None):
     """Run the (padded) prompt through the stack. attn_mask: bool (1, Smax) with
     True exactly at valid prompt positions [cache.length, cache.length+T_valid).
 
@@ -104,7 +104,8 @@ def prefill(params, cfg: BailingMoeConfig, inputs_embeds, cache: LLMCache, attn_
     positions = lax.dynamic_slice(pos_full, (0, cache.length), (B, T))
     positions = jnp.maximum(positions, 0)
     hidden, cache = bailing_forward(
-        params, cfg, inputs_embeds, cache, attn_mask, positions=positions, image_mask=image_mask, use_flash=use_flash
+        params, cfg, inputs_embeds, cache, attn_mask, positions=positions, image_mask=image_mask,
+        use_flash=use_flash, lora_bank=lora_bank, lora_ids=lora_ids,
     )
     # pick the last valid position among the T new tokens
     new_mask = lax.dynamic_slice(attn_mask, (0, cache.length - T), (B, T))

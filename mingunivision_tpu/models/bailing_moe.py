@@ -46,6 +46,20 @@ def _prec(x):
     return lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
 
 
+def _dense_lora(x, p, lora, name, lora_ids):
+    """dense() plus the per-row LoRA delta when an adapter bank is threaded.
+
+    `lora` is the LAYER-SLICED bank ({target: {a: (N, in, r), b: (N, r, out)}})
+    and `lora_ids` (B,) selects each batch row's adapter (0 = null adapter =
+    exact base output). See lora.py for the serving design."""
+    y = dense(x, p)
+    if lora is not None and name in lora:
+        from mingunivision_tpu.lora import lora_delta
+
+        y = (y + lora_delta(x, lora[name], lora_ids)).astype(y.dtype)
+    return y
+
+
 
 # ---------------------------------------------------------------------------
 # KV cache
@@ -160,12 +174,24 @@ def moe_route(gate_w, x_flat, top_k: int, norm_topk_prob: bool):
     return topk_idx.astype(jnp.int32), topk_w, logits
 
 
-def _expert_mlp(x, gate_w, up_w, down_w):
-    """SwiGLU expert: down(silu(gate(x)) * up(x)) with fp32 MXU accumulation."""
-    g = jnp.einsum("...h,hm->...m", x, dequant_weight(gate_w, x.dtype), preferred_element_type=jnp.float32, precision=_prec(x))
-    u = jnp.einsum("...h,hm->...m", x, dequant_weight(up_w, x.dtype), preferred_element_type=jnp.float32, precision=_prec(x))
+def _expert_mlp(x, gate_w, up_w, down_w, lora=None, lora_ids=None):
+    """SwiGLU expert: down(silu(gate(x)) * up(x)) with fp32 MXU accumulation.
+
+    `lora`/`lora_ids`: optional per-row adapters on the SHARED-expert
+    projections (shared_gate_proj/shared_up_proj/shared_down_proj — the
+    reference's gate_up_proj/down_proj LoRA coverage on its dense path)."""
+
+    def _d(inp, y, name):
+        if lora is not None and name in lora:
+            from mingunivision_tpu.lora import lora_delta
+
+            return y + lora_delta(inp, lora[name], lora_ids).astype(jnp.float32)
+        return y
+
+    g = _d(x, jnp.einsum("...h,hm->...m", x, dequant_weight(gate_w, x.dtype), preferred_element_type=jnp.float32, precision=_prec(x)), "shared_gate_proj")
+    u = _d(x, jnp.einsum("...h,hm->...m", x, dequant_weight(up_w, x.dtype), preferred_element_type=jnp.float32, precision=_prec(x)), "shared_up_proj")
     a = (jax.nn.silu(g) * u).astype(x.dtype)
-    return jnp.einsum("...m,mh->...h", a, dequant_weight(down_w, x.dtype), preferred_element_type=jnp.float32, precision=_prec(x))
+    return _d(a, jnp.einsum("...m,mh->...h", a, dequant_weight(down_w, x.dtype), preferred_element_type=jnp.float32, precision=_prec(x)), "shared_down_proj")
 
 
 def moe_experts_gather(experts, x_flat, topk_idx, topk_w):
@@ -221,7 +247,7 @@ def _sharded_swiglu_ok(mesh, experts, x_flat, topk_idx) -> bool:
     return sharded_swiglu_gmm_supported(mesh, experts, x_flat, topk_idx)
 
 
-def moe_block_apply(params, cfg: BailingMoeConfig, x, image_mask=None, audio_mask=None, experts_stacked=None, layer_idx=None, return_router_stats: bool = False):
+def moe_block_apply(params, cfg: BailingMoeConfig, x, image_mask=None, audio_mask=None, experts_stacked=None, layer_idx=None, return_router_stats: bool = False, lora=None, lora_ids=None):
     """Sparse MoE block with multi-gate routing + shared experts.
 
     return_router_stats=True additionally returns (router_logits (N, E) fp32
@@ -371,7 +397,7 @@ def moe_block_apply(params, cfg: BailingMoeConfig, x, image_mask=None, audio_mas
     y = y.reshape(B, T, h)
     # shared experts: dense SwiGLU over the identity input (reference :604-605)
     se = params["shared_experts"]
-    y = y + _expert_mlp(x, se["gate_proj"]["w"], se["up_proj"]["w"], se["down_proj"]["w"]).astype(x.dtype)
+    y = y + _expert_mlp(x, se["gate_proj"]["w"], se["up_proj"]["w"], se["down_proj"]["w"], lora=lora, lora_ids=lora_ids).astype(x.dtype)
     if return_router_stats:
         return y, (router_logits, topk_idx)
     return y
@@ -393,7 +419,7 @@ def _use_pallas_decode(smax: int) -> bool:
     )
 
 
-def attention_apply(params, cfg: BailingMoeConfig, x, cos, sin, k_cache, v_cache, length, attn_mask, use_flash: bool = False):
+def attention_apply(params, cfg: BailingMoeConfig, x, cos, sin, k_cache, v_cache, length, attn_mask, use_flash: bool = False, lora=None, lora_ids=None):
     """Fused-QKV GQA attention over the static cache.
 
     x: (B, T, h); cos/sin: (B, T, head_dim); k_cache/v_cache: (B, Hkv, Smax, D)
@@ -406,7 +432,7 @@ def attention_apply(params, cfg: BailingMoeConfig, x, cos, sin, k_cache, v_cache
     """
     B, T, _ = x.shape
     Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-    qkv = dense(x, params["query_key_value"]).reshape(B, T, Hq + 2 * Hkv, D)
+    qkv = _dense_lora(x, params["query_key_value"], lora, "query_key_value", lora_ids).reshape(B, T, Hq + 2 * Hkv, D)
     q, k, v = jnp.split(qkv, [Hq, Hq + Hkv], axis=2)
     q, k = apply_rope(q, k, cos, sin)
 
@@ -434,7 +460,7 @@ def attention_apply(params, cfg: BailingMoeConfig, x, cos, sin, k_cache, v_cache
         causal = k_pos[None] <= q_pos[None, :, :]  # (1, T, Smax): see past + own position
         allowed = jnp.logical_and(causal, attn_mask[:, None, :])  # (B, T, Smax)
         out = mha(q, k_cache, v_cache, mask=allowed[:, None], scale=D**-0.5, kv_head_major=True)
-    out = dense(out.reshape(B, T, Hq * D), params["dense"])
+    out = _dense_lora(out.reshape(B, T, Hq * D), params["dense"], lora, "dense", lora_ids)
     return out, k_cache, v_cache
 
 
@@ -446,14 +472,15 @@ def attention_apply(params, cfg: BailingMoeConfig, x, cos, sin, k_cache, v_cache
 def decoder_layer_apply(
     layer_params, cfg, x, cos, sin, k_cache, v_cache, length, attn_mask, image_mask, audio_mask,
     use_flash: bool = False, experts_stacked=None, layer_idx=None, return_router_stats: bool = False,
+    lora=None, lora_ids=None,
 ):
     h = rms_norm(x, layer_params["input_layernorm"]["w"], eps=cfg.rms_norm_eps)
-    a, nk, nv = attention_apply(layer_params["attention"], cfg, h, cos, sin, k_cache, v_cache, length, attn_mask, use_flash=use_flash)
+    a, nk, nv = attention_apply(layer_params["attention"], cfg, h, cos, sin, k_cache, v_cache, length, attn_mask, use_flash=use_flash, lora=lora, lora_ids=lora_ids)
     x = x + a
     h = rms_norm(x, layer_params["post_attention_layernorm"]["w"], eps=cfg.rms_norm_eps)
     out = moe_block_apply(
         layer_params["mlp"], cfg, h, image_mask, audio_mask, experts_stacked=experts_stacked,
-        layer_idx=layer_idx, return_router_stats=return_router_stats,
+        layer_idx=layer_idx, return_router_stats=return_router_stats, lora=lora, lora_ids=lora_ids,
     )
     if return_router_stats:
         y, stats = out
@@ -472,8 +499,14 @@ def bailing_forward(
     audio_mask=None,
     use_flash: bool = False,
     return_router_stats: bool = False,
+    lora_bank=None,
+    lora_ids=None,
 ):
     """Run T tokens through the decoder stack, appending to the cache.
+
+    lora_bank/lora_ids: optional multi-LoRA bank (lora.py) — depth-stacked
+    {target: {a: (L, N, in, r), b: (L, N, r, out)}} factors riding the layer
+    scan as xs, with lora_ids (B,) choosing each row's adapter (0 = null).
 
     inputs_embeds: (B, T, h); attn_mask: bool (B, Smax) over the FULL cache
     (positions >= cache.length+T are ignored via the causal bound);
@@ -504,11 +537,11 @@ def bailing_forward(
 
     def body(carry, inp):
         x = carry
-        layer_params, layer_idx, kc, vc = inp
+        layer_params, layer_idx, kc, vc, lora = inp
         x, nk, nv, stats = decoder_layer_apply(
             layer_params, cfg, x, cos, sin, kc, vc, cache.length, attn_mask, image_mask, audio_mask,
             use_flash=use_flash, experts_stacked=experts_stacked, layer_idx=layer_idx,
-            return_router_stats=return_router_stats,
+            return_router_stats=return_router_stats, lora=lora, lora_ids=lora_ids,
         )
         ys = (nk, nv, stats) if return_router_stats else (nk, nv)
         return x, ys
@@ -517,7 +550,9 @@ def bailing_forward(
     # cfg.remat_layers: recompute the layer in the backward pass — activations
     # saved per layer shrink to the scan carry/xs boundary (see config.py)
     body_fn = jax.checkpoint(body) if cfg.remat_layers else body
-    x, ys = lax.scan(body_fn, inputs_embeds, (scanned, layer_ids, cache.k, cache.v))
+    # lora_bank=None is an EMPTY pytree: scan slices nothing and the body sees
+    # None — the no-LoRA graph is bit-identical to before the feature existed
+    x, ys = lax.scan(body_fn, inputs_embeds, (scanned, layer_ids, cache.k, cache.v, lora_bank))
     if return_router_stats:
         nk, nv, stats = ys
     else:

@@ -246,6 +246,7 @@ class InferenceServer:
         page_size: int = 64,
         num_pages: Optional[int] = None,
         prefix_cache: bool = False,
+        lora_adapters: Optional[dict] = None,
     ):
         """batch_slots > 0 enables the continuous-batching text endpoint
         (/generate_batch) with that many concurrent decode slots;
@@ -257,7 +258,10 @@ class InferenceServer:
         num_pages * page_size; exhausted pools stall slots instead of OOMing
         (single-device tier — unsharded). prefix_cache additionally
         content-addresses full prompt pages so repeated prefixes (shared
-        system prompts) skip their prefill — the vLLM APC analog."""
+        system prompts) skip their prefill — the vLLM APC analog.
+        lora_adapters: {name: adapter pytree} (lora.py) — /generate_batch
+        requests pick one via a "lora" field (the vLLM per-request LoRA
+        analog; reference registers SupportsLoRA, ming_lite.patch:901-940)."""
         self.infer = infer  # a MingUniVisionInfer (holds the default session)
         self.host = host
         self.port = port
@@ -280,6 +284,15 @@ class InferenceServer:
         self._session_locks: dict = {"default": threading.Lock()}
         self._sessions: OrderedDict = OrderedDict([("default", infer.session)])
         self.batch_worker = None
+        lora_kw = {}
+        if lora_adapters:
+            from mingunivision_tpu.lora import make_lora_bank
+
+            names = list(lora_adapters)
+            lora_kw = {
+                "lora_bank": make_lora_bank([lora_adapters[n] for n in names], infer.config.llm),
+                "lora_names": names,
+            }
         if batch_slots > 0:
             mesh = getattr(infer, "mesh", None)
             if paged_kv:
@@ -296,6 +309,7 @@ class InferenceServer:
                     num_pages=num_pages,
                     dtype=infer.session._dtype,
                     prefix_cache=prefix_cache,
+                    **lora_kw,
                 )
             else:
                 from mingunivision_tpu.engine.batch_engine import ContinuousBatchingEngine
@@ -307,6 +321,7 @@ class InferenceServer:
                     max_len=batch_max_len,
                     dtype=infer.session._dtype,
                     mesh=mesh,
+                    **lora_kw,
                 )
             self.batch_worker = BatchTextWorker(engine, infer.config.llm.eos_token_id)
         self.image_pool_worker = None
@@ -567,7 +582,7 @@ class InferenceServer:
             batch = self.infer.processor(text=text)
             sampling = {
                 k: payload[k]
-                for k in ("do_sample", "temperature", "top_k", "top_p")
+                for k in ("do_sample", "temperature", "top_k", "top_p", "lora")
                 if k in payload
             }
             item = self.batch_worker.submit(
