@@ -80,7 +80,7 @@ def _paged_attention(q, kc, vc, tables, lengths):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
-def paged_decode_step(params, cfg: BailingMoeConfig, state: PagedKVState, tables, key):
+def paged_decode_step(params, cfg: BailingMoeConfig, state: PagedKVState, tables, key, lora_bank=None, lora_ids=None):
     """One decode step for every active slot over the paged pool.
 
     tables: (B, maxp) int32 — host-maintained block tables (scratch id for
@@ -111,11 +111,13 @@ def paged_decode_step(params, cfg: BailingMoeConfig, state: PagedKVState, tables
     scanned = {**layers, "mlp": {k: v for k, v in layers["mlp"].items() if k != "experts"}}
     hidx = jnp.arange(Hkv)[None, :]
 
+    from mingunivision_tpu.models.bailing_moe import _dense_lora
+
     def layer(carry, inp):
         h = carry
-        p, layer_idx, kc, vc = inp  # kc/vc: (P+1, Hkv, page, D)
+        p, layer_idx, kc, vc, lora = inp  # kc/vc: (P+1, Hkv, page, D)
         hn = rms_norm(h, p["input_layernorm"]["w"], eps=cfg.rms_norm_eps)
-        qkv = dense(hn, p["attention"]["query_key_value"]).reshape(B, 1, Hq + 2 * Hkv, D)
+        qkv = _dense_lora(hn, p["attention"]["query_key_value"], lora, "query_key_value", lora_ids).reshape(B, 1, Hq + 2 * Hkv, D)
         q, kn, vn = jnp.split(qkv, [Hq, Hq + Hkv], axis=2)
         q, kn = apply_rope(q, kn, cos, sin)
         # page-addressed write; inactive rows target the scratch page, so no
@@ -123,15 +125,15 @@ def paged_decode_step(params, cfg: BailingMoeConfig, state: PagedKVState, tables
         kc = kc.at[page_idx[:, None], hidx, off[:, None]].set(kn[:, 0].astype(kc.dtype))
         vc = vc.at[page_idx[:, None], hidx, off[:, None]].set(vn[:, 0].astype(vc.dtype))
         a = _paged_attention(q, kc, vc, tables, attn_len)
-        h = h + dense(a.reshape(B, 1, Hq * D), p["attention"]["dense"])
+        h = h + _dense_lora(a.reshape(B, 1, Hq * D), p["attention"]["dense"], lora, "dense", lora_ids)
         hn = rms_norm(h, p["post_attention_layernorm"]["w"], eps=cfg.rms_norm_eps)
         from mingunivision_tpu.models.bailing_moe import moe_block_apply
 
-        h = h + moe_block_apply(p["mlp"], cfg, hn, experts_stacked=experts_stacked, layer_idx=layer_idx)
+        h = h + moe_block_apply(p["mlp"], cfg, hn, experts_stacked=experts_stacked, layer_idx=layer_idx, lora=lora, lora_ids=lora_ids)
         return h, (kc, vc)
 
     layer_ids = jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)
-    h, (nk, nv) = lax.scan(layer, x, (scanned, layer_ids, state.k_pages, state.v_pages))
+    h, (nk, nv) = lax.scan(layer, x, (scanned, layer_ids, state.k_pages, state.v_pages, lora_bank))
     h = rms_norm(h, params["norm"]["w"], eps=cfg.rms_norm_eps)
 
     from mingunivision_tpu.models.bailing_moe import compute_logits as _logits
@@ -232,32 +234,39 @@ class PrefixPageCache:
     prefix caching analog; reference bar: vLLM APC over the serving path the
     reference rides, SURVEY §2.9).
 
-    A full page of KV is identified by the CHAIN hash of every token id from
+    A full page of KV is identified by the CHAIN digest of every token id from
     position 0 through the page's end (K/V at position i depend on the whole
     prefix, so content-addressing must too — same scheme as vLLM's block
-    hashes). Pages whose refcount drops to 0 are RETAINED in LRU order and
-    evicted only when the allocator runs dry."""
+    hashes). Keys are sha256 chain digests, not Python `hash()`: a 64-bit
+    non-crypto hash collision would silently serve another request's KV
+    (vLLM hardened the same scheme the same way). Pages whose refcount drops
+    to 0 are RETAINED in LRU order and evicted only when the allocator runs
+    dry."""
 
     def __init__(self):
         from collections import OrderedDict
 
-        self.hash_to_page: Dict[int, int] = {}
-        self.page_hash: Dict[int, int] = {}
+        self.hash_to_page: Dict[bytes, int] = {}
+        self.page_hash: Dict[int, bytes] = {}
         self.ref: Dict[int, int] = {}
         self.lru = OrderedDict()  # refcount-0 registered pages, oldest first
 
     @staticmethod
-    def chain_hashes(ids: np.ndarray, page: int) -> List[int]:
-        """One hash per FULL page of the prompt (partial tail pages are not
-        content-addressable: their KV would keep growing)."""
-        hs: List[int] = []
-        h = 0
+    def chain_hashes(ids: np.ndarray, page: int, salt: bytes = b"") -> List[bytes]:
+        """One digest per FULL page of the prompt (partial tail pages are not
+        content-addressable: their KV would keep growing). `salt` partitions
+        the address space — LoRA requests salt with their adapter id, since KV
+        computed under different adapters is NOT interchangeable."""
+        import hashlib
+
+        hs: List[bytes] = []
+        h = salt
         for i in range(len(ids) // page):
-            h = hash((h, np.asarray(ids[i * page : (i + 1) * page], np.int64).tobytes()))
+            h = hashlib.sha256(h + np.asarray(ids[i * page : (i + 1) * page], np.int64).tobytes()).digest()
             hs.append(h)
         return hs
 
-    def lookup(self, h: int) -> Optional[int]:
+    def lookup(self, h: bytes) -> Optional[int]:
         return self.hash_to_page.get(h)
 
     def pin(self, pid: int):
@@ -269,7 +278,7 @@ class PrefixPageCache:
         if self.ref[pid] == 0:
             self.lru[pid] = None  # reclaimable, retained until pressure
 
-    def register(self, h: int, pid: int):
+    def register(self, h: bytes, pid: int):
         """Map h -> pid with refcount 1 (the admitting slot owns it). No-op if
         another page already holds this hash (possible after partial eviction
         punched a hole in an earlier chain)."""
@@ -327,6 +336,8 @@ class PagedBatchingEngine:
         top_k: int = 0,
         top_p: float = 1.0,
         prefix_cache: bool = False,
+        lora_bank=None,
+        lora_names: Optional[List[str]] = None,
     ):
         assert max_len % page_size == 0, "max_len must be a multiple of page_size"
         self.params = params
@@ -341,6 +352,13 @@ class PagedBatchingEngine:
         self.state = PagedKVState.create(cfg, slots, self.num_pages, page_size, dtype)
         self.allocator = PageAllocator(self.num_pages)
         self.tables = np.full((slots, self.maxp), self.scratch_pid, np.int32)
+        # device-resident mirror of the block table, re-uploaded ONLY when the
+        # host table mutates (admission / page growth / finish). Shipping it
+        # every step costs a host->device round-trip per decode step — on the
+        # axon tunnel that RTT is a real fraction of the 25-44% paged tax
+        # (VERDICT r3 weak #3).
+        self._tables_dev = None
+        self._tables_dirty = True
         self.slot_pages: Dict[int, List[int]] = {}
         self.slot_lengths: Dict[int, int] = {}  # host mirror of lengths
         self.stalled: Dict[int, bool] = {}
@@ -352,12 +370,25 @@ class PagedBatchingEngine:
         self.prefix = PrefixPageCache() if prefix_cache else None
         self.prefix_hit_tokens = 0  # prompt tokens whose prefill was SKIPPED
         self.prefix_miss_tokens = 0  # prompt tokens actually prefilled
+        self.lora_bank = lora_bank
+        from mingunivision_tpu.lora import LoRARegistry
+
+        self.lora_registry = LoRARegistry(lora_names)
+        self.slot_lora = np.zeros((slots,), np.int32)
+        self._lora_dev = None  # device mirror, refreshed with the block table
 
     # -- admission ----------------------------------------------------------
 
     def _alloc(self, n: int) -> Optional[List[int]]:
         """allocator.alloc with prefix-cache eviction under pressure: cached
-        refcount-0 pages are reclaimed LRU-first until n pages are free."""
+        refcount-0 pages are reclaimed LRU-first until n pages are free.
+
+        Bails out (evicting NOTHING) when the request cannot succeed even after
+        draining the whole LRU — an oversized allocation must not destroy the
+        reusable prefix cache just to fail anyway."""
+        evictable = len(self.prefix.lru) if self.prefix is not None else 0
+        if n > self.allocator.available + evictable:
+            return None
         while self.allocator.available < n and self.prefix is not None:
             pid = self.prefix.evict_one()
             if pid is None:
@@ -393,12 +424,17 @@ class PagedBatchingEngine:
         temperature: Optional[float] = None,
         top_k: Optional[int] = None,
         top_p: Optional[float] = None,
+        lora: Optional[str] = None,
     ) -> Optional[Request]:
         """Admit a request. None if no slot is free OR the prompt's pages can't
-        be allocated right now (caller retries after other requests finish)."""
+        be allocated right now (caller retries after other requests finish).
+        `lora` names an adapter from the engine's bank (None = base model);
+        prefix-cache pages are SALTED by adapter id — KV computed under
+        different adapters never cross-hits."""
         slot = self._free_slot()
         if slot is None:
             return None
+        lora_id = self.lora_registry.resolve(lora)
         ids = np.asarray(input_ids).reshape(-1)
         T = len(ids)
         assert T + max_new_tokens < self.max_len
@@ -407,10 +443,11 @@ class PagedBatchingEngine:
         # Prefix-cache probe: longest run of already-cached full pages, capped
         # so at least one prompt token is always recomputed (the sampler needs
         # the last position's logits — same cap as vLLM's "recompute last block").
-        hashes: List[int] = []
+        hashes: List[bytes] = []
         hit_pages: List[int] = []
         if self.prefix is not None:
-            hashes = self.prefix.chain_hashes(ids, self.page)
+            salt = lora_id.to_bytes(8, "little") if lora_id else b""
+            hashes = self.prefix.chain_hashes(ids, self.page, salt=salt)
             for h in hashes[: (T - 1) // self.page]:
                 pid = self.prefix.lookup(h)
                 if pid is None:
@@ -425,7 +462,7 @@ class PagedBatchingEngine:
                 self.prefix.unpin(pid)
             return None
         req = Request(ids, max_new_tokens, self._next_id, do_sample=do_sample,
-                      temperature=temperature, top_k=top_k, top_p=top_p)
+                      temperature=temperature, top_k=top_k, top_p=top_p, lora_id=lora_id)
         self._next_id += 1
         req_sampling = {
             k: (getattr(req, k) if getattr(req, k) is not None else self.sampling[k])
@@ -441,7 +478,14 @@ class PagedBatchingEngine:
 
         Tc = n_hit * self.page  # cached prompt tokens whose prefill is skipped
         Ts = T - Tc
-        Tb = min(self.max_len, -(-Ts // PREFILL_BUCKET) * PREFILL_BUCKET)
+        # The padded suffix must fit in [Tc, max_len): an uncapped bucket pad
+        # (Tc + Tb > max_len, possible when page_size < PREFILL_BUCKET leaves Tc
+        # bucket-misaligned with T near max_len) would make prefill's
+        # dynamic_update_slice CLAMP its start and silently overwrite the
+        # gathered prefix KV. Capped at max_len - Tc it always fits: admission
+        # asserts T < max_len, so Ts = T - Tc <= max_len - Tc.
+        Tb = min(self.max_len - Tc, -(-Ts // PREFILL_BUCKET) * PREFILL_BUCKET)
+        assert Ts <= Tb and Tc + Tb <= self.max_len, (Tc, Ts, Tb, self.max_len)
         ids_pad = np.zeros((1, Tb), np.int64)
         ids_pad[0, :Ts] = ids[Tc:]
         cache1 = LLMCache.create(self.cfg, 1, self.max_len, self.state.k_pages.dtype)
@@ -455,7 +499,11 @@ class PagedBatchingEngine:
             cache1 = LLMCache(ck, cv, jnp.asarray(Tc, jnp.int32))
         mask1 = jnp.zeros((1, self.max_len), bool).at[:, :T].set(True)
         embeds = embed_tokens(self.params, jnp.asarray(ids_pad)).astype(self.state.k_pages.dtype)
-        logits, cache1 = prefill(self.params, self.cfg, embeds, cache1, mask1)
+        logits, cache1 = prefill(
+            self.params, self.cfg, embeds, cache1, mask1,
+            lora_bank=self.lora_bank,
+            lora_ids=jnp.full((1,), lora_id, jnp.int32) if self.lora_bank is not None else None,
+        )
         self.key, sub = jax.random.split(self.key)
         first = int(sample_token(logits, sub, **req_sampling)[0])
         self.prefix_hit_tokens += Tc
@@ -478,7 +526,9 @@ class PagedBatchingEngine:
             sampling=self.state.sampling.set_slot(slot, **req_sampling),
         )
         self.state = _set_slot(self.state, slot, jnp.int32(T), jnp.int32(first), True)
+        self.slot_lora[slot] = lora_id
         self.tables[slot] = page_ids
+        self._tables_dirty = True
         self.slot_pages[slot] = list(hit_pages) + list(pages)
         if self.prefix is not None:
             # content-address the freshly computed full prompt pages so later
@@ -502,7 +552,9 @@ class PagedBatchingEngine:
             req.done = True
         self.slot_budget.pop(slot, None)
         self._release_pages(self.slot_pages.pop(slot, []))
+        self.slot_lora[slot] = 0
         self.tables[slot] = self.scratch_pid
+        self._tables_dirty = True
         self.slot_lengths.pop(slot, None)
         self.stalled.pop(slot, None)
         self.state = _set_active(self.state, jnp.int32(slot), False)
@@ -526,6 +578,7 @@ class PagedBatchingEngine:
                         self.state = _set_active(self.state, jnp.int32(slot), False)
                     continue
                 self.tables[slot, owned : owned + len(got)] = got
+                self._tables_dirty = True
                 self.slot_pages[slot].extend(got)
             if self.stalled.get(slot):
                 self.stalled[slot] = False
@@ -539,8 +592,13 @@ class PagedBatchingEngine:
         if not any(not self.stalled.get(s, False) for s in self.slot_req):
             return {}  # everything stalled on pages — caller must finish/cancel
         self.key, sub = jax.random.split(self.key)
+        if self._tables_dirty or self._tables_dev is None:
+            self._tables_dev = jnp.asarray(self.tables)
+            self._lora_dev = jnp.asarray(self.slot_lora) if self.lora_bank is not None else None
+            self._tables_dirty = False
         self.state, toks = paged_decode_step(
-            self.params, self.cfg, self.state, jnp.asarray(self.tables), sub
+            self.params, self.cfg, self.state, self._tables_dev, sub,
+            lora_bank=self.lora_bank, lora_ids=self._lora_dev if self.lora_bank is not None else None,
         )
         toks = np.asarray(toks)
         active = np.asarray(self.state.active)

@@ -130,6 +130,15 @@ def pallas_paged_decode_attention(q, k_pages, v_pages, tables, lengths, *, scale
     kernel = functools.partial(
         _paged_decode_kernel, scale=float(scale), page=page, n_pages=maxp
     )
+
+    def _page_ix(b, h, p, tbl, ln):
+        # Clamp past-the-end pages to the row's LAST valid page: the pipeline
+        # elides the DMA when consecutive index-map results are equal, so the
+        # tail of a short row costs zero HBM traffic (its positions are masked
+        # in the online softmax regardless of which page sits in the block).
+        last = jnp.maximum((ln[b] - 1) // page, 0)
+        return (tbl[b, jnp.minimum(p, last)], h, 0, 0)
+
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -137,8 +146,8 @@ def pallas_paged_decode_attention(q, k_pages, v_pages, tables, lengths, *, scale
             grid=(B, Hkv, maxp),
             in_specs=[
                 pl.BlockSpec((1, 1, G, D), lambda b, h, p, tbl, ln: (b, h, 0, 0)),
-                pl.BlockSpec((1, 1, page, D), lambda b, h, p, tbl, ln: (tbl[b, p], h, 0, 0)),
-                pl.BlockSpec((1, 1, page, D), lambda b, h, p, tbl, ln: (tbl[b, p], h, 0, 0)),
+                pl.BlockSpec((1, 1, page, D), _page_ix),
+                pl.BlockSpec((1, 1, page, D), _page_ix),
             ],
             out_specs=pl.BlockSpec((1, 1, G, D), lambda b, h, p, tbl, ln: (b, h, 0, 0)),
             scratch_shapes=[

@@ -271,6 +271,39 @@ class TestPrefixCache:
         assert r1.tokens == c1.tokens
         assert r2.tokens == c2.tokens  # same key schedule, hit == cold
 
+    def test_hit_near_max_len_keeps_prefix_intact(self, llm):
+        """Regression (ADVICE r3): with page_size=32 the cached prefix Tc is
+        not PREFILL_BUCKET-aligned; for T within one bucket of max_len an
+        uncapped padded suffix (Tc + 64 > max_len) would make the append
+        prefill clamp its dynamic_update_slice start and silently overwrite
+        the gathered prefix KV. Tokens must match the cold run exactly."""
+        cfg, params = llm
+        rng = np.random.default_rng(16)
+        ids = rng.integers(0, 400, (250,))  # 7 full pages (Tc=224), Ts=26
+        eng = self._engine(llm, num_pages=24, max_len=256)
+        r1 = eng.add_request(ids, 4)
+        eng.run_to_completion()
+        assert eng.prefix.cached_pages == 7
+        r2 = eng.add_request(ids, 4)  # hit: Tc=224, padded suffix must fit in 32
+        eng.run_to_completion()
+        assert eng.prefix_hit_tokens == 224
+        assert r2.tokens == r1.tokens
+
+    def test_impossible_alloc_does_not_purge_prefix_cache(self, llm):
+        """Regression (ADVICE r3): an allocation that cannot succeed even after
+        evicting every refcount-0 cached page must evict NOTHING."""
+        cfg, params = llm
+        rng = np.random.default_rng(17)
+        eng = self._engine(llm, num_pages=4, max_len=128)
+        r1 = eng.add_request(rng.integers(0, 400, (70,)), 4)  # 3 pages, 2 cached after
+        assert r1 is not None
+        eng.run_to_completion()
+        assert eng.prefix.cached_pages == 2
+        before = set(eng.prefix.hash_to_page)
+        assert eng._alloc(8) is None  # > available + evictable: must bail early
+        assert set(eng.prefix.hash_to_page) == before  # cache untouched
+        assert eng.prefix.cached_pages == 2
+
 
 class TestPagedAttentionKernel:
     def _setup(self, key, B=3, Hq=4, Hkv=2, D=8, page=16, P=6, maxp=4):
