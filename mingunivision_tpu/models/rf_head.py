@@ -120,7 +120,7 @@ def rf_net_apply_premod(params, cfg: RFHeadConfig, x, block_mods_i, final_mods_i
 
     from mingunivision_tpu.ops.kernels.rf_mlp import rf_mlp_stack, rf_mlp_supported
 
-    if jax.default_backend() == "tpu" and rf_mlp_supported(params["res_blocks"]):
+    if _params_on_tpu(params) and rf_mlp_supported(params["res_blocks"]):
         h = rf_mlp_stack(params["res_blocks"], h, block_mods_i, ln_eps=cfg.ln_eps)
     else:
         def body(carry, inp):
@@ -171,6 +171,26 @@ def _time_grid(cfg: RFHeadConfig, time_shifting_factor: Optional[float]):
     ts = jnp.linspace(1.0, 0.0, steps + 1)[:-1]
     dt = jnp.full((steps,), 1.0 / steps)
     return ts, dt
+
+
+FUSED_SAMPLER = False  # opt-in: whole-sample fused kernel (see rf_sample)
+
+
+def _params_on_tpu(params) -> bool:
+    """True when the sampler will EXECUTE on TPU — gates the Pallas fused path.
+
+    `jax.default_backend()` alone is wrong: a TPU-backend process holding
+    CPU-resident params (e.g. under `jax.default_device(cpu)` for an oracle
+    run) would lower the pallas_call for CPU and fail. Committed arrays carry
+    their placement; traced values (inside jit) fall back to the backend the
+    trace is being staged for, which default_backend approximates."""
+    for leaf in jax.tree_util.tree_leaves(params):
+        if isinstance(leaf, jax.Array) and not isinstance(leaf, jax.core.Tracer):
+            try:
+                return next(iter(leaf.devices())).platform == "tpu"
+            except Exception:  # noqa: BLE001 — fall through to backend probe
+                break
+    return jax.default_backend() == "tpu"
 
 
 def rf_sample(
@@ -228,6 +248,29 @@ def rf_sample(
     ts, dts = _time_grid(cfg, time_shifting_factor)
     # all Euler steps' AdaLN modulations in one pass (adaLN weights read once)
     block_mods, final_mods = precompute_modulations(params, cfg, ts, z)
+
+    # Fused whole-sampler kernel (ops/kernels/rf_sampler.py): every Euler step
+    # in ONE pallas_call — no per-step pipeline ramp or XLA glue between weight
+    # sweeps. Quantized-linear res_blocks on TPU only; the fori_loop below is
+    # the exact-math oracle and the bf16/NF4/CPU path. OPT-IN while the
+    # real-shape schedule is being tuned: on-device numerics match the oracle
+    # to 9e-6, but the v5e-measured whole-sample kernel currently runs far
+    # below the per-step rf_mlp_stack path at width 3072 (see BENCHMARKS
+    # "fused sampler"); flip FUSED_SAMPLER to True once it wins.
+    if FUSED_SAMPLER and _params_on_tpu(params) and cfg_renorm_type in (None, "channel"):
+        from mingunivision_tpu.ops.kernels.rf_sampler import (
+            rf_sample_fused,
+            rf_sampler_supported,
+        )
+
+        if rf_sampler_supported(params, B, cfg_rows):
+            out = rf_sample_fused(
+                params, cfg, noise, block_mods, final_mods, dts, text_cfg, image_cfg,
+                cfg_rows=cfg_rows,
+                renorm_channel=cfg_renorm_type == "channel",
+                compute_dtype=dtype if dtype != jnp.float32 else jnp.bfloat16,
+            )
+            return out.astype(dtype)
 
     def net(x_in, i):
         with jax.profiler.TraceAnnotation("imggen/rf_net"):
