@@ -229,6 +229,22 @@ class MingUniVisionInfer:
     def reset_inner_state(self):
         self.session.reset_inner_state()
 
+    # -- audio hook (reference modeling_bailingmm.py:140-150) -------------------
+
+    def extract_audio_feature(self, audio_feats, audio_feats_lengths):
+        """SANM audio-encoder hook. The reference wrapper carries this method
+        (funasr SANMEncoder import, modeling_bailingmm.py:22) but the
+        UniVision checkpoint never constructs the tower — here it is live
+        whenever `self.audio = (params, SANMConfig)` has been attached (e.g.
+        by an omni-family loader); otherwise it raises like the reference's
+        unbuilt `self.audio` would."""
+        if getattr(self, "audio", None) is None:
+            raise AttributeError("no audio tower attached (set self.audio = (params, SANMConfig))")
+        from mingunivision_tpu.models.sanm import extract_audio_feature
+
+        a_params, a_cfg = self.audio
+        return extract_audio_feature(a_params, a_cfg, audio_feats, audio_feats_lengths)
+
     # -- query-adaptive video frame scoring ------------------------------------
 
     def make_frame_scorer(self, batch_size: int = 8):
