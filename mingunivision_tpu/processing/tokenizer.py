@@ -10,6 +10,8 @@ tokenizer so the full pipeline runs checkpoint-free.
 
 from __future__ import annotations
 
+from typing import Optional
+
 MULTIMODAL_SPECIAL_TOKENS = [
     "<|endoftext|>",
     "[gMASK]",
@@ -141,8 +143,23 @@ class BailingTokenizer:
         system=None,
         tokenize: bool = False,
         chat_format: str = "antglm_chat",
+        chat_template: Optional[str] = None,
         **kwargs,
     ):
+        # JINJA-FIRST (reference tokenization_bailing.py:208-241): when the
+        # checkpoint ships an HF jinja chat template (tokenizer.chat_template)
+        # — or the caller passes one explicitly — render through transformers'
+        # built-in apply_chat_template; the Chat-object rendering below is the
+        # fallback for template-less tokenizers (e.g. the synthetic test one).
+        shipped = chat_template or getattr(self.tokenizer, "chat_template", None)
+        if shipped is not None:
+            return self.tokenizer.apply_chat_template(
+                conversation,
+                chat_template=chat_template,
+                add_generation_prompt=add_generation_prompt,
+                tokenize=tokenize,
+                **kwargs,
+            )
         is_batched = isinstance(conversation, list) and bool(conversation) and (
             isinstance(conversation[0], (list, tuple)) or "messages" in conversation[0]
         )

@@ -218,6 +218,31 @@ class TestBailingTokenizerFacade:
         assert len(train["labels"]) == 32
         assert any(l != -100 for l in train["labels"])
 
+    def test_jinja_template_preferred_when_shipped(self):
+        """Reference tokenization_bailing.py:208-241: when the checkpoint ships
+        an HF jinja chat_template, apply_chat_template must render THROUGH it —
+        the Chat-object fallback only serves template-less tokenizers."""
+        from mingunivision_tpu.processing.tokenizer import BailingTokenizer, build_test_tokenizer
+
+        inner = build_test_tokenizer()
+        inner.chat_template = (
+            "{% for m in messages %}[{{ m.role }}]{{ m.content }}{% endfor %}"
+            "{% if add_generation_prompt %}[GEN]{% endif %}"
+        )
+        tok = BailingTokenizer(inner)
+        msgs = [{"role": "user", "content": "hello"}]
+        out = tok.apply_chat_template(msgs, add_generation_prompt=True)
+        assert out == "[user]hello[GEN]"  # jinja rendering, not <role> tags
+        # explicit chat_template kwarg forces jinja even if none is shipped
+        tok2 = BailingTokenizer(build_test_tokenizer())
+        out2 = tok2.apply_chat_template(
+            msgs, chat_template="{% for m in messages %}<{{ m.content }}>{% endfor %}"
+        )
+        assert out2 == "<hello>"
+        # and without either, the antglm Chat fallback still renders
+        out3 = tok2.apply_chat_template({"messages": [{"role": "HUMAN", "content": "hi"}]})
+        assert "<role>HUMAN</role>" in out3
+
     def test_batched_template(self):
         from mingunivision_tpu.processing.tokenizer import BailingTokenizer, build_test_tokenizer
 

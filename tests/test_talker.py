@@ -258,6 +258,31 @@ class TestTextNormalizerFamilies:
         # decimals keep value reading
         assert self.tn("重3.1415") == "重三点一四一五"
 
+    def test_fullwidth_to_halfwidth(self):
+        # reference normalizer.preprocess F2H (string_operator.replace_F2H):
+        # full-width alphanumerics/symbols fold to ASCII before the rules run
+        from mingunivision_tpu.talker.sentence_manager import full_to_half
+
+        assert full_to_half("ｈｅｌｌｏ　ＡＢＣ１２３") == "hello ABC123"
+        assert full_to_half("５０％") == "50%"
+        # CJK sentence punctuation is deliberately retained full-width
+        assert full_to_half("好，走！") == "好，走！"
+        # end-to-end: full-width digits flow through the number rules
+        assert self.tn("涨了１２.５%") == "涨了百分之十二点五"
+        assert self.tn("面积５０㎡") == "面积五十平方米"
+
+    def test_traditional_to_simplified(self):
+        from mingunivision_tpu.talker.sentence_manager import traditional_to_simplified
+
+        # goldens on common-use characters
+        assert traditional_to_simplified("學習機會") == "学习机会"
+        assert traditional_to_simplified("請讀這條") == "请读这条"
+        assert traditional_to_simplified("時間問題") == "时间问题"
+        # unknown traditional characters pass through untouched
+        assert traditional_to_simplified("纔") == "纔"
+        # end-to-end: traditional text + numbers normalize together
+        assert self.tn("電話13811111234") == "电话幺三八幺幺幺幺幺二三四"
+
     def test_interpret_as_explicit_modes(self):
         # caller-directed reading (reference normalizer.normalize_custom):
         # the SAME digit string reads differently under each tag
