@@ -10,13 +10,15 @@ sequences at long max_len (reference bar: vLLM's PagedAttention memory model,
 which the reference's serving path rides — vllm/ming_lite.patch; SURVEY §2.9).
 
 TPU-first decisions:
-  - Pages are a static-shape pool (L, P, Hkv, page, D); the block table is a
-    small int32 array recomputed on the host and shipped per step (a few KB —
-    nothing next to the decode step's weight traffic). One compiled step serves
-    every allocation pattern: no recompiles as pages move between slots.
-  - Attention reads pages THROUGH the table: on TPU a Pallas kernel
-    (ops/kernels/paged_attention.py) DMAs exactly the owned pages via scalar
-    prefetch; elsewhere an XLA gather fallback keeps parity.
+  - Pages are a static-shape HEAD-major pool (L, Hkv, P, page, D) — the native
+    layout of the library paged-attention kernel; the block table is a small
+    int32 array recomputed on the host, kept device-resident, and re-shipped
+    only when it mutates. One compiled step serves every allocation pattern:
+    no recompiles as pages move between slots.
+  - Attention reads pages THROUGH the table: on TPU the JAX library
+    paged-attention kernel (multi-page compute blocks, double-buffered page
+    DMA) with our single-page scalar-prefetch kernel as fallback
+    (ops/kernels/paged_attention.py); elsewhere an XLA gather keeps parity.
   - Page P (the last one) is a reserved SCRATCH page: inactive rows' KV writes
     and unassigned table entries land there, so scatter indices never collide
     with live pages (a `where(active, old, new)` on a shared real page would
@@ -48,8 +50,8 @@ from mingunivision_tpu.ops.rope import apply_rope, rope_cos_sin
 
 
 class PagedKVState(NamedTuple):
-    k_pages: jax.Array  # (L, P+1, Hkv, page, D) — page P is scratch
-    v_pages: jax.Array
+    k_pages: jax.Array  # (L, Hkv, P+1, page, D) — page P is scratch; head-major
+    v_pages: jax.Array  # (the library paged-attention kernel's native layout)
     lengths: jax.Array  # (B,) int32 tokens in cache per slot
     cur: jax.Array  # (B,) int32 next token to feed
     active: jax.Array  # (B,) bool
@@ -57,7 +59,7 @@ class PagedKVState(NamedTuple):
 
     @classmethod
     def create(cls, cfg: BailingMoeConfig, slots: int, num_pages: int, page_size: int, dtype=jnp.bfloat16):
-        shape = (cfg.num_hidden_layers, num_pages + 1, cfg.num_key_value_heads, page_size, cfg.head_dim)
+        shape = (cfg.num_hidden_layers, cfg.num_key_value_heads, num_pages + 1, page_size, cfg.head_dim)
         return cls(
             jnp.zeros(shape, dtype),
             jnp.zeros(shape, dtype),
@@ -71,9 +73,9 @@ class PagedKVState(NamedTuple):
 def _paged_attention(q, kc, vc, tables, lengths):
     D = q.shape[-1]
     if jax.default_backend() == "tpu":
-        from mingunivision_tpu.ops.kernels.paged_attention import pallas_paged_decode_attention
+        from mingunivision_tpu.ops.kernels.paged_attention import paged_decode_attention_auto
 
-        return pallas_paged_decode_attention(q, kc, vc, tables, lengths, scale=D**-0.5)
+        return paged_decode_attention_auto(q, kc, vc, tables, lengths, scale=D**-0.5)
     from mingunivision_tpu.ops.kernels.paged_attention import paged_gather_attention
 
     return paged_gather_attention(q, kc, vc, tables, lengths, scale=D**-0.5)
@@ -91,7 +93,7 @@ def paged_decode_step(params, cfg: BailingMoeConfig, state: PagedKVState, tables
     B = state.cur.shape[0]
     Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     page = state.k_pages.shape[3]
-    scratch_pid = state.k_pages.shape[1] - 1
+    scratch_pid = state.k_pages.shape[2] - 1
     rows = jnp.arange(B)
 
     write_pos = state.lengths  # 0-based index of the token written this step
@@ -115,15 +117,15 @@ def paged_decode_step(params, cfg: BailingMoeConfig, state: PagedKVState, tables
 
     def layer(carry, inp):
         h = carry
-        p, layer_idx, kc, vc, lora = inp  # kc/vc: (P+1, Hkv, page, D)
+        p, layer_idx, kc, vc, lora = inp  # kc/vc: (Hkv, P+1, page, D)
         hn = rms_norm(h, p["input_layernorm"]["w"], eps=cfg.rms_norm_eps)
         qkv = _dense_lora(hn, p["attention"]["query_key_value"], lora, "query_key_value", lora_ids).reshape(B, 1, Hq + 2 * Hkv, D)
         q, kn, vn = jnp.split(qkv, [Hq, Hq + Hkv], axis=2)
         q, kn = apply_rope(q, kn, cos, sin)
         # page-addressed write; inactive rows target the scratch page, so no
         # scatter index ever collides with a live page
-        kc = kc.at[page_idx[:, None], hidx, off[:, None]].set(kn[:, 0].astype(kc.dtype))
-        vc = vc.at[page_idx[:, None], hidx, off[:, None]].set(vn[:, 0].astype(vc.dtype))
+        kc = kc.at[hidx, page_idx[:, None], off[:, None]].set(kn[:, 0].astype(kc.dtype))
+        vc = vc.at[hidx, page_idx[:, None], off[:, None]].set(vn[:, 0].astype(vc.dtype))
         a = _paged_attention(q, kc, vc, tables, attn_len)
         h = h + _dense_lora(a.reshape(B, 1, Hq * D), p["attention"]["dense"], lora, "dense", lora_ids)
         hn = rms_norm(h, p["post_attention_layernorm"]["w"], eps=cfg.rms_norm_eps)
@@ -159,7 +161,7 @@ def _admit_pages(k_pages, v_pages, cache_k, cache_v, page_ids):
 
     cache_k/v: (L, 1, Hkv, Smax, D); page_ids: (maxp,) int32 — destination page
     per Smax/page chunk, SCRATCH id for chunks past the prompt (their garbage
-    lands on the scratch page and is never read).
+    lands on the scratch page and is never read). Pool is (L, Hkv, P+1, page, D).
     """
     L, _, Hkv, Smax, D = cache_k.shape
     page = k_pages.shape[3]
@@ -170,7 +172,10 @@ def _admit_pages(k_pages, v_pages, cache_k, cache_v, page_ids):
         src_k = lax.dynamic_slice(cache_k, (0, 0, 0, i * page, 0), (L, 1, Hkv, page, D))[:, 0]
         src_v = lax.dynamic_slice(cache_v, (0, 0, 0, i * page, 0), (L, 1, Hkv, page, D))[:, 0]
         pid = page_ids[i]
-        return kp.at[:, pid].set(src_k.astype(kp.dtype)), vp.at[:, pid].set(src_v.astype(vp.dtype))
+        return (
+            kp.at[:, :, pid].set(src_k.astype(kp.dtype)),
+            vp.at[:, :, pid].set(src_v.astype(vp.dtype)),
+        )
 
     return lax.fori_loop(0, maxp, body, (k_pages, v_pages))
 
@@ -187,8 +192,8 @@ def _gather_pages(cache_k, cache_v, k_pages, v_pages, page_ids, n_pages):
     def body(i, kv):
         ck, cv = kv
         pid = page_ids[i]
-        src_k = k_pages[:, pid][:, None]  # (L, 1, Hkv, page, D)
-        src_v = v_pages[:, pid][:, None]
+        src_k = k_pages[:, :, pid][:, None]  # (L, 1, Hkv, page, D)
+        src_v = v_pages[:, :, pid][:, None]
         ck = lax.dynamic_update_slice(ck, src_k.astype(ck.dtype), (0, 0, 0, i * page, 0))
         cv = lax.dynamic_update_slice(cv, src_v.astype(cv.dtype), (0, 0, 0, i * page, 0))
         return ck, cv

@@ -274,7 +274,9 @@ def stream_supported(experts, x_flat, topk_idx) -> bool:
         E, d, m = gp.shape[-3:]
     N, k = topk_idx.shape
     cap = MAX_STREAM_SLOTS_QUANT if (quant8 or quant4) else MAX_STREAM_SLOTS
-    return PALLAS_TPU and d % 128 == 0 and m % 128 == 0 and N * k <= cap
+    # dedup-aggregation collapses A > E assignment slots to E grid steps, so
+    # the dense-crossover compares EFFECTIVE slots
+    return PALLAS_TPU and d % 128 == 0 and m % 128 == 0 and min(N * k, E) <= cap
 
 
 def moe_experts_stream(experts, x_flat, topk_idx, topk_w, *, chunk: int = 0, interpret: bool = False, layer_idx=None):
@@ -312,15 +314,36 @@ def moe_experts_stream(experts, x_flat, topk_idx, topk_w, *, chunk: int = 0, int
 
     A = N * k
     flat_idx = topk_idx.reshape(-1)
-    order = jnp.argsort(flat_idx)  # sorted slots -> duplicate experts adjacent
-    slot_ids = flat_idx[order].astype(jnp.int32)
-    slot_row = order // k
-    slot_w = topk_w.reshape(-1)[order].astype(jnp.float32)
-
     Np = max(8, -(-N // 8) * 8)  # sublane-pad token rows
-    # singleton middle axis keeps the (1, 1, Np) block TPU-legal (trailing dims
-    # equal the full array dims; a (1, Np) block would put 1 in the sublane slot)
-    gates = (slot_w[:, None] * jax.nn.one_hot(slot_row, Np, dtype=jnp.float32))[:, None, :]  # (A, 1, Np)
+    if A > E:
+        # Dedup-AGGREGATE (round 4, VERDICT weak #5): at A > E assignment
+        # slots, duplicate experts are guaranteed; collapse to ONE slot per
+        # present expert (ascending ids) with that expert's gate contributions
+        # pre-summed into its (Np,) row. Grid steps drop from A to E (B=16
+        # int4: 96 -> 64) and duplicate recompute disappears. Tail slots past
+        # the last present expert repeat its id via cummax — their DMA is
+        # elided (same block) and their gates row is zero.
+        oh = (flat_idx[:, None] == jnp.arange(E, dtype=flat_idx.dtype)[None, :]).astype(jnp.float32)  # (A, E)
+        rw = topk_w.reshape(-1).astype(jnp.float32)[:, None] * jax.nn.one_hot(
+            jnp.arange(A) // k, Np, dtype=jnp.float32
+        )  # (A, Np) — each assignment's gate weight at its token row
+        gates_e = oh.T @ rw  # (E, Np) summed gate rows per expert
+        present = jnp.sum(oh, axis=0) > 0
+        pos = jnp.cumsum(present.astype(jnp.int32)) - 1
+        target = jnp.where(present, pos, E)  # absent experts scatter out of bounds
+        ids_sc = jnp.zeros((E,), jnp.int32).at[target].set(jnp.arange(E, dtype=jnp.int32), mode="drop")
+        slot_ids = jax.lax.cummax(ids_sc)
+        gates = jnp.zeros((E, Np), jnp.float32).at[target].set(gates_e, mode="drop")[:, None, :]
+        A = E
+    else:
+        order = jnp.argsort(flat_idx)  # sorted slots -> duplicate experts adjacent
+        slot_ids = flat_idx[order].astype(jnp.int32)
+        slot_row = order // k
+        slot_w = topk_w.reshape(-1)[order].astype(jnp.float32)
+        # singleton middle axis keeps the (1, 1, Np) block TPU-legal (trailing
+        # dims equal the full array dims; a (1, Np) block would put 1 in the
+        # sublane slot)
+        gates = (slot_w[:, None] * jax.nn.one_hot(slot_row, Np, dtype=jnp.float32))[:, None, :]  # (A, 1, Np)
     xp = jnp.zeros((Np, d), x_flat.dtype).at[:N].set(x_flat)
 
     # spec factories: `two_axis` grids are (chunk, slot); q4 uses (slot,) only.

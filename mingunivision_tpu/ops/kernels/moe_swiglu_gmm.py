@@ -43,6 +43,30 @@ except Exception:  # pragma: no cover
     SWIGLU_GMM_AVAILABLE = False
 
 
+# Raised Mosaic VMEM budget for the fused kernels (v5e has 128 MiB of VMEM;
+# the compiler's default working-set ceiling is far lower and rejects
+# full-expert weight blocks). Full-m blocks matter because an m-CHUNK of an
+# (E, h, m) table is h short strided reads (chunk*wbytes each, m*wbytes
+# stride — 256 B pieces at chunk=128/bf16) that run at a fraction of HBM
+# bandwidth, while the full-m block is one contiguous stream.
+VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _pick_chunk(m: int, h: int, wbytes: int) -> int:
+    """m-chunk width. FULL m for bf16 when the double-buffered gate+up+down
+    working set fits the raised VMEM budget (one contiguous weight stream per
+    tile instead of h short strided reads — measured 5.54 vs 5.96 ms/layer
+    @1024 tok on v5e). For the quantized tiers full-m measured SLOWER (int8:
+    7.0 vs 5.6 ms — the per-chunk dequant scratch grows with the block), so
+    they keep the legacy 128-multiple chunks."""
+    if wbytes >= 2 and 2 * 3 * h * m * wbytes <= VMEM_LIMIT // 2:
+        return m
+    for cand in (512, 384, 256, 128):
+        if m % cand == 0:
+            return cand
+    return 128
+
+
 def _kernel(
     group_offsets_ref,
     group_ids_ref,
@@ -273,11 +297,7 @@ def _swiglu_gmm_q8(xs, w1, w3, w2, group_sizes, *, tm, chunk, interpret, s8=Fals
     A, h = xs.shape
     E, _, m = w1.q.shape
     if chunk == 0:
-        chunk = 128
-        for cand in (512, 384, 256, 128):
-            if m % cand == 0:
-                chunk = cand
-                break
+        chunk = _pick_chunk(m, h, 1)
     num_chunks = m // chunk
     group_metadata, num_active_tiles = make_group_metadata(
         group_sizes=group_sizes,
@@ -316,7 +336,10 @@ def _swiglu_gmm_q8(xs, w1, w3, w2, group_sizes, *, tm, chunk, interpret, s8=Fals
             grid=(num_active_tiles, num_chunks),
             scratch_shapes=scratch,
         ),
-        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary", "arbitrary")),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT,
+        ),
         interpret=interpret,
     )(group_offsets, group_ids, m_tile_ids, xs, w1.q, w1.s, w3.q, w3.s, w2.q, w2.s)
 
@@ -557,7 +580,10 @@ def _swiglu_gmm_q4_chunked(xs, w1, w3, w2, group_sizes, *, tm, interpret, s8=Fal
             grid=(num_active_tiles, num_chunks),
             scratch_shapes=scratch,
         ),
-        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary", "arbitrary")),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT,
+        ),
         interpret=interpret,
     )(
         group_offsets,
@@ -655,7 +681,10 @@ def swiglu_gmm_quant(
             out_specs=pl.BlockSpec((tm, h), lambda t, go, gi, mt: (mt[t], 0)),
             grid=(num_active_tiles,),
         ),
-        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=VMEM_LIMIT,
+        ),
         interpret=interpret,
     )(group_offsets, group_ids, m_tile_ids, xs, w1.q, w1.s, w3.q, w3.s, w2.q, w2.s)
     return out
@@ -683,12 +712,8 @@ def swiglu_gmm(
     E, _, m = w1.shape
     assert A % tm == 0, (A, tm)
     if chunk == 0:
-        chunk = 128
-        for cand in (512, 384, 256, 128):
-            if m % cand == 0:
-                chunk = cand
-                break
-    assert m % chunk == 0 and chunk % 128 == 0, (m, chunk)
+        chunk = _pick_chunk(m, h, xs.dtype.itemsize)
+    assert m % chunk == 0 and (chunk % 128 == 0 or chunk == m), (m, chunk)
     num_chunks = m // chunk
 
     group_metadata, num_active_tiles = make_group_metadata(
@@ -718,7 +743,8 @@ def swiglu_gmm(
             scratch_shapes=[pltpu.VMEM((tm, h), jnp.float32)],
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT,
         ),
         interpret=interpret,
     )(group_offsets, group_ids, m_tile_ids, xs, w1, w3, w2)

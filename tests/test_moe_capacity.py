@@ -1,0 +1,100 @@
+"""Capacity-dense MoE prefill dispatch (ops/kernels/moe_capacity.py) —
+sort-free rank, exactness vs the masked-dense oracle, overflow fallback."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mingunivision_tpu.models.bailing_moe import moe_experts_dense
+from mingunivision_tpu.ops.kernels.moe_capacity import (
+    expert_rank,
+    moe_experts_capacity,
+    moe_experts_capacity_exact,
+)
+
+
+def _rank_oracle(flat_e, E):
+    seen = np.zeros(E, np.int32)
+    out = np.zeros(len(flat_e), np.int32)
+    for i, e in enumerate(flat_e):
+        out[i] = seen[e]
+        seen[e] += 1
+    return out, seen
+
+
+class TestExpertRank:
+    def test_matches_oracle(self):
+        rng = np.random.default_rng(0)
+        E = 16
+        flat = rng.integers(0, E, size=1536).astype(np.int32)
+        want_rank, want_gs = _rank_oracle(flat, E)
+        rank, gs = jax.jit(expert_rank, static_argnums=1)(jnp.asarray(flat), E)
+        np.testing.assert_array_equal(np.asarray(rank), want_rank)
+        np.testing.assert_array_equal(np.asarray(gs), want_gs)
+
+    def test_unpadded_small_and_ragged(self):
+        rng = np.random.default_rng(1)
+        for A in (7, 512, 700):
+            flat = rng.integers(0, 5, size=A).astype(np.int32)
+            want_rank, want_gs = _rank_oracle(flat, 5)
+            rank, gs = expert_rank(jnp.asarray(flat), 5, block=512)
+            np.testing.assert_array_equal(np.asarray(rank), want_rank)
+            np.testing.assert_array_equal(np.asarray(gs), want_gs)
+
+
+def _toy(seed, E=8, d=64, m=96, N=32, k=3):
+    rng = np.random.default_rng(seed)
+    experts = {
+        "gate_proj": jnp.asarray(rng.standard_normal((E, d, m)) * 0.05, jnp.float32),
+        "up_proj": jnp.asarray(rng.standard_normal((E, d, m)) * 0.05, jnp.float32),
+        "down_proj": jnp.asarray(rng.standard_normal((E, m, d)) * 0.05, jnp.float32),
+    }
+    x = jnp.asarray(rng.standard_normal((N, d)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, E, size=(N, k)).astype(np.int32))
+    w = jax.nn.softmax(jnp.asarray(rng.standard_normal((N, k)), jnp.float32), -1)
+    return experts, x, idx, w, E
+
+
+class TestMoECapacity:
+    def test_matches_dense_when_fits(self):
+        experts, x, idx, w, E = _toy(2)
+        want = np.asarray(moe_experts_dense(experts, x, idx, w, E))
+        got = np.asarray(moe_experts_capacity(experts, x, idx, w, E, capacity=32 * 3))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_overflow_drops_without_guard(self):
+        experts, x, idx, w, E = _toy(3)
+        idx = jnp.zeros_like(idx)  # everything routed to expert 0 -> load 96
+        want = np.asarray(moe_experts_dense(experts, x, idx, w, E))
+        got = np.asarray(moe_experts_capacity(experts, x, idx, w, E, capacity=16))
+        assert np.abs(got - want).max() > 1e-3  # silently wrong — hence the guard
+
+    def test_exact_wrapper_falls_back_on_overflow(self):
+        experts, x, idx, w, E = _toy(4)
+        idx = jnp.zeros_like(idx)
+        want = np.asarray(moe_experts_dense(experts, x, idx, w, E))
+        got = np.asarray(
+            jax.jit(moe_experts_capacity_exact, static_argnums=(4, 5))(
+                experts, x, idx, w, E, 16
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_exact_wrapper_uses_capacity_when_fits(self):
+        experts, x, idx, w, E = _toy(5)
+        want = np.asarray(moe_experts_dense(experts, x, idx, w, E))
+        got = np.asarray(
+            jax.jit(moe_experts_capacity_exact, static_argnums=(4, 5))(
+                experts, x, idx, w, E, 96
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_bf16_path(self):
+        experts, x, idx, w, E = _toy(6)
+        experts = {k2: v.astype(jnp.bfloat16) for k2, v in experts.items()}
+        xb = x.astype(jnp.bfloat16)
+        want = np.asarray(moe_experts_dense(experts, xb, idx, w, E), np.float32)
+        got = np.asarray(moe_experts_capacity(experts, xb, idx, w, E, 96), np.float32)
+        np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)

@@ -309,8 +309,8 @@ class TestPagedAttentionKernel:
     def _setup(self, key, B=3, Hq=4, Hkv=2, D=8, page=16, P=6, maxp=4):
         ks = jax.random.split(key, 4)
         q = jax.random.normal(ks[0], (B, 1, Hq, D), jnp.float32)
-        kp = jax.random.normal(ks[1], (P + 1, Hkv, page, D), jnp.float32)
-        vp = jax.random.normal(ks[2], (P + 1, Hkv, page, D), jnp.float32)
+        kp = jax.random.normal(ks[1], (Hkv, P + 1, page, D), jnp.float32)
+        vp = jax.random.normal(ks[2], (Hkv, P + 1, page, D), jnp.float32)
         # rows own disjoint pages; unassigned entries point at the scratch page
         tables = np.full((B, maxp), P, np.int32)
         tables[0, :2] = [0, 1]
@@ -327,10 +327,10 @@ class TestPagedAttentionKernel:
         out = paged_gather_attention(q, kp, vp, tables, lengths)
         # dense oracle: materialize each row's contiguous cache
         B, _, Hq, D = q.shape
-        page = kp.shape[2]
+        Hkv, _, page, _ = kp.shape
         maxp = tables.shape[1]
-        kg = jnp.take(kp, tables, axis=0).transpose(0, 2, 1, 3, 4).reshape(B, kp.shape[1], maxp * page, D)
-        vg = jnp.take(vp, tables, axis=0).transpose(0, 2, 1, 3, 4).reshape(B, vp.shape[1], maxp * page, D)
+        kg = jnp.take(kp, tables, axis=1).transpose(1, 0, 2, 3, 4).reshape(B, Hkv, maxp * page, D)
+        vg = jnp.take(vp, tables, axis=1).transpose(1, 0, 2, 3, 4).reshape(B, Hkv, maxp * page, D)
         mask = jnp.arange(maxp * page)[None, :] < lengths[:, None]
         want = mha(q, kg, vg, mask=mask[:, None, None, :], kv_head_major=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-6)
@@ -353,11 +353,11 @@ class TestPagedAttentionKernel:
 
         q, kp, vp, tables, lengths = self._setup(jax.random.PRNGKey(2))
         out1 = paged_gather_attention(q, kp, vp, tables, lengths)
-        P = kp.shape[0] - 1
-        kp2 = kp.at[P].set(1e6)  # poison scratch
-        vp2 = vp.at[P].set(-1e6)
+        P = kp.shape[1] - 1
+        kp2 = kp.at[:, P].set(1e6)  # poison scratch
+        vp2 = vp.at[:, P].set(-1e6)
         # poison the tail of row 0's LAST page past its length (20 < 32)
-        kp2 = kp2.at[1, :, 10:].set(3e5)
-        vp2 = vp2.at[1, :, 10:].set(-3e5)
+        kp2 = kp2.at[:, 1, 10:].set(3e5)
+        vp2 = vp2.at[:, 1, 10:].set(-3e5)
         out2 = paged_gather_attention(q, kp2, vp2, tables, lengths)
         np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))

@@ -117,6 +117,31 @@ class TestMoEStreamKernel:
         got = np.asarray(moe_experts_stream(experts, x, idx, w, interpret=True))
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
+    def test_dedup_aggregated_slots(self):
+        """A > E collapses assignments to one slot per PRESENT expert with
+        pre-summed gates (round-4 decode-MoE dedup); absent experts must not
+        contribute and batch rows keep their own mixtures."""
+        from mingunivision_tpu.models.bailing_moe import moe_experts_dense
+        from mingunivision_tpu.ops.kernels.moe_stream import moe_experts_stream
+
+        rng = np.random.default_rng(7)
+        E, d, m, N, k = 8, 128, 256, 16, 3  # A = 48 > E = 8
+        experts = {
+            "gate_proj": jnp.asarray(rng.standard_normal((E, d, m)) * 0.05, jnp.float32),
+            "up_proj": jnp.asarray(rng.standard_normal((E, d, m)) * 0.05, jnp.float32),
+            "down_proj": jnp.asarray(rng.standard_normal((E, m, d)) * 0.05, jnp.float32),
+        }
+        x = jnp.asarray(rng.standard_normal((N, d)), jnp.float32)
+        # expert 5 never routed; expert 0 heavily duplicated
+        pool = np.asarray([0, 1, 2, 3, 4, 6, 7])
+        idx_np = rng.choice(pool, size=(N, k)).astype(np.int32)
+        idx_np[:, 0] = 0
+        idx = jnp.asarray(idx_np)
+        w = jax.nn.softmax(jnp.asarray(rng.standard_normal((N, k)), jnp.float32), -1)
+        want = np.asarray(moe_experts_dense(experts, x, idx, w, E))
+        got = np.asarray(moe_experts_stream(experts, x, idx, w, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
     def test_supported_gate(self):
         from mingunivision_tpu.ops.kernels.moe_stream import stream_supported
 
@@ -131,8 +156,16 @@ class TestMoEStreamKernel:
         # unaligned hidden dim -> unsupported
         bad = {k: jnp.zeros((4, 100, 384)) if "down" not in k else jnp.zeros((4, 384, 100)) for k in experts}
         assert not stream_supported(bad, x, idx)
-        # too many slots -> unsupported
-        assert not stream_supported(experts, x, jnp.zeros((10, 6), jnp.int32))
+        # A > E no longer trips the slot cap: dedup-aggregation collapses the
+        # grid to min(A, E) = 4 steps
+        assert stream_supported(experts, x, jnp.zeros((10, 6), jnp.int32))
+        # ... but min(A, E) above the cap still falls back to masked-dense
+        wide = {
+            "gate_proj": jnp.zeros((48, 256, 384)),
+            "up_proj": jnp.zeros((48, 256, 384)),
+            "down_proj": jnp.zeros((48, 384, 256)),
+        }
+        assert not stream_supported(wide, x, jnp.zeros((10, 6), jnp.int32))
 
 
 class TestMoEStreamInt8:
