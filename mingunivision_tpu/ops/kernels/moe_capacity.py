@@ -149,3 +149,12 @@ def moe_experts_capacity_exact(
         topk_idx,
         topk_w,
     )
+
+
+def default_capacity(num_tokens: int, top_k: int, num_experts: int, factor: float = 2.0) -> int:
+    """Capacity for the exact-guarded path: `factor` x the mean expert load,
+    rounded up to 64 (sublane-friendly), floored at 128. At 1024 tok x top-6
+    over 64 experts (mean load 96) the default lands on 192; the overflow
+    fallback makes a skew past factor x mean a perf event, not a wrong answer."""
+    mean = num_tokens * top_k / num_experts
+    return max(128, int(-(-factor * mean // 64)) * 64)
