@@ -242,7 +242,7 @@ class InferenceServer:
         batch_max_len: int = 1024,
         image_pool_slots: int = 0,
         image_pool_chunk: int = 32,
-        paged_kv: bool = False,
+        paged_kv: Optional[bool] = None,
         page_size: int = 64,
         num_pages: Optional[int] = None,
         prefix_cache: bool = False,
@@ -295,6 +295,12 @@ class InferenceServer:
             }
         if batch_slots > 0:
             mesh = getattr(infer, "mesh", None)
+            if paged_kv is None:
+                # default tier: paged on a single device (measured tax 0-2% at
+                # B=8/16 after the round-4 multi-page kernel — BENCHMARKS
+                # "Serving re-measure"; buys bounded KV HBM + prefix reuse),
+                # dense pool under a mesh (paged is the unsharded tier)
+                paged_kv = mesh is None
             if paged_kv:
                 if mesh is not None:
                     raise ValueError("paged_kv is the single-device tier; use the dense pool with a mesh")

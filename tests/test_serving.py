@@ -345,7 +345,7 @@ def test_generate_batch_paged_kv(tiny_infer):
 
     from mingunivision_tpu.serving.server import InferenceServer
 
-    dense = InferenceServer(tiny_infer, batch_slots=3, batch_max_len=256)
+    dense = InferenceServer(tiny_infer, batch_slots=3, batch_max_len=256, paged_kv=False)
     # 6 pages of 32 = 192 tokens in flight; three ~10-token prompts + decode fit,
     # but only after requeue when admissions burst
     paged = InferenceServer(
