@@ -412,11 +412,16 @@ def rf_sample_fused(
         ]
     )
 
+    # input/final projections may themselves be QuantizedArray (quantize_tree's
+    # min-size threshold is below their 32x3072 size) — dequant to the compute
+    # dtype host-side of the kernel; they're ~200 KB and VMEM-resident.
+    from mingunivision_tpu.utils.quantize import dequant_weight
+
     ip = params["input_proj"]
-    win = jnp.zeros((LAT, w), compute_dtype).at[:C].set(ip["w"].astype(compute_dtype))
+    win = jnp.zeros((LAT, w), compute_dtype).at[:C].set(dequant_weight(ip["w"], compute_dtype))
     binp = (ip["b"].astype(jnp.float32) if "b" in ip else jnp.zeros((w,), jnp.float32)).reshape(1, w)
     fl = params["final_layer"]["linear"]
-    wfin = jnp.zeros((w, LAT), compute_dtype).at[:, :C].set(fl["w"].astype(compute_dtype))
+    wfin = jnp.zeros((w, LAT), compute_dtype).at[:, :C].set(dequant_weight(fl["w"], compute_dtype))
     bfin = jnp.zeros((1, LAT), jnp.float32).at[0, :C].set(
         fl["b"].astype(jnp.float32) if "b" in fl else 0.0
     )

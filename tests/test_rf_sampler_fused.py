@@ -103,6 +103,19 @@ class TestFusedSampler:
         rel = np.linalg.norm(got - want) / (np.linalg.norm(want) + 1e-12)
         assert np.isfinite(got).all() and rel < 0.05, rel
 
+    def test_full_tree_quantized_projections(self):
+        """api.py quantizes the WHOLE rf tree (quantize_tree over rf_head), so
+        input_proj/final_layer.linear arrive as QuantizedArray above the
+        min-size threshold — the fused driver must dequant them, not .astype
+        (round-4 regression: AttributeError on the production int4 tree)."""
+        cfg, qp = _setup(bits=8)
+        qp = dict(qp)
+        qp["input_proj"] = quantize_tree(qp["input_proj"], bits=8, min_size=16)
+        qp["final_layer"] = dict(qp["final_layer"])
+        qp["final_layer"]["linear"] = quantize_tree(qp["final_layer"]["linear"], bits=8, min_size=16)
+        got, want = _run_both(cfg, qp, cfg_rows=3)
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
     def test_traced_cfg_scalars(self):
         """text/image cfg may be traced (cfg schedules) — the fused path must
         accept them without recompiling the branch structure."""
