@@ -118,9 +118,65 @@ def full_bench(bits, tokens, tm):
     return t
 
 
+def chained_bench(fn_name, dispatch, bits, tokens, reps=4, **kw):
+    """Chain `reps` dispatch calls inside ONE jit (each consumes the previous
+    output) and divide — the only axon-trustworthy timing for per-layer cost
+    (per-call overhead pipelines and under-reports otherwise; CLAUDE.md)."""
+    tabs = make_tables(bits)
+    experts = {"gate_proj": tabs[0], "up_proj": tabs[1], "down_proj": tabs[2]}
+    x = jax.jit(lambda k: jax.random.normal(k, (tokens, H), jnp.bfloat16))(jax.random.PRNGKey(5))
+    idx = jax.jit(lambda k: jax.random.randint(k, (tokens, TOP_K), 0, E, jnp.int32))(jax.random.PRNGKey(6))
+    w = jax.jit(lambda k: jax.nn.softmax(jax.random.normal(k, (tokens, TOP_K), jnp.bfloat16)))(jax.random.PRNGKey(7))
+
+    @jax.jit
+    def f(experts, x, idx, w):
+        for _ in range(reps):
+            y = dispatch(experts, x, idx, w, E, **kw)
+            x = (x + y.astype(jnp.float32)).astype(x.dtype)  # dependency chain
+        return x
+
+    t = bench_fn(lambda: f(experts, x, idx, w), iters=4, warmup=2) / reps
+    say(f"chained {fn_name} int{bits} @{tokens}tok: {t*1e3:.3f} ms/layer")
+    return t
+
+
+def capacity_probe():
+    """Round-4 second pass: capacity-dense scatter + UNIFORM-groups fused
+    kernel (tm == capacity -> one visit per expert, no boundary recompute)
+    vs the argsort-gmm default, chained-in-jit."""
+    from mingunivision_tpu.ops.kernels.moe_capacity import (
+        moe_experts_capacity_gmm,
+        moe_experts_capacity_gmm_exact,
+    )
+
+    results = {}
+    for bits in (16, 8):
+        t = chained_bench("argsort-gmm tm=256", moe_experts_swiglu_gmm, bits, 1024, tm=256)
+        results[f"argsort_int{bits}_tm256"] = round(t * 1e3, 3)
+        for C in (128, 192):
+            t = chained_bench(
+                f"capacity-gmm C={C}", moe_experts_capacity_gmm, bits, 1024, capacity=C
+            )
+            results[f"capgmm_int{bits}_C{C}"] = round(t * 1e3, 3)
+        t = chained_bench(
+            "capacity-gmm-exact C=128", moe_experts_capacity_gmm_exact, bits, 1024, capacity=128
+        )
+        results[f"capgmm_exact_int{bits}_C128"] = round(t * 1e3, 3)
+    # 4096-token prefill leg (mean load 384; C=512)
+    t = chained_bench("argsort-gmm tm=256 @4096", moe_experts_swiglu_gmm, 16, 4096, tm=256)
+    results["argsort_int16_4096"] = round(t * 1e3, 3)
+    t = chained_bench(
+        "capacity-gmm C=512 @4096", moe_experts_capacity_gmm, 16, 4096, capacity=512
+    )
+    results["capgmm_int16_4096_C512"] = round(t * 1e3, 3)
+    print(json.dumps(results))
+
+
 def main():
     assert jax.default_backend() == "tpu", jax.default_backend()
     say("tpu up")
+    if "--capacity" in sys.argv:
+        return capacity_probe()
     results = {}
     for N in (1024, 4096):
         to, tn = glue_bench(N)

@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--tokens", type=int, default=64)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu-tiny", action="store_true", help="tiny CPU smoke config")
+    ap.add_argument("--min-size", type=int, default=None,
+                    help="quantize_tree min leaf size (default: library default; "
+                         "--cpu-tiny forces 128 so tiny weights actually quantize)")
     args = ap.parse_args()
 
     from mingunivision_tpu.config import (
@@ -60,6 +63,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         llm_cfg = tiny_llm_config()
         mm = MingUniVisionConfig(mingtok=tiny_mingtok_config(), llm=llm_cfg, rf_head=tiny_rf_config(), mlp_depth=2)
+        if args.min_size is None:
+            args.min_size = 128  # tiny weights are all < default 64K threshold
     else:
         llm_cfg = BailingMoeConfig(num_hidden_layers=args.layers)
         mm = MingUniVisionConfig(llm=llm_cfg)
@@ -73,10 +78,31 @@ def main():
         "linear_proj": init_linear_proj_params(ks[4], mm.mingtok.feature_dim, llm_cfg.hidden_size, mm.mlp_depth, dtype=dtype),
     }
 
+    # CRITICAL: init_rf_head_params is reference-faithful DiT ZERO-INIT
+    # (AdaLN-zero gates + zero final layer), so a fresh RF head outputs an
+    # EXACTLY-ZERO velocity field for any input — latents degenerate to pure
+    # noise, identical across tiers, and the whole bench reads vacuously
+    # bit-identical (the round-4 "126 dB for every pair" artifact). Perturb
+    # every RF-head leaf so the sampler integrates a real field.
+    def _denoise_zero_init(tree, key):
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        keys = jax.random.split(key, len(leaves))
+        out = [
+            l + (0.02 * jax.random.normal(k, l.shape, jnp.float32)).astype(l.dtype)
+            if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)
+            else l
+            for l, k in zip(leaves, keys)
+        ]
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    base["rf_head"] = _denoise_zero_init(base["rf_head"], jax.random.PRNGKey(args.seed + 7))
+
+    qkw = {} if args.min_size is None else {"min_size": args.min_size}
+
     def tier(scheme):
         p = dict(base)
-        p["llm"] = quantize_tree(base["llm"], bits=4, scheme=scheme)
-        p["rf_head"] = quantize_tree(base["rf_head"], bits=4, scheme=scheme)
+        p["llm"] = quantize_tree(base["llm"], bits=4, scheme=scheme, **qkw)
+        p["rf_head"] = quantize_tree(base["rf_head"], bits=4, scheme=scheme, **qkw)
         return p
 
     igen = ImageGenConfig(num_image_tokens=args.tokens)
@@ -91,17 +117,22 @@ def main():
             p, llm_cfg, mm.mingtok, mm.rf_head, igen, start, cache, masks,
             jax.random.PRNGKey(args.seed + 1), cfg_rows=3,
         )
-        sem = np.asarray(res.sem_tokens, np.float32)  # (N, feat)
+        sem = np.asarray(res.sem_tokens, np.float32)  # (n_img, N, feat)
         img = np.asarray(
-            mingtok_pixel_decoder(base["mingtok"], mm.mingtok, jnp.asarray(sem, jnp.float32)[None]),
+            mingtok_pixel_decoder(base["mingtok"], mm.mingtok, jnp.asarray(sem, jnp.float32)),
             np.float32,
         )
         return sem, img
 
     t0 = time.time()
     results = {}
-    for name, p in (("bf16", base), ("int4_linear", tier("linear")), ("int4_nf4", tier("nf4"))):
+    # Tiers are built LAZILY and freed after each run: full-width bf16 + two
+    # int4 copies do not coexist in one v5e's 16 GB HBM (bf16 16B alone does
+    # not fit at 28L — run with --layers <= 6 for the bf16 leg on one chip).
+    for name, mk in (("bf16", lambda: base), ("int4_linear", lambda: tier("linear")), ("int4_nf4", lambda: tier("nf4"))):
+        p = mk()
         results[name] = run(p)
+        del p
         print(json.dumps({"tier": name, "elapsed_s": round(time.time() - t0, 1)}), flush=True)
 
     def compare(a, b):

@@ -236,6 +236,13 @@ class BailingMoeConfig(_JsonMixin):
     # test so a CPU lowering reflects the real serving graph's temps instead of
     # the CPU-only gather path. None = normal selection.
     moe_force_dispatch: Any = None
+    # prefill MoE dispatch: route through the capacity-dense scatter +
+    # UNIFORM-groups fused SwiGLU kernel (ops/kernels/moe_capacity.py —
+    # tm == capacity means one kernel visit per expert, no megablox group-
+    # boundary recompute) with a lax.cond fallback to the exact argsort-gmm on
+    # overflow. factor scales capacity vs the mean expert load
+    # (default_capacity); 0 disables the capacity path entirely.
+    moe_prefill_capacity_factor: float = 1.33
     # runtime-only: the jax Mesh for the shard_map decode path (excluded from
     # JSON / equality; api.py fills it in when constructed with a mesh)
     expert_mesh: Any = dataclasses.field(default=None, compare=False, repr=False)

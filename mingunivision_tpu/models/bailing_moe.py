@@ -351,11 +351,31 @@ def moe_block_apply(params, cfg: BailingMoeConfig, x, image_mask=None, audio_mas
         is_int4 = is_quant and tabs["gate_proj"].bits == 4
         if on_tpu and not sharded and swiglu_gmm_supported(tabs, x_flat):
             if is_quant or not cfg.moe_differentiable:
-                # inference tiers: plain fused kernel (no grads through
-                # quantized tables; same gate as the sharded branch)
-                y = moe_experts_swiglu_gmm(
-                    tabs, x_flat, topk_idx, topk_w, cfg.num_experts, tm=128 if is_int4 else 256
-                )
+                # inference tiers. Default: capacity-dense scatter + UNIFORM-
+                # groups fused kernel (tm == capacity -> exactly one kernel
+                # visit per expert; the argsort-gmm's megablox tiles straddle a
+                # group boundary almost every visit at ~96 rows/expert and
+                # recompute the full (tm, h) tile per intersecting expert —
+                # ~3.6x FLOP amplification at 1024 tok). lax.cond falls back to
+                # the exact argsort-gmm when any expert's load > capacity.
+                cap_factor = getattr(cfg, "moe_prefill_capacity_factor", 0.0)
+                if cap_factor > 0:
+                    from mingunivision_tpu.ops.kernels.moe_capacity import (
+                        default_capacity,
+                        moe_experts_capacity_gmm_exact,
+                    )
+
+                    cap = default_capacity(
+                        B * T, cfg.num_experts_per_tok, cfg.num_experts, factor=cap_factor
+                    )
+                    y = moe_experts_capacity_gmm_exact(
+                        tabs, x_flat, topk_idx, topk_w, cfg.num_experts, cap,
+                        tm_fallback=128 if is_int4 else 256,
+                    )
+                else:
+                    y = moe_experts_swiglu_gmm(
+                        tabs, x_flat, topk_idx, topk_w, cfg.num_experts, tm=128 if is_int4 else 256
+                    )
             else:
                 # custom_vjp wrapper: fused kernel fwd, megablox gmm/tgmm bwd —
                 # keeps jax.grad working through the TPU training forward

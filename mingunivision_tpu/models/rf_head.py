@@ -174,6 +174,7 @@ def _time_grid(cfg: RFHeadConfig, time_shifting_factor: Optional[float]):
 
 
 FUSED_SAMPLER = False  # opt-in: whole-sample fused kernel (see rf_sample)
+_FUSED_TRACES = 0  # incremented at trace time when the fused branch is taken
 
 
 def _params_on_tpu(params) -> bool:
@@ -264,6 +265,8 @@ def rf_sample(
         )
 
         if rf_sampler_supported(params, B, cfg_rows):
+            global _FUSED_TRACES
+            _FUSED_TRACES += 1  # trace-time telemetry: benches assert the gate fired
             out = rf_sample_fused(
                 params, cfg, noise, block_mods, final_mods, dts, text_cfg, image_cfg,
                 cfg_rows=cfg_rows,

@@ -120,6 +120,120 @@ def moe_experts_capacity(
     return out.astype(x_flat.dtype)
 
 
+def moe_experts_capacity_gmm(
+    experts,
+    x_flat,
+    topk_idx,
+    topk_w,
+    num_experts: int,
+    capacity: int,
+    *,
+    s8=None,
+    interpret: bool = False,
+):
+    """Capacity-dense dispatch through the FUSED SwiGLU grouped-matmul kernel
+    with UNIFORM groups: scatter assignments into an (E, capacity, h) buffer,
+    then run `swiglu_gmm` with group_sizes = [capacity]*E and tm = capacity.
+
+    Why this beats both parents (measured context in BENCHMARKS.md round 4):
+      - vs argsort-gmm: with ~96 rows/expert and tm=128/256, nearly every
+        megablox m-tile straddles a group boundary, so each boundary tile runs
+        the FULL (tm, h) x (h, m) matmuls once PER intersecting expert with a
+        masked store — ~3.6x compute amplification at 1024 tok (374 vs 106
+        GFLOP/layer at tm=256). Uniform groups = capacity = tm make every tile
+        exactly one expert: 64 visits, zero recompute, each expert's w1/w3/w2
+        streamed exactly once (the 1.06 GB bf16 floor).
+      - vs the XLA einsum capacity path: no (E, C, m) g/u intermediates round-
+        tripping through HBM; silu*mul+down run fused in VMEM.
+
+    Exact iff max group load <= capacity (use moe_experts_capacity_gmm_exact).
+    Works for bf16 and QuantizedArray tiers (same kernels as the argsort path).
+    """
+    from mingunivision_tpu.ops.kernels.moe_swiglu_gmm import swiglu_gmm, swiglu_gmm_quant
+    from mingunivision_tpu.utils.quantize import QuantizedArray
+
+    N, k = topk_idx.shape
+    E = num_experts
+    C = capacity
+    h = x_flat.shape[1]
+    flat_e = topk_idx.reshape(-1).astype(jnp.int32)
+
+    rank, _ = expert_rank(flat_e, E)
+    ok = rank < C
+    dst = jnp.where(ok, flat_e * C + rank, E * C)  # overflow -> trash row
+
+    xs = jnp.repeat(x_flat, k, axis=0)  # (A, h), original assignment order
+    xb = (
+        jnp.zeros((E * C + 1, h), x_flat.dtype)
+        .at[dst]
+        .set(xs, mode="drop")[: E * C]
+    )
+
+    group_sizes = jnp.full((E,), C, jnp.int32)
+    if isinstance(experts["gate_proj"], QuantizedArray):
+        y = swiglu_gmm_quant(
+            xb,
+            experts["gate_proj"],
+            experts["up_proj"],
+            experts["down_proj"],
+            group_sizes,
+            tm=C,
+            interpret=interpret,
+            s8=s8,
+        )
+    else:
+        y = swiglu_gmm(
+            xb,
+            experts["gate_proj"].astype(xb.dtype),
+            experts["up_proj"].astype(xb.dtype),
+            experts["down_proj"].astype(xb.dtype),
+            group_sizes,
+            tm=C,
+            interpret=interpret,
+        )
+
+    ys = jnp.take(y, jnp.minimum(dst, E * C - 1), axis=0)
+    ys = jnp.where(ok[:, None], ys, 0)
+    per = ys.reshape(N, k, h).astype(jnp.float32)
+    out = jnp.sum(per * topk_w.astype(jnp.float32)[..., None], axis=1)
+    return out.astype(x_flat.dtype)
+
+
+def moe_experts_capacity_gmm_exact(
+    experts,
+    x_flat,
+    topk_idx,
+    topk_w,
+    num_experts: int,
+    capacity: int,
+    *,
+    tm_fallback: int = 256,
+    s8=None,
+    interpret: bool = False,
+):
+    """Capacity-gmm guarded by an exactness cond: on overflow (any expert load
+    > capacity) run the exact argsort-gmm dispatch instead. Both branches trace
+    once; only one executes per step, so skew is a perf event, not a wrong
+    answer."""
+    from mingunivision_tpu.ops.kernels.moe_swiglu_gmm import moe_experts_swiglu_gmm
+
+    gs = jnp.bincount(topk_idx.reshape(-1), length=num_experts)
+    fits = jnp.max(gs) <= capacity
+    return lax.cond(
+        fits,
+        lambda ex, x, ti, tw: moe_experts_capacity_gmm(
+            ex, x, ti, tw, num_experts, capacity, s8=s8, interpret=interpret
+        ),
+        lambda ex, x, ti, tw: moe_experts_swiglu_gmm(
+            ex, x, ti, tw, num_experts, tm=tm_fallback, s8=s8, interpret=interpret
+        ),
+        experts,
+        x_flat,
+        topk_idx,
+        topk_w,
+    )
+
+
 def moe_experts_capacity_exact(
     experts,
     x_flat,

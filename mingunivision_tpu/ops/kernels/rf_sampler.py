@@ -392,8 +392,6 @@ def rf_sample_fused(
     n_img = B // cfg_rows
     assert C <= LAT
 
-    if bits == 4:
-        chunk = min(chunk, 2048)
     CH = min(chunk, H)
     while H % CH:
         CH //= 2

@@ -11,6 +11,7 @@ from mingunivision_tpu.ops.kernels.moe_capacity import (
     expert_rank,
     moe_experts_capacity,
     moe_experts_capacity_exact,
+    moe_experts_capacity_gmm,
 )
 
 
@@ -90,6 +91,53 @@ class TestMoECapacity:
             )
         )
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_capacity_gmm_matches_dense(self):
+        """Uniform-groups fused-kernel path (interpret mode) vs dense oracle."""
+        experts, x, idx, w, E = _toy(7, E=8, d=128, m=256, N=32, k=3)
+        want = np.asarray(moe_experts_dense(experts, x, idx, w, E))
+        got = np.asarray(
+            moe_experts_capacity_gmm(experts, x, idx, w, E, capacity=96, interpret=True)
+        )
+        np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+    def test_capacity_gmm_quantized(self):
+        from mingunivision_tpu.utils.quantize import quantize_array
+
+        experts, x, idx, w, E = _toy(8, E=8, d=128, m=256, N=32, k=3)
+        q = {k2: quantize_array(v, 8) for k2, v in experts.items()}
+        want = np.asarray(moe_experts_dense(q, x, idx, w, E))
+        got = np.asarray(
+            moe_experts_capacity_gmm(q, x, idx, w, E, capacity=96, s8=False, interpret=True)
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+    def test_capacity_gmm_exact_both_branches(self):
+        """The guarded wrapper: capacity branch when loads fit, argsort-gmm
+        fallback on overflow — both exact vs dense (interpret mode)."""
+        from mingunivision_tpu.ops.kernels.moe_capacity import moe_experts_capacity_gmm_exact
+
+        experts, x, idx, w, E = _toy(10, E=8, d=128, m=256, N=32, k=3)
+        want = np.asarray(moe_experts_dense(experts, x, idx, w, E))
+        fits = np.asarray(
+            moe_experts_capacity_gmm_exact(experts, x, idx, w, E, 96, tm_fallback=32, interpret=True)
+        )
+        np.testing.assert_allclose(fits, want, rtol=5e-4, atol=5e-4)
+        idx0 = jnp.zeros_like(idx)  # overflow: load 96 > capacity 32
+        want0 = np.asarray(moe_experts_dense(experts, x, idx0, w, E))
+        fb = np.asarray(
+            moe_experts_capacity_gmm_exact(experts, x, idx0, w, E, 32, tm_fallback=32, interpret=True)
+        )
+        np.testing.assert_allclose(fb, want0, rtol=5e-4, atol=5e-4)
+
+    def test_capacity_gmm_drops_overflow(self):
+        experts, x, idx, w, E = _toy(9, E=8, d=128, m=256, N=32, k=3)
+        idx = jnp.zeros_like(idx)  # load 96 on expert 0
+        want = np.asarray(moe_experts_dense(experts, x, idx, w, E))
+        got = np.asarray(
+            moe_experts_capacity_gmm(experts, x, idx, w, E, capacity=32, interpret=True)
+        )
+        assert np.abs(got - want).max() > 1e-3  # hence the _exact guard
 
     def test_bf16_path(self):
         experts, x, idx, w, E = _toy(6)
