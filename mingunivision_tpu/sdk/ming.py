@@ -229,6 +229,7 @@ class Ming:
         *,
         infer=None,  # MingUniVisionInfer
         talker_pipeline=None,  # OmniAudioPipeline
+        audio_frontend=None,  # talker.frontend.TTSFrontend (zero-shot cloning)
         spawn_server: bool = False,
         server_port: int = 8816,
     ):
@@ -238,6 +239,7 @@ class Ming:
             infer = MingUniVisionInfer(model_path)
         self.infer = infer
         self.talker_pipeline = talker_pipeline
+        self.audio_frontend = audio_frontend
         self.server: Optional[TalkerServerHandle] = None
         if spawn_server:
             self.server = self._spawn_server(model_path, server_port)
@@ -327,11 +329,26 @@ class Ming:
             if out.token_ids and out.token_ids[-1] == eos:
                 break
 
-    def tts(self, text: str):
-        """Text -> waveform via the talker pipeline."""
+    def tts(self, text: str, prompt_audio=None, prompt_sr: int = 16000):
+        """Text -> waveform via the talker pipeline.
+
+        prompt_audio: optional raw mono waveform (np.float32) for zero-shot
+        voice cloning — the audio frontend (talker/frontend.py, analog of the
+        reference TTSFrontEnd, ming_sdk/ming.py:407-411) derives the 192-d
+        voice-print, the 25 Hz prompt codec tokens, and the prompt mel, and
+        conditions both the talker prompt and the flow decoder with them."""
         if self.talker_pipeline is None:
             raise RuntimeError("no talker pipeline configured")
         import numpy as np
 
+        if prompt_audio is not None:
+            if self.audio_frontend is None:
+                raise RuntimeError(
+                    "prompt_audio given but no audio_frontend configured "
+                    "(pass Ming(audio_frontend=TTSFrontend(...)))"
+                )
+            self.talker_pipeline.set_voice(
+                self.audio_frontend.voice_profile(np.asarray(prompt_audio, np.float32), prompt_sr)
+            )
         chunks = list(self.talker_pipeline.stream(iter([text])))
         return np.concatenate([c.wav for c in chunks if len(c.wav)]) if chunks else np.zeros(0, np.float32)

@@ -42,16 +42,31 @@ class OmniAudioPipeline:
         tokenize: Callable[[str], List[int]],
         sm_config: Optional[SentenceManagerConfig] = None,
         seed: int = 0,
+        vp_emb=None,
     ):
         self.talker = talker
         self.detok = detokenizer
         self.tokenize = tokenize
         self.sm_config = sm_config
         self.key = jax.random.PRNGKey(seed)
+        self.vp_emb = vp_emb  # (1, K, 192) voice-print frames (talker vp_head)
+
+    def set_voice(self, profile) -> None:
+        """Apply a zero-shot VoiceProfile (talker/frontend.py): the voice-print
+        conditions every sentence's talker prompt; the codec/mel prompt +
+        speaker embedding condition the flow when the detokenizer supports
+        them (CosyVoiceDetokenizer's prompt_token/prompt_feat/embedding —
+        the reference's zero-shot conditioning surface, flow.inference args
+        modeling_bailing_talker.py:553-568)."""
+        self.vp_emb = profile.vp_emb
+        if hasattr(self.detok, "prompt_token"):
+            self.detok.prompt_token = np.asarray(profile.prompt_token, np.int32)
+            self.detok.prompt_feat = np.asarray(profile.prompt_feat, np.float32)
+            self.detok.embedding = np.asarray(profile.embedding, np.float32)
 
     def synthesize_sentence(self, sentence: str, state: Optional[StreamState], thinker_hidden=None):
         ids = np.asarray([self.tokenize(sentence)], np.int64)
-        codec = self.talker.generate_audio_tokens(ids, thinker_hidden=thinker_hidden)
+        codec = self.talker.generate_audio_tokens(ids, vp_emb=self.vp_emb, thinker_hidden=thinker_hidden)
         if not codec:
             return np.zeros(0, np.float32), state
         self.key, sub = jax.random.split(self.key)
