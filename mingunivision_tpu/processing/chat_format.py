@@ -10,6 +10,10 @@ styles the Bailing family actually serves:
     UniVision prompt format.
   - "qwen" (ChatML): `<|im_start|>role\n ... <|im_end|>\n` (:613-621).
   - "llama2": `[INST] ... [/INST]` with `<<SYS>>` block (:603-611).
+  - "antglm_raw" / "chatglm1" / "chatglm2": numbered-round plain styles with
+    `第{}轮` / `[Round {}]` headers (:576-593, :738-746).
+  - "chatglm3": `<|system|>/<|user|>/<|assistant|>` blocks (:595-600).
+  - "baichuan": `<token_id-195/196>` role markers (:623-626).
 
 Golden-tested against the reference implementation (pure stdlib Python) in
 tests/test_chat_format_golden.py: renders and pack/inout round-trips are
@@ -30,6 +34,10 @@ class PromptStyle(Enum):
     ANTGLM_CHAT = "antglm_chat"
     CHATML = "chatml"  # qwen
     LLAMA2 = "llama2"
+    ANTGLM_RAW = "antglm_raw"
+    CHATGLM = "chatglm"  # chatglm1/chatglm2
+    CHATGLM3 = "chatglm3"
+    BAICHUAN2 = "baichuan2"
 
 
 _STYLE_DEFAULTS = {
@@ -57,7 +65,62 @@ _STYLE_DEFAULTS = {
             assistant_end=" </s><s>",
         ),
     ),
+    # remaining open-model styles (reference chat_format.py:576-626) — cosmetic
+    # parity only; nothing in the UniVision path uses them
+    "antglm_raw": (
+        PromptStyle.ANTGLM_RAW,
+        dict(
+            role_template="{}",
+            role_human="用户: ",
+            role_assistant="机器人: ",
+            turn_start="第{}轮\n",
+            general_role_end="\n",
+        ),
+    ),
+    "chatglm1": (
+        PromptStyle.CHATGLM,
+        dict(
+            role_template="{}",
+            role_human="问：",
+            role_assistant="答：",
+            turn_start="[Round {}]\n",
+            general_role_end="\n",
+        ),
+    ),
+    "chatglm2": (
+        PromptStyle.CHATGLM,
+        dict(
+            role_template="{}",
+            role_human="问：",
+            role_assistant="答：",
+            turn_start="[Round {}]\n",
+            general_role_end="\n\n",
+        ),
+    ),
+    "chatglm3": (
+        PromptStyle.CHATGLM3,
+        dict(
+            role_template="{}",
+            system_template="<|system|>\n {}",
+            role_human="<|user|>\n ",
+            role_assistant="<|assistant|>\n ",
+        ),
+    ),
+    "baichuan": (
+        PromptStyle.BAICHUAN2,
+        dict(
+            role_template="{}",
+            system_template="{}",
+            role_human="<token_id-195>",
+            role_assistant="<token_id-196>",
+        ),
+    ),
 }
+
+# styles that prefix every human turn with a numbered round header; value =
+# first round index (reference :738-746: antglm_raw/chatglm2 count from 1,
+# chatglm1 from 0)
+_ROUND_START = {"antglm_raw": 1, "chatglm2": 1, "chatglm1": 0}
 
 
 @dataclass
@@ -217,7 +280,21 @@ class Chat:
         system_prompt = self.system_template.format(self.system_message) if self.system_message else ""
         ret = system_prompt + self.general_role_end if system_prompt else ""
 
+        # raw single-turn short-circuit (reference :722-736): no role/turn
+        # formatting at all for <= 2 messages
+        if self.style == PromptStyle.ANTGLM_RAW and len(self.messages) <= 2:
+            inp, output = "", ""
+            for role, message in self.messages:
+                if role == self.role_assistant:
+                    output = message
+                else:
+                    inp = ret + message
+            return {"input": [inp], "output": [output]}
+
+        round_start = _ROUND_START.get(self.name)
         for i, (role, message) in enumerate(self.messages):
+            if round_start is not None and i % 2 == 0:
+                ret += self.turn_start.format(i // 2 + round_start)
             role_end = self.general_role_end
             if role == self.role_assistant and self.assistant_end:
                 role_end = self.assistant_end
@@ -241,14 +318,21 @@ class Chat:
 
             if i == len(self.messages) - 1 and role != self.role_assistant:
                 inputs[-1] += self.role_template.format(self.role_assistant).strip()
+        if self.style == PromptStyle.ANTGLM_RAW:
+            inputs = [item.strip() for item in inputs]  # reference :785-786
         return {"input": inputs, "output": outputs}
 
     @property
     def prompt_inout(self) -> Dict[str, str]:
         """Single (input, output) render (reference :658-687)."""
         packs = self._format_packs(self.prompt_pack)
+        if self.style == PromptStyle.ANTGLM_RAW:
+            # reference compat (:670-672): re-space the stripped pack inputs
+            packs["input"] = [f"{item} " for item in packs["input"]]
         prompt_input = "".join(f"{x}{y}" for x, y in zip(packs["input"][:-1], packs["output"][:-1]))
         prompt_input += packs["input"][-1]
+        if self.style == PromptStyle.ANTGLM_RAW:
+            prompt_input = prompt_input.strip()
         return {"input": prompt_input, "output": packs["output"][-1]}
 
     @property

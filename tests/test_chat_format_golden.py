@@ -71,7 +71,10 @@ def _ref_name(name):
 
 class TestRenderParity:
     @pytest.mark.parametrize("key", sorted(CONVOS))
-    @pytest.mark.parametrize("style", ["antglm_chat", "qwen", "llama2"])
+    @pytest.mark.parametrize(
+        "style",
+        ["antglm_chat", "qwen", "llama2", "antglm_raw", "chatglm1", "chatglm2", "chatglm3", "baichuan"],
+    )
     def test_prompt_renders(self, ref_mod, key, style):
         convo = CONVOS[key]
         if style == "antglm_chat":
