@@ -22,26 +22,44 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 ROUND1_BASELINE_IPS = 50.72  # BENCH_r01.json
 
 
-def bench_mingtok_recon(batch: int = 8, iters: int = 10, warmup: int = 2, pixdec_precision: str = None):
+def bench_mingtok_recon(batch: int = 8, iters: int = 3, warmup: int = 1, pixdec_precision: str = None, chain: int = 4):
     """512px encode->decode throughput. pixdec_precision=None runs the
     model-default "high" tier (fp32-class, = the BENCH_r01/r02 configuration);
     "default" is the serving tier (BENCHMARKS "Pixel-decoder precision
-    tiers": 60.3 dB PSNR vs fp32, ViT flash attention active)."""
+    tiers": 60.3 dB PSNR vs fp32, ViT flash attention active).
+
+    DEPENDENCY-CHAINED timing (VERDICT r4 weak #8): `chain` enc_dec passes run
+    inside ONE jit, each batch perturbed by a scalar of the previous output, so
+    no queued work can escape the final scalar-fetch sync the way bench_fn's
+    identical-args loop can on axon."""
     import dataclasses
 
     from mingunivision_tpu.config import MingTokConfig
     from mingunivision_tpu.models.mingtok import init_mingtok_params, mingtok_enc_dec
-
-    from mingunivision_tpu.utils.profiling import bench_fn
+    from mingunivision_tpu.utils.profiling import force_sync
 
     cfg = MingTokConfig()
     if pixdec_precision is not None:
         cfg = dataclasses.replace(cfg, pixel_decoder=dataclasses.replace(cfg.pixel_decoder, matmul_precision=pixdec_precision))
     params = init_mingtok_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-    f = jax.jit(lambda p, x: mingtok_enc_dec(p, cfg, x))
+
+    @jax.jit
+    def chained(p, x):
+        acc = jnp.float32(0)
+        for _ in range(chain):
+            out = mingtok_enc_dec(p, cfg, x)
+            acc = acc + jnp.sum(out).astype(jnp.float32)
+            x = x + (acc * 1e-20).astype(x.dtype)  # serialize the chain
+        return acc
+
     x = jax.random.normal(jax.random.PRNGKey(1), (batch, 3, 512, 512), jnp.float32)
-    dt = bench_fn(f, params, x, iters=iters, warmup=warmup)
-    return batch / dt
+    force_sync(chained(params, x))  # compile
+    best = float("inf")
+    for _ in range(max(iters, 1)):
+        t0 = time.perf_counter()
+        force_sync(chained(params, x))
+        best = min(best, time.perf_counter() - t0)
+    return batch * chain / best
 
 
 def bench_prefill_int4(T: int = 2048) -> float:
@@ -74,7 +92,7 @@ def bench_understanding(layers: int = 28, bits: int = 4, decode_tokens: int = 12
     (1024 patches), project into the LLM, prefill the [text + 1024 image
     tokens] prompt, then greedy-decode `decode_tokens` answer tokens.
 
-    Returns (total_ms, prefill_ms, decode_tok_s)."""
+    Returns (total_ms, prefill_ms_chained, decode_tok_s, prefill_ms_unchained)."""
     from mingunivision_tpu.config import BailingMoeConfig, MingUniVisionConfig
     from mingunivision_tpu.engine.generate import decode_text, init_linear_proj_params, linear_proj_apply, prefill
     from mingunivision_tpu.models.bailing_moe import LLMCache, embed_tokens, init_bailing_moe_params
@@ -121,22 +139,48 @@ def bench_understanding(layers: int = 28, bits: int = 4, decode_tokens: int = 12
         )
         return logits, res
 
-    logits, res = run(0)  # compile
+    # prefill-only timing, CHAINED INSIDE ONE JIT (the repo's x4-in-jit rule,
+    # CLAUDE.md: per-call dispatch overhead on axon scales with the param-tree
+    # leaf count and a single un-chained call of a jit holding the full 28-layer
+    # int4 tree reads 100s of ms of marshaling, not compute — the BENCH_r04
+    # understanding_prefill_ms=540.6 artifact, VERDICT r5 task 6)
+    K = 4
+
+    @jax.jit
+    def prefill_chain(p, img, text_ids):
+        acc = jnp.float32(0)
+        im = img
+        for _ in range(K):
+            cache = LLMCache.create(llm_cfg, 1, Smax, dtype)
+            mask = jnp.zeros((1, Smax), bool).at[:, :T].set(True)
+            logits, _ = encode_and_prefill(p, im, text_ids, cache, mask)
+            acc = acc + jnp.sum(logits).astype(jnp.float32)
+            im = img + (acc * 1e-20).astype(img.dtype)  # serialize the chain
+        return acc
+
+    logits, res = run(0)  # compile the e2e path
     force_sync(res.tokens)
-    # prefill-only timing
+    force_sync(prefill_chain(params, img, text_ids))  # compile the chain
+    t0 = time.perf_counter()
+    force_sync(prefill_chain(params, img, text_ids))
+    prefill_ms = (time.perf_counter() - t0) / K * 1e3
+    # unchained single call kept as a dispatch-artifact diagnostic: the gap to
+    # prefill_ms is per-call marshaling, not compute
     cache, mask = fresh()
     force_sync(cache.k)
     t0 = time.perf_counter()
     out = encode_and_prefill(params, img, text_ids, cache, mask)
     force_sync(out[0])
-    prefill_ms = (time.perf_counter() - t0) * 1e3
+    prefill_unchained_ms = (time.perf_counter() - t0) * 1e3
     t0 = time.perf_counter()
     for i in range(iters):
         logits, res = run(i)
     force_sync(res.tokens)
     total_ms = (time.perf_counter() - t0) / iters * 1e3
-    decode_tok_s = decode_tokens / max(total_ms - prefill_ms, 1e-6) * 1e3
-    return round(total_ms, 1), round(prefill_ms, 1), round(decode_tok_s, 1)
+    # decode throughput: e2e loop minus the measured UNCHAINED prefill share
+    # (the e2e's own prefill call pays the same per-call marshaling)
+    decode_tok_s = decode_tokens / max(total_ms - prefill_unchained_ms, 1e-6) * 1e3
+    return round(total_ms, 1), round(prefill_ms, 1), round(decode_tok_s, 1), round(prefill_unchained_ms, 1)
 
 
 def bench_t2i_per_token(layers: int = 28, tokens: int = 8, iters: int = 2, bits: int = 8, rf_bits: int = 8, n_images: int = 1):
@@ -293,9 +337,10 @@ if __name__ == "__main__":
     # e2e image understanding (BASELINE config #3): encode + 1056-token
     # prefill + 128-token greedy decode, one number (VERDICT r3 weak #9)
     try:
-        u_total, u_prefill, u_tok_s = bench_understanding()
+        u_total, u_prefill, u_tok_s, u_prefill_unchained = bench_understanding()
         extra["understanding_ms"] = u_total
-        extra["understanding_prefill_ms"] = u_prefill
+        extra["understanding_prefill_ms"] = u_prefill  # chained-in-jit (x4 rule)
+        extra["understanding_prefill_unchained_ms"] = u_prefill_unchained
         extra["understanding_decode_tok_s"] = u_tok_s
     except Exception as e:  # noqa: BLE001
         extra["understanding_error"] = str(e)[:160]

@@ -1,0 +1,162 @@
+"""Decompose the capacity-dense MoE dispatch cost (VERDICT r5 task 3).
+
+Round-4 finding: capacity-gmm C=192 bf16 @1024tok measured 4.886 ms/layer,
+perf-neutral vs argsort-gmm's 4.767 — yet its FLOP count (one uniform
+(C, h) x (h, m) visit per expert, no boundary recompute) prices at ~2.4 ms
+compute-bound / 1.15 ms DMA-bound. ~2.5 ms is unexplained. This probe times
+each stage of moe_experts_capacity_gmm separately, chained-in-jit:
+
+  rank     expert_rank (blocked-triangular counts)
+  scatter  xb build: zeros.at[dst].set(repeat(x, k))   <- suspect: XLA TPU
+           row-scatter without unique_indices lowers to a serial loop
+  kernel   swiglu_gmm over a PRE-BUILT xb with uniform groups (tm = C)
+  gather   take-by-dst + mask + weighted combine
+  full     the production moe_experts_capacity_gmm
+  full_u   variant with unique_indices=True scatter (pads get distinct
+           trash slots so indices stay unique under the no-overflow guard)
+
+Usage: timeout 1800 python benchmarks/bench_capacity_deep.py
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+E, H, M, TOP_K = 64, 2048, 1408, 6
+
+
+def say(*a):
+    print(*a, flush=True)
+
+
+def chained(f, args, reps=4, iters=4, warmup=2):
+    from mingunivision_tpu.utils.profiling import force_sync
+
+    @jax.jit
+    def run(*args):
+        acc = jnp.float32(0)
+        x = args[0]
+        for _ in range(reps):
+            y = f(x, *args[1:])
+            acc = acc + jnp.sum(y).astype(jnp.float32)
+            x = x + (acc * 1e-20).astype(x.dtype)
+        return acc
+
+    force_sync(run(*args))
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        force_sync(run(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best / reps
+
+
+def main():
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    say("tpu up")
+    from mingunivision_tpu.ops.kernels.moe_capacity import expert_rank, moe_experts_capacity_gmm
+    from mingunivision_tpu.ops.kernels.moe_swiglu_gmm import moe_experts_swiglu_gmm, swiglu_gmm
+
+    tokens = 1024
+    A = tokens * TOP_K
+    key = jax.random.PRNGKey(0)
+    mk = jax.jit(
+        lambda k: (
+            jax.random.normal(jax.random.fold_in(k, 1), (E, H, M), jnp.bfloat16) * 0.02,
+            jax.random.normal(jax.random.fold_in(k, 2), (E, H, M), jnp.bfloat16) * 0.02,
+            jax.random.normal(jax.random.fold_in(k, 3), (E, M, H), jnp.bfloat16) * 0.02,
+            jax.random.normal(jax.random.fold_in(k, 4), (tokens, H), jnp.bfloat16),
+            jax.random.randint(jax.random.fold_in(k, 5), (tokens, TOP_K), 0, E, jnp.int32),
+            jax.nn.softmax(jax.random.normal(jax.random.fold_in(k, 6), (tokens, TOP_K), jnp.float32)),
+        )
+    )
+    wg, wu, wd, x, idx, w = mk(key)
+    experts = {"gate_proj": wg, "up_proj": wu, "down_proj": wd}
+    results = {}
+
+    for C in (192, 256):
+        # ---- stage: rank only
+        def rank_only(x, idx):
+            r, gs = expert_rank(idx.reshape(-1), E)
+            return (r + gs.sum()).astype(jnp.float32).reshape(1, 1) + x[:1, :1] * 0
+        t = chained(rank_only, (x, idx))
+        results[f"rank_C{C}"] = round(t * 1e3, 3)
+        say(f"rank: {t*1e3:.3f} ms")
+
+        # ---- stage: rank + scatter
+        def scatter_only(x, idx, C=C):
+            flat_e = idx.reshape(-1)
+            rank, _ = expert_rank(flat_e, E)
+            ok = rank < C
+            dst = jnp.where(ok, flat_e * C + rank, E * C)
+            xs = jnp.repeat(x, TOP_K, axis=0)
+            xb = jnp.zeros((E * C + 1, H), x.dtype).at[dst].set(xs, mode="drop")[: E * C]
+            return xb[:8, :8]
+        t = chained(scatter_only, (x, idx))
+        results[f"rank_scatter_C{C}"] = round(t * 1e3, 3)
+        say(f"rank+scatter C={C}: {t*1e3:.3f} ms")
+
+        # ---- stage: rank + scatter with UNIQUE indices (pads -> distinct trash)
+        def scatter_unique(x, idx, C=C):
+            flat_e = idx.reshape(-1)
+            rank, _ = expert_rank(flat_e, E)
+            ok = rank < C
+            trash = E * C + jnp.arange(A, dtype=jnp.int32)
+            dst = jnp.where(ok, flat_e * C + rank, trash)
+            xs = jnp.repeat(x, TOP_K, axis=0)
+            xb = (
+                jnp.zeros((E * C + A, H), x.dtype)
+                .at[dst]
+                .set(xs, mode="drop", unique_indices=True)[: E * C]
+            )
+            return xb[:8, :8]
+        t = chained(scatter_unique, (x, idx))
+        results[f"rank_scatter_unique_C{C}"] = round(t * 1e3, 3)
+        say(f"rank+scatter-unique C={C}: {t*1e3:.3f} ms")
+
+        # ---- stage: kernel only (pre-built uniform xb)
+        xb0 = jax.jit(lambda k: jax.random.normal(k, (E * C, H), jnp.bfloat16))(key)
+        gs_u = jnp.full((E,), C, jnp.int32)
+        def kernel_only(xb, wg, wu, wd, C=C):
+            return swiglu_gmm(xb, wg, wu, wd, jnp.full((E,), C, jnp.int32), tm=C)
+        t = chained(kernel_only, (xb0, wg, wu, wd))
+        results[f"kernel_C{C}_tm{C}"] = round(t * 1e3, 3)
+        say(f"kernel-only C={C} tm={C}: {t*1e3:.3f} ms")
+
+        if C == 256:
+            for tm in (64, 128):
+                def kernel_tm(xb, wg, wu, wd, C=C, tm=tm):
+                    return swiglu_gmm(xb, wg, wu, wd, jnp.full((E,), C, jnp.int32), tm=tm)
+                t = chained(kernel_tm, (xb0, wg, wu, wd))
+                results[f"kernel_C{C}_tm{tm}"] = round(t * 1e3, 3)
+                say(f"kernel-only C={C} tm={tm}: {t*1e3:.3f} ms")
+
+        # ---- full production path
+        def full(x, idx, w, C=C):
+            return moe_experts_capacity_gmm(experts, x, idx, w, E, C)
+        t = chained(full, (x, idx, w))
+        results[f"full_C{C}"] = round(t * 1e3, 3)
+        say(f"full capacity-gmm C={C}: {t*1e3:.3f} ms")
+
+    # baseline
+    def base(x, idx, w):
+        return moe_experts_swiglu_gmm(experts, x, idx, w, E, tm=256)
+    t = chained(base, (x, idx, w))
+    results["argsort_tm256"] = round(t * 1e3, 3)
+    say(f"argsort-gmm tm=256: {t*1e3:.3f} ms")
+
+    print(json.dumps(results), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -51,7 +51,7 @@ def main():
     shapes = jax.eval_shape(lambda k: init_rf_head_params(k, cfg, dtype=jnp.bfloat16), key)
     build = jax.jit(lambda k: random_quantized_like(k, shapes, bits=args.bits))
     params = build(key)
-    force_sync(jax.tree_util.tree_map(lambda x: 0.0, {}))  # no-op warm
+    force_sync(params)  # sync the on-device build so compile_s below is pure compile
 
     z = jax.random.normal(jax.random.PRNGKey(1), (B, cfg.z_channels), jnp.bfloat16)
 
@@ -87,12 +87,13 @@ def main():
             jax.random.normal(jax.random.PRNGKey(7), (1, C), jnp.float32), (args.cfg_rows, 1)
         )
 
-        def make_fused(chunk):
+        def make_fused(chunk, schedule="block", down_chunk=1024):
             def one(p, zz):
                 bm, fm = precompute_modulations(p, cfg, ts, zz)
                 return rf_sample_fused(
                     p, cfg, noise, bm, fm, dts, 3.0, 1.1,
                     cfg_rows=args.cfg_rows, renorm_channel=True, chunk=chunk,
+                    schedule=schedule, down_chunk=down_chunk,
                 )
 
             def chained(p, zz):
@@ -105,22 +106,37 @@ def main():
 
             return chained
 
-        for chunk in (1024, 2048, 4096, 8192):
-            fn = jax.jit(make_fused(chunk))
-            t0 = time.perf_counter()
-            force_sync(fn(params, z))
-            compile_s = time.perf_counter() - t0
-            best = float("inf")
-            for _ in range(args.iters):
+        configs = [("block", chunk, 0) for chunk in (1024, 2048, 4096, 8192)]
+        if args.bits == 4:
+            configs += [
+                ("pipelined", 2048, 1024),
+                ("pipelined", 2048, 512),
+                ("pipelined", 4096, 1024),
+                ("pipelined", 8192, 2048),
+            ]
+        for schedule, chunk, dchunk in configs:
+            try:
+                fn = jax.jit(make_fused(chunk, schedule, dchunk or 1024))
                 t0 = time.perf_counter()
                 force_sync(fn(params, z))
-                best = min(best, time.perf_counter() - t0)
-            ms = 1e3 * best / args.chain
-            print(json.dumps({
-                "fused_chunk": chunk, "compile_s": round(compile_s, 1),
-                "ms_per_sample": round(ms, 3),
-                "ms_per_step": round(ms / cfg.num_sampling_steps, 4),
-            }), flush=True)
+                compile_s = time.perf_counter() - t0
+                best = float("inf")
+                for _ in range(args.iters):
+                    t0 = time.perf_counter()
+                    force_sync(fn(params, z))
+                    best = min(best, time.perf_counter() - t0)
+                ms = 1e3 * best / args.chain
+                print(json.dumps({
+                    "schedule": schedule, "fused_chunk": chunk, "down_chunk": dchunk,
+                    "compile_s": round(compile_s, 1),
+                    "ms_per_sample": round(ms, 3),
+                    "ms_per_step": round(ms / cfg.num_sampling_steps, 4),
+                }), flush=True)
+            except Exception as e:  # noqa: BLE001 — e.g. VMEM over budget at chunk 8192
+                print(json.dumps({
+                    "schedule": schedule, "fused_chunk": chunk, "down_chunk": dchunk,
+                    "error": str(e)[:200],
+                }), flush=True)
         return
 
     results = {}
@@ -138,11 +154,17 @@ def main():
             best = min(best, time.perf_counter() - t0)
         ms_sample = 1e3 * best / args.chain
         results[mode] = ms_sample
+        fused_traces = rf_head._FUSED_TRACES - traces0
+        if mode == "fused" and fused_traces == 0:
+            raise SystemExit(
+                "fused mode never traced the fused kernel (rf_sampler_supported "
+                "gate refused this config) — the comparison would be bogus"
+            )
         print(json.dumps({
             "mode": mode, "bits": args.bits, "chain": args.chain,
             "ms_per_sample": round(ms_sample, 3),
             "ms_per_step": round(ms_sample / cfg.num_sampling_steps, 4),
-            "fused_traces": rf_head._FUSED_TRACES - traces0,
+            "fused_traces": fused_traces,
         }), flush=True)
 
     # numerics: one sample each path, on-device rel-L2 (scalar fetch only)

@@ -32,8 +32,21 @@ def main():
     ap.add_argument("--bits", type=int, default=16, choices=[4, 8, 16], help="weight tier (4 fits the full 28-layer model on one chip)")
     ap.add_argument("--paged", action="store_true", help="bench the block-paged KV tier (engine/paged.py) instead of the dense pool")
     ap.add_argument("--page-size", type=int, default=64)
+    ap.add_argument(
+        "--int-dots",
+        action="store_true",
+        help="flip moe_stream INT_DOT_STREAM/_INT8: integer-MXU s8 dots in the "
+        "decode stream kernel (int8 MXU runs 2x bf16 rate on v5e; the decode "
+        "MoE is MXU weight-pass bound at tiny M, so this is the lever for the "
+        "560 tok/s bar — same-process A/B vs the convert kernels)",
+    )
     args = ap.parse_args()
     assert jax.default_backend() == "tpu", jax.default_backend()
+    if args.int_dots:
+        import mingunivision_tpu.ops.kernels.moe_stream as _ms
+
+        _ms.INT_DOT_STREAM = True
+        _ms.INT_DOT_STREAM_INT8 = True
 
     from mingunivision_tpu.config import BailingMoeConfig
     from mingunivision_tpu.engine.batch_engine import BatchState, batched_decode_step

@@ -233,6 +233,12 @@ def moe_experts_dense(experts, x_flat, topk_idx, topk_w, num_experts: int):
 
 
 MOE_GATHER_MAX_TOKENS = 16  # trace-time threshold: below this, gather beats dense
+# Capacity-dense dispatch only pays off when the (E, capacity, h) buffer is
+# mostly real rows. default_capacity floors at 128, so below ~512 tokens the
+# buffer is >2.7x padding and the kernel runs 64 full 128-row tiles for a
+# handful of assignments — the round-4 batched-T2I regression (24 CFG rows fell
+# into this branch and spent 64x128-row tiles/layer vs ~2 megablox tiles).
+MOE_CAPACITY_MIN_TOKENS = 512
 
 
 def _sharded_stream_ok(mesh, experts, x_flat, topk_idx) -> bool:
@@ -247,7 +253,7 @@ def _sharded_swiglu_ok(mesh, experts, x_flat, topk_idx) -> bool:
     return sharded_swiglu_gmm_supported(mesh, experts, x_flat, topk_idx)
 
 
-def moe_block_apply(params, cfg: BailingMoeConfig, x, image_mask=None, audio_mask=None, experts_stacked=None, layer_idx=None, return_router_stats: bool = False, lora=None, lora_ids=None):
+def moe_block_apply(params, cfg: BailingMoeConfig, x, image_mask=None, audio_mask=None, experts_stacked=None, layer_idx=None, return_router_stats: bool = False, lora=None, lora_ids=None, token_valid=None):
     """Sparse MoE block with multi-gate routing + shared experts.
 
     return_router_stats=True additionally returns (router_logits (N, E) fp32
@@ -256,6 +262,15 @@ def moe_block_apply(params, cfg: BailingMoeConfig, x, image_mask=None, audio_mas
 
     x: (B, T, h); image_mask/audio_mask: optional bool (B, T) selecting tokens
     routed by the modality gates (reference :556-605).
+
+    token_valid: optional bool (B, T) marking REAL (non-pad) tokens. Only the
+    capacity-dense path consumes it: pad rows are routed out-of-bounds so they
+    neither count against the exactness guard nor occupy capacity slots that
+    could displace a later sequence's valid rows (right-padded prompts route
+    all their pads to the same top-k every layer, which otherwise trips the
+    guard on any prompt with pad_count > capacity and silently pins the
+    argsort fallback). Pad outputs are garbage-by-construction and discarded
+    downstream (prefill picks the last valid position; pad KV is masked).
 
     `experts_stacked`/`layer_idx`: when the caller is a `lax.scan` layer loop,
     the DEPTH-STACKED (L, E, ...) expert tables are passed whole and this layer
@@ -359,7 +374,7 @@ def moe_block_apply(params, cfg: BailingMoeConfig, x, image_mask=None, audio_mas
                 # ~3.6x FLOP amplification at 1024 tok). lax.cond falls back to
                 # the exact argsort-gmm when any expert's load > capacity.
                 cap_factor = getattr(cfg, "moe_prefill_capacity_factor", 0.0)
-                if cap_factor > 0:
+                if cap_factor > 0 and B * T >= MOE_CAPACITY_MIN_TOKENS:
                     from mingunivision_tpu.ops.kernels.moe_capacity import (
                         default_capacity,
                         moe_experts_capacity_gmm_exact,
@@ -371,6 +386,7 @@ def moe_block_apply(params, cfg: BailingMoeConfig, x, image_mask=None, audio_mas
                     y = moe_experts_capacity_gmm_exact(
                         tabs, x_flat, topk_idx, topk_w, cfg.num_experts, cap,
                         tm_fallback=128 if is_int4 else 256,
+                        token_valid=token_valid.reshape(-1) if token_valid is not None else None,
                     )
                 else:
                     y = moe_experts_swiglu_gmm(
@@ -492,7 +508,7 @@ def attention_apply(params, cfg: BailingMoeConfig, x, cos, sin, k_cache, v_cache
 def decoder_layer_apply(
     layer_params, cfg, x, cos, sin, k_cache, v_cache, length, attn_mask, image_mask, audio_mask,
     use_flash: bool = False, experts_stacked=None, layer_idx=None, return_router_stats: bool = False,
-    lora=None, lora_ids=None,
+    lora=None, lora_ids=None, token_valid=None,
 ):
     h = rms_norm(x, layer_params["input_layernorm"]["w"], eps=cfg.rms_norm_eps)
     a, nk, nv = attention_apply(layer_params["attention"], cfg, h, cos, sin, k_cache, v_cache, length, attn_mask, use_flash=use_flash, lora=lora, lora_ids=lora_ids)
@@ -501,6 +517,7 @@ def decoder_layer_apply(
     out = moe_block_apply(
         layer_params["mlp"], cfg, h, image_mask, audio_mask, experts_stacked=experts_stacked,
         layer_idx=layer_idx, return_router_stats=return_router_stats, lora=lora, lora_ids=lora_ids,
+        token_valid=token_valid,
     )
     if return_router_stats:
         y, stats = out
@@ -548,6 +565,14 @@ def bailing_forward(
 
     attn_mask = attn_mask.astype(bool)
 
+    # Valid (non-pad) flags for the T new tokens: the caller's attn_mask is
+    # True exactly at valid positions [cache.length, cache.length+T) (prefill
+    # contract). Consumed only by the capacity-dense MoE guard; decode (T=1)
+    # steps skip it — their token is always valid.
+    token_valid = None
+    if T > 1:
+        token_valid = lax.dynamic_slice(attn_mask, (0, cache.length), (B, T))
+
     # The expert tables stay OUT of the scanned xs: the stream kernel indexes
     # the full depth-stacked tables by (layer, expert) via scalar prefetch,
     # avoiding the per-layer copy XLA emits for scan-sliced kernel operands.
@@ -562,6 +587,7 @@ def bailing_forward(
             layer_params, cfg, x, cos, sin, kc, vc, cache.length, attn_mask, image_mask, audio_mask,
             use_flash=use_flash, experts_stacked=experts_stacked, layer_idx=layer_idx,
             return_router_stats=return_router_stats, lora=lora, lora_ids=lora_ids,
+            token_valid=token_valid,
         )
         ys = (nk, nv, stats) if return_router_stats else (nk, nv)
         return x, ys

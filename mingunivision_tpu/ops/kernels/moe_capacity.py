@@ -170,6 +170,15 @@ def moe_experts_capacity_gmm(
     )
 
     group_sizes = jnp.full((E,), C, jnp.int32)
+    # tm = C keeps every tile inside one group, but the kernel's working set
+    # ((tm, h) fp32 accumulator + double-buffered x/out blocks) scales with tm
+    # and blows the VMEM budget once default_capacity grows past ~512 (16k+
+    # token prefills). Any tm that DIVIDES C preserves the no-straddle
+    # property (group boundaries at multiples of C are also tile boundaries),
+    # so use the largest divisor of C that is <= 512.
+    tm = C
+    if tm > 512:
+        tm = next(d for d in range(512, 0, -1) if C % d == 0)
     if isinstance(experts["gate_proj"], QuantizedArray):
         y = swiglu_gmm_quant(
             xb,
@@ -177,7 +186,7 @@ def moe_experts_capacity_gmm(
             experts["up_proj"],
             experts["down_proj"],
             group_sizes,
-            tm=C,
+            tm=tm,
             interpret=interpret,
             s8=s8,
         )
@@ -188,7 +197,7 @@ def moe_experts_capacity_gmm(
             experts["up_proj"].astype(xb.dtype),
             experts["down_proj"].astype(xb.dtype),
             group_sizes,
-            tm=C,
+            tm=tm,
             interpret=interpret,
         )
 
@@ -210,27 +219,47 @@ def moe_experts_capacity_gmm_exact(
     tm_fallback: int = 256,
     s8=None,
     interpret: bool = False,
+    token_valid=None,
 ):
     """Capacity-gmm guarded by an exactness cond: on overflow (any expert load
     > capacity) run the exact argsort-gmm dispatch instead. Both branches trace
     once; only one executes per step, so skew is a perf event, not a wrong
-    answer."""
+    answer.
+
+    token_valid: optional bool (N,) marking real (non-pad) rows. Right-padded
+    prompts route every pad row to the SAME top-k experts each layer (identical
+    pad embeddings), so counting them makes any prompt with pad_count >
+    capacity trip the guard on every layer and silently pin the fallback. With
+    the mask, pad assignments are routed out-of-bounds (expert id = E): they
+    don't count against the guard, can't displace a later sequence's valid rows
+    from capacity slots, and their combine weight is zeroed (pad outputs are
+    discarded downstream anyway). The fallback branch keeps the ORIGINAL
+    routing — it is exact for any assignment set."""
     from mingunivision_tpu.ops.kernels.moe_swiglu_gmm import moe_experts_swiglu_gmm
 
-    gs = jnp.bincount(topk_idx.reshape(-1), length=num_experts)
+    if token_valid is not None:
+        v = token_valid.reshape(-1)[:, None]
+        ti_cap = jnp.where(v, topk_idx, num_experts)
+        tw_cap = jnp.where(v, topk_w, 0)
+    else:
+        ti_cap, tw_cap = topk_idx, topk_w
+    # drop-mode count: pad assignments (id == E) fall outside the table
+    gs = jnp.zeros((num_experts,), jnp.int32).at[ti_cap.reshape(-1)].add(1, mode="drop")
     fits = jnp.max(gs) <= capacity
     return lax.cond(
         fits,
-        lambda ex, x, ti, tw: moe_experts_capacity_gmm(
+        lambda ex, x, _ti, _tw, ti, tw: moe_experts_capacity_gmm(
             ex, x, ti, tw, num_experts, capacity, s8=s8, interpret=interpret
         ),
-        lambda ex, x, ti, tw: moe_experts_swiglu_gmm(
+        lambda ex, x, ti, tw, _ti, _tw: moe_experts_swiglu_gmm(
             ex, x, ti, tw, num_experts, tm=tm_fallback, s8=s8, interpret=interpret
         ),
         experts,
         x_flat,
         topk_idx,
         topk_w,
+        ti_cap,
+        tw_cap,
     )
 
 
@@ -267,8 +296,13 @@ def moe_experts_capacity_exact(
 
 def default_capacity(num_tokens: int, top_k: int, num_experts: int, factor: float = 2.0) -> int:
     """Capacity for the exact-guarded path: `factor` x the mean expert load,
-    rounded up to 64 (sublane-friendly), floored at 128. At 1024 tok x top-6
-    over 64 experts (mean load 96) the default lands on 192; the overflow
-    fallback makes a skew past factor x mean a perf event, not a wrong answer."""
+    rounded up to 64 (sublane-friendly), floored at 128. The production call
+    site (models/bailing_moe.py) passes cfg.moe_prefill_capacity_factor=1.33:
+    at 1024 tok x top-6 over 64 experts (mean load 96) that lands on the
+    128 floor; 2048 tok -> 256, 4096 -> 512 (the guard's lax.cond falls back
+    to the exact argsort-gmm whenever any VALID expert load exceeds it, so a
+    skew past factor x mean is a perf event, not a wrong answer). Callers
+    below MOE_CAPACITY_MIN_TOKENS (512) never take this path — the 128 floor
+    would be mostly padding."""
     mean = num_tokens * top_k / num_experts
     return max(128, int(-(-factor * mean // 64)) * 64)

@@ -123,6 +123,152 @@ def _step_epilogue(
         o_ref[...] = xlat_ref[...].astype(o_ref.dtype)
 
 
+def _sampler_q4_s8_pipelined(
+    meta_ref,  # SMEM (S+2,) f32: [dts..., text_cfg, image_cfg]
+    x0_ref,
+    win_ref,
+    binp_ref,
+    lnw_ref,
+    lnb_ref,
+    q1_ref,  # (1, w/2, CH) packed gate cols — clamped to last chunk in down phase
+    s1_ref,
+    b1_ref,
+    q2_ref,  # (1, w/2, CH) packed up cols
+    s2_ref,
+    b2_ref,
+    q3_ref,  # (1, KC, w) packed down ROW CHUNK — streamed across the down phase
+    s3_ref,
+    b3_ref,
+    mods_ref,
+    fmods_ref,
+    wfin_ref,
+    bfin_ref,
+    o_ref,
+    xlat_ref,  # VMEM f32 (Np, LAT)
+    xcur_ref,  # VMEM f32 (Np, w)
+    a1_ref,
+    a2_ref,
+    b1_sref,  # VMEM s8 (Np, H/2) quantized h halves
+    b2_sref,
+    st_ref,  # VMEM f32 (Np, 128): [sa1, sa2, corr, sb1, sb2, corrh]
+    h_ref,  # VMEM (Np, H) compute dtype
+    dacc_ref,  # VMEM f32 (Np, w): down-proj accumulator
+    *,
+    ln_eps: float,
+    compute_dtype,
+    cfg_rows: int,
+    n_img: int,
+    renorm_channel: bool,
+    num_steps: int,
+    hc: int,  # number of gate/up chunk steps
+    dc: int,  # number of down-proj chunk steps (grid axis 2 = hc + dc)
+):
+    """Pipelined variant of `_sampler_q4_s8`: the c axis covers BOTH phases —
+    c < hc runs the gate/up column chunks (as before), c >= hc runs the
+    down-proj as `dc` ROW chunks whose (1, KC, w) q3 blocks stream through the
+    normal Pallas pipeline instead of one monolithic (H/2, w) block. The
+    monolithic block is the suspected schedule sin of the original: it must
+    fully land before the (single) down step can start, its prefetch competes
+    with the next step's w12 chunks, and its double buffer alone holds ~25 MB
+    of VMEM. Here every grid step carries a similar-size DMA (q1/q2 indexes
+    clamp to the last chunk during the down phase, so they cost nothing
+    there), and the down compute overlaps the stream."""
+    s = pl.program_id(0)
+    l = pl.program_id(1)
+    c = pl.program_id(2)
+    w = xcur_ref.shape[-1]
+    half = w // 2
+    KC = q3_ref.shape[-2]
+
+    @pl.when((s == 0) & (l == 0) & (c == 0))
+    def _load_noise():
+        xlat_ref[...] = x0_ref[...]
+
+    @pl.when((l == 0) & (c == 0))
+    def _input_proj():
+        xcur_ref[...] = jax.lax.dot_general(
+            xlat_ref[...].astype(compute_dtype),
+            win_ref[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + binp_ref[...].reshape(1, -1)
+
+    @pl.when(c == 0)
+    def _modulate_and_quant():
+        xs = _modulated_ln(
+            xcur_ref[...],
+            lnw_ref[...].reshape(-1)[None, :],
+            lnb_ref[...].reshape(-1)[None, :],
+            mods_ref[0, 0],
+            w,
+            ln_eps,
+        )
+        a1, a2, sa1, sa2, corr = quant_rows_s8_pair(xs[:, :half], xs[:, half:])
+        a1_ref[...] = a1
+        a2_ref[...] = a2
+        st_ref[:, 0:1] = sa1
+        st_ref[:, 1:2] = sa2
+        st_ref[:, 2:3] = corr
+
+    @pl.when(c < hc)
+    def _gate_up():
+        CH = q1_ref.shape[-1]
+        a1 = a1_ref[...]
+        a2 = a2_ref[...]
+        sa1 = st_ref[:, 0:1]
+        sa2 = st_ref[:, 1:2]
+        corr = st_ref[:, 2:3]
+
+        def mm(q_ref):
+            qb = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1])
+            return mm4_s8(qb, a1, a2, sa1, sa2, corr)
+
+        g = mm(q1_ref) * s1_ref[...].reshape(-1)[None, :] + b1_ref[...].reshape(-1)[None, :]
+        u = mm(q2_ref) * s2_ref[...].reshape(-1)[None, :] + b2_ref[...].reshape(-1)[None, :]
+        h_ref[:, pl.ds(c * CH, CH)] = (jax.nn.silu(g) * u).astype(h_ref.dtype)
+
+    @pl.when(c == hc)
+    def _quant_h():
+        H = h_ref.shape[-1]
+        Hh = H // 2
+        hf = h_ref[...].astype(jnp.float32)
+        b1q, b2q, sb1, sb2, corrh = quant_rows_s8_pair(hf[:, :Hh], hf[:, Hh:])
+        b1_sref[...] = b1q
+        b2_sref[...] = b2q
+        st_ref[:, 3:4] = sb1
+        st_ref[:, 4:5] = sb2
+        st_ref[:, 5:6] = corrh
+        dacc_ref[...] = jnp.zeros_like(dacc_ref)
+
+    @pl.when(c >= hc)
+    def _down_chunk():
+        cd = c - hc
+        qb = q3_ref[...].reshape(KC, w)
+        bx = jax.lax.bitcast_convert_type(qb ^ jnp.uint8(0x80), jnp.int8)
+        m = bx & jnp.int8(0xF)
+        b1k = b1_sref[:, pl.ds(cd * KC, KC)]
+        b2k = b2_sref[:, pl.ds(cd * KC, KC)]
+        d1 = jax.lax.dot_general(b1k, m, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        d2 = jax.lax.dot_general(b2k, bx, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        dacc_ref[...] += d1.astype(jnp.float32) * st_ref[:, 3:4] + d2.astype(jnp.float32) * (
+            st_ref[:, 4:5] * (1.0 / 16.0)
+        )
+
+        @pl.when(cd == dc - 1)
+        def _residual():
+            po = dacc_ref[...] - st_ref[:, 5:6]
+            po = po * s3_ref[...].reshape(-1)[None, :] + b3_ref[...].reshape(-1)[None, :]
+            xcur_ref[...] += mods_ref[0, 0][:, 2 * w :] * po
+
+            @pl.when(l == pl.num_programs(1) - 1)
+            def _epilogue():
+                _step_epilogue(
+                    s, xcur_ref, xlat_ref, o_ref, fmods_ref, wfin_ref, bfin_ref, meta_ref,
+                    ln_eps=ln_eps, compute_dtype=compute_dtype, cfg_rows=cfg_rows,
+                    n_img=n_img, renorm_channel=renorm_channel, num_steps=num_steps,
+                )
+
+
 def _sampler_q4_s8(
     meta_ref,  # SMEM (S+2,) f32: [dts..., text_cfg, image_cfg]
     x0_ref,  # (Np, LAT) f32 noise (latent channels zero-padded)
@@ -377,6 +523,8 @@ def rf_sample_fused(
     renorm_channel: bool,
     compute_dtype=jnp.bfloat16,
     chunk: int = 2048,
+    schedule: str = "block",  # int4 only: "block" (monolithic w3) | "pipelined"
+    down_chunk: int = 1024,  # pipelined: packed w3 rows per down grid step
     interpret: bool = False,
 ):
     """One pallas_call for the whole Euler sample. Returns (B, C) f32."""
@@ -431,11 +579,14 @@ def rf_sample_fused(
 
     def ws(up: bool):
         off = HC if up else 0
-        return pl.BlockSpec((1, wq, CH), lambda s, l, c: (l, 0, off + c))
+        # clamp keeps the LAST gate/up chunk resident (no DMA) during the
+        # pipelined schedule's down phase (c >= HC); for the block schedule
+        # c never exceeds HC-1 and the min is an identity
+        return pl.BlockSpec((1, wq, CH), lambda s, l, c: (l, 0, off + jnp.minimum(c, HC - 1)))
 
     def srow(up: bool):
         off = HC if up else 0
-        return pl.BlockSpec((1, 1, CH), lambda s, l, c: (l, 0, off + c))
+        return pl.BlockSpec((1, 1, CH), lambda s, l, c: (l, 0, off + jnp.minimum(c, HC - 1)))
 
     common = dict(
         ln_eps=float(cfg.ln_eps),
@@ -445,7 +596,29 @@ def rf_sample_fused(
         renorm_channel=renorm_channel,
         num_steps=S,
     )
-    if bits == 4:
+    grid = (S, L, HC)
+    if bits == 4 and schedule == "pipelined":
+        KC = min(down_chunk, H // 2)
+        while (H // 2) % KC:
+            KC //= 2
+        DC = (H // 2) // KC
+        grid = (S, L, HC + DC)
+        kernel = functools.partial(_sampler_q4_s8_pipelined, hc=HC, dc=DC, **common)
+        w3_spec = pl.BlockSpec(
+            (1, KC, w), lambda s, l, c: (l, jnp.maximum(c - HC, 0), 0)
+        )
+        scratch = [
+            pltpu.VMEM((Np, LAT), jnp.float32),  # xlat
+            pltpu.VMEM((Np, w), jnp.float32),  # xcur
+            pltpu.VMEM((Np, w // 2), jnp.int8),
+            pltpu.VMEM((Np, w // 2), jnp.int8),
+            pltpu.VMEM((Np, H // 2), jnp.int8),
+            pltpu.VMEM((Np, H // 2), jnp.int8),
+            pltpu.VMEM((Np, 128), jnp.float32),
+            pltpu.VMEM((Np, H), compute_dtype),  # h
+            pltpu.VMEM((Np, w), jnp.float32),  # dacc
+        ]
+    elif bits == 4:
         kernel = functools.partial(_sampler_q4_s8, **common)
         w3_spec = pl.BlockSpec((1, H // 2, w), lambda s, l, c: (l, 0, 0))
         scratch = [
@@ -472,7 +645,7 @@ def rf_sample_fused(
 
     out = pl.pallas_call(
         kernel,
-        grid=(S, L, HC),
+        grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # meta
             pl.BlockSpec((Np, LAT), lambda s, l, c: (0, 0)),

@@ -139,6 +139,47 @@ class TestMoECapacity:
         )
         assert np.abs(got - want).max() > 1e-3  # hence the _exact guard
 
+    def test_capacity_gmm_quantized_int4(self):
+        """int4 is the headline serving tier and routes through the
+        plane-aware chunked q4 kernel with tm=capacity (ADVICE r4 low #3)."""
+        from mingunivision_tpu.ops.kernels.moe_capacity import moe_experts_capacity_gmm_exact
+        from mingunivision_tpu.utils.quantize import quantize_array
+
+        experts, x, idx, w, E = _toy(11, E=8, d=128, m=256, N=32, k=3)
+        q = {k2: quantize_array(v, 4) for k2, v in experts.items()}
+        want = np.asarray(moe_experts_dense(q, x, idx, w, E))
+        got = np.asarray(
+            moe_experts_capacity_gmm(q, x, idx, w, E, capacity=96, s8=False, interpret=True)
+        )
+        np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
+        exact = np.asarray(
+            moe_experts_capacity_gmm_exact(q, x, idx, w, E, 96, tm_fallback=32, s8=False, interpret=True)
+        )
+        np.testing.assert_allclose(exact, want, rtol=5e-2, atol=5e-2)
+
+    def test_exact_guard_ignores_pad_rows(self):
+        """ADVICE r4 medium #1: right-padded prompts route all pads to the same
+        top-k; with token_valid, pads neither trip the guard nor displace a
+        later sequence's valid rows from capacity slots."""
+        from mingunivision_tpu.ops.kernels.moe_capacity import moe_experts_capacity_gmm_exact
+
+        experts, x, idx, w, E = _toy(12, E=8, d=128, m=256, N=32, k=3)
+        # rows 8..15 are seq-0 padding (mid-batch!), rows 16.. are seq 1 valid
+        valid = jnp.ones((32,), bool).at[8:16].set(False)
+        # all pads pile onto expert 0 (worst case): 8 pads x k=3 = 24 > capacity 8
+        idx = idx.at[8:16].set(0)
+        # valid rows' loads stay <= capacity 8 per expert: spread them round-robin
+        spread = (jnp.arange(32 * 3, dtype=jnp.int32) % E).reshape(32, 3)
+        idx = jnp.where(valid[:, None], spread, idx)
+        want = np.asarray(moe_experts_dense(experts, x, idx, w, E))
+        got = np.asarray(
+            moe_experts_capacity_gmm_exact(
+                experts, x, idx, w, E, 16, tm_fallback=32, interpret=True, token_valid=valid
+            )
+        )
+        # valid rows exact despite pad overflow (pads routed out-of-bounds)
+        np.testing.assert_allclose(got[np.asarray(valid)], want[np.asarray(valid)], rtol=5e-4, atol=5e-4)
+
     def test_bf16_path(self):
         experts, x, idx, w, E = _toy(6)
         experts = {k2: v.astype(jnp.bfloat16) for k2, v in experts.items()}

@@ -41,7 +41,7 @@ def _setup(bits=8, depth=3, width=128, mult=3, steps=4):
     return cfg, qparams
 
 
-def _run_both(cfg, qparams, cfg_rows, n_img=1, renorm=None, text_cfg=3.0, image_cfg=1.1, bits=8):
+def _run_both(cfg, qparams, cfg_rows, n_img=1, renorm=None, text_cfg=3.0, image_cfg=1.1, bits=8, **fused_kw):
     rng = np.random.default_rng(3)
     B = cfg_rows * n_img
     z = jnp.asarray(rng.standard_normal((B, cfg.z_channels)), jnp.float32)
@@ -59,7 +59,7 @@ def _run_both(cfg, qparams, cfg_rows, n_img=1, renorm=None, text_cfg=3.0, image_
             qparams, cfg, noise_full, block_mods, final_mods, dts,
             jnp.float32(text_cfg), jnp.float32(image_cfg),
             cfg_rows=cfg_rows, renorm_channel=renorm == "channel",
-            compute_dtype=jnp.float32, chunk=128, interpret=True,
+            compute_dtype=jnp.float32, chunk=128, interpret=True, **fused_kw,
         )
     )
     return got, want
@@ -102,6 +102,29 @@ class TestFusedSampler:
         got, want = _run_both(cfg, qp, cfg_rows=3, bits=4)
         rel = np.linalg.norm(got - want) / (np.linalg.norm(want) + 1e-12)
         assert np.isfinite(got).all() and rel < 0.05, rel
+
+    def test_int4_s8_pipelined_schedule_matches_block(self):
+        """The pipelined down-proj schedule (q3 row chunks streamed on the
+        extended c axis) must be bit-identical to the block schedule — same
+        math, different DMA order."""
+        cfg, qp = _setup(bits=4, width=768, mult=1, depth=2)
+        got_b, want = _run_both(cfg, qp, cfg_rows=3, bits=4, schedule="block")
+        got_p, _ = _run_both(cfg, qp, cfg_rows=3, bits=4, schedule="pipelined", down_chunk=128)
+        # same math, different down-proj accumulation order -> f32 reassociation
+        np.testing.assert_allclose(got_p, got_b, rtol=1e-4, atol=1e-5)
+        rel = np.linalg.norm(got_p - want) / (np.linalg.norm(want) + 1e-12)
+        assert np.isfinite(got_p).all() and rel < 0.05, rel
+
+    def test_int4_s8_pipelined_renorm_multi_image(self):
+        cfg, qp = _setup(bits=4, width=768, mult=1, depth=2)
+        got_b, _ = _run_both(cfg, qp, cfg_rows=3, n_img=2, renorm="channel", bits=4, schedule="block")
+        got_p, _ = _run_both(
+            cfg, qp, cfg_rows=3, n_img=2, renorm="channel", bits=4, schedule="pipelined", down_chunk=64
+        )
+        # reassociation diffs get amplified by the per-step s8 REquantization
+        # (scale picks differ at ulp level) and the renorm ratio — trajectory-
+        # level tolerance, not single-op
+        np.testing.assert_allclose(got_p, got_b, rtol=5e-3, atol=5e-3)
 
     def test_full_tree_quantized_projections(self):
         """api.py quantizes the WHOLE rf tree (quantize_tree over rf_head), so
