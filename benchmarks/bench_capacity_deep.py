@@ -106,6 +106,20 @@ def main():
         results[f"rank_scatter_C{C}"] = round(t * 1e3, 3)
         say(f"rank+scatter C={C}: {t*1e3:.3f} ms")
 
+        # ---- stage: scatter-free gather build (matmul index map + row gather)
+        def gather_build(x, idx, C=C):
+            from mingunivision_tpu.ops.kernels.moe_capacity import capacity_src_map
+
+            flat_e = idx.reshape(-1)
+            rank, _ = expert_rank(flat_e, E)
+            src, occ = capacity_src_map(flat_e, rank, E, C)
+            xs = jnp.repeat(x, TOP_K, axis=0)
+            xb = jnp.where(occ[:, None], jnp.take(xs, src, axis=0), 0)
+            return xb[:8, :8]
+        t = chained(gather_build, (x, idx))
+        results[f"rank_gatherbuild_C{C}"] = round(t * 1e3, 3)
+        say(f"rank+gather-build C={C}: {t*1e3:.3f} ms")
+
         # ---- stage: rank + scatter with UNIQUE indices (pads -> distinct trash)
         def scatter_unique(x, idx, C=C):
             flat_e = idx.reshape(-1)
@@ -141,12 +155,13 @@ def main():
                 results[f"kernel_C{C}_tm{tm}"] = round(t * 1e3, 3)
                 say(f"kernel-only C={C} tm={tm}: {t*1e3:.3f} ms")
 
-        # ---- full production path
-        def full(x, idx, w, C=C):
-            return moe_experts_capacity_gmm(experts, x, idx, w, E, C)
-        t = chained(full, (x, idx, w))
-        results[f"full_C{C}"] = round(t * 1e3, 3)
-        say(f"full capacity-gmm C={C}: {t*1e3:.3f} ms")
+        # ---- full production path, both builds
+        for build in ("scatter", "gather"):
+            def full(x, idx, w, C=C, build=build):
+                return moe_experts_capacity_gmm(experts, x, idx, w, E, C, build=build)
+            t = chained(full, (x, idx, w))
+            results[f"full_C{C}_{build}"] = round(t * 1e3, 3)
+            say(f"full capacity-gmm C={C} build={build}: {t*1e3:.3f} ms")
 
     # baseline
     def base(x, idx, w):

@@ -40,6 +40,14 @@ def main():
     ap.add_argument("--tokens", type=int, default=64)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu-tiny", action="store_true", help="tiny CPU smoke config")
+    ap.add_argument(
+        "--tiers",
+        nargs="+",
+        default=["bf16", "int4_linear", "int4_nf4"],
+        choices=["bf16", "int4_linear", "int4_nf4"],
+        help="which engines to run (28L bf16 does not fit one v5e's HBM — "
+        "run the int4 pair at 28L and all three at --layers 6)",
+    )
     ap.add_argument("--min-size", type=int, default=None,
                     help="quantize_tree min leaf size (default: library default; "
                          "--cpu-tiny forces 128 so tiny weights actually quantize)")
@@ -130,6 +138,8 @@ def main():
     # int4 copies do not coexist in one v5e's 16 GB HBM (bf16 16B alone does
     # not fit at 28L — run with --layers <= 6 for the bf16 leg on one chip).
     for name, mk in (("bf16", lambda: base), ("int4_linear", lambda: tier("linear")), ("int4_nf4", lambda: tier("nf4"))):
+        if name not in args.tiers:
+            continue
         p = mk()
         results[name] = run(p)
         del p
@@ -145,7 +155,8 @@ def main():
         return {"pair": f"{a}_vs_{b}", "sem_cosine": round(cos, 4), "sem_rel_l2": round(rel, 4), "pixel_psnr_db": round(psnr, 2)}
 
     for pair in (("bf16", "int4_linear"), ("bf16", "int4_nf4"), ("int4_nf4", "int4_linear")):
-        print(json.dumps(compare(*pair)), flush=True)
+        if pair[0] in results and pair[1] in results:
+            print(json.dumps(compare(*pair)), flush=True)
 
 
 if __name__ == "__main__":

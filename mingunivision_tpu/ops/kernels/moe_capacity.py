@@ -120,6 +120,35 @@ def moe_experts_capacity(
     return out.astype(x_flat.dtype)
 
 
+def capacity_src_map(flat_e, rank, num_experts: int, capacity: int):
+    """Scatter-free inverse map for the capacity buffer: src[e*C + c] = the
+    assignment index routed to expert e with within-expert rank c, and an
+    occupancy mask for empty slots.
+
+    XLA TPU lowers a row-scatter (`zeros.at[dst].set(rows)`) of A distinct
+    rows to a serialized update loop — ~ms-scale at prefill sizes. This builds
+    the same buffer with two small fp32 matmuls (exact for indices < 2^24) and
+    ONE row-gather, which TPU executes as a fast dynamic-gather:
+
+      src[e, c]  = sum_a one_hot_e[a] * one_hot_rank[a, c] * a   (MXU matmul)
+      occ[e, c]  = any assignment with (e, c)                     (same matmul)
+      xb         = where(occ, xs[src], 0)
+
+    Overflowed assignments (rank >= capacity) simply never appear in the map.
+    Pad assignments routed out-of-bounds (id == num_experts) contribute
+    zero one-hot rows and vanish likewise.
+    """
+    A = flat_e.shape[0]
+    oh_e = jax.nn.one_hot(flat_e, num_experts, dtype=jnp.float32)  # (A, E)
+    oh_c = jax.nn.one_hot(jnp.minimum(rank, capacity), capacity, dtype=jnp.float32)  # (A, C); overflow -> dropped by one_hot OOB
+    src = jnp.einsum(
+        "ae,ac->ec", oh_e * jnp.arange(A, dtype=jnp.float32)[:, None], oh_c,
+        precision=lax.Precision.HIGHEST,
+    )
+    occ = jnp.einsum("ae,ac->ec", oh_e, oh_c, precision=lax.Precision.HIGHEST)
+    return src.astype(jnp.int32).reshape(-1), (occ > 0.5).reshape(-1)
+
+
 def moe_experts_capacity_gmm(
     experts,
     x_flat,
@@ -130,6 +159,7 @@ def moe_experts_capacity_gmm(
     *,
     s8=None,
     interpret: bool = False,
+    build: str = "gather",
 ):
     """Capacity-dense dispatch through the FUSED SwiGLU grouped-matmul kernel
     with UNIFORM groups: scatter assignments into an (E, capacity, h) buffer,
@@ -163,11 +193,15 @@ def moe_experts_capacity_gmm(
     dst = jnp.where(ok, flat_e * C + rank, E * C)  # overflow -> trash row
 
     xs = jnp.repeat(x_flat, k, axis=0)  # (A, h), original assignment order
-    xb = (
-        jnp.zeros((E * C + 1, h), x_flat.dtype)
-        .at[dst]
-        .set(xs, mode="drop")[: E * C]
-    )
+    if build == "gather":
+        src, occ = capacity_src_map(flat_e, rank, E, C)
+        xb = jnp.where(occ[:, None], jnp.take(xs, src, axis=0), 0)
+    else:
+        xb = (
+            jnp.zeros((E * C + 1, h), x_flat.dtype)
+            .at[dst]
+            .set(xs, mode="drop")[: E * C]
+        )
 
     group_sizes = jnp.full((E,), C, jnp.int32)
     # tm = C keeps every tile inside one group, but the kernel's working set
