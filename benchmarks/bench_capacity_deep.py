@@ -170,6 +170,48 @@ def main():
     results["argsort_tm256"] = round(t * 1e3, 3)
     say(f"argsort-gmm tm=256: {t*1e3:.3f} ms")
 
+    # ---- e2e 8L bf16 prefill (the BENCHMARKS 'End-to-end prefill' form:
+    # measured at 8 layers, tok/s extrapolated x28/8), chained, for both
+    # dispatch defaults — the number VERDICT task 3 gates on
+    del experts, wg, wu, wd  # free ~3.2 GB of bf16 tables before the 8L model
+    jax.clear_caches()
+
+    import dataclasses
+
+    from mingunivision_tpu.config import BailingMoeConfig
+    from mingunivision_tpu.models.bailing_moe import LLMCache, bailing_forward, init_bailing_moe_params
+    from mingunivision_tpu.utils.profiling import force_sync
+
+    for cap_factor, tag in ((0.0, "argsort"), (1.33, "cap133"), (2.0, "cap200")):
+        cfg8 = dataclasses.replace(BailingMoeConfig(num_hidden_layers=8), moe_prefill_capacity_factor=cap_factor)
+        params8 = init_bailing_moe_params(jax.random.PRNGKey(1), cfg8, dtype=jnp.bfloat16)
+        T = 1024
+        xt = jax.jit(lambda k: jax.random.normal(k, (1, T, cfg8.hidden_size), jnp.bfloat16))(key)
+        mask = jnp.ones((1, T), bool)
+
+        @jax.jit
+        def pf(p, xx):
+            acc = jnp.float32(0)
+            for _ in range(3):
+                cache = LLMCache.create(cfg8, 1, T, jnp.bfloat16)
+                h, _ = bailing_forward(p, cfg8, xx, cache, mask)
+                acc = acc + jnp.sum(h[:, -1]).astype(jnp.float32)
+                xx = xx + (acc * 1e-20).astype(xx.dtype)
+            return acc
+
+        force_sync(pf(params8, xt))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            force_sync(pf(params8, xt))
+            best = min(best, time.perf_counter() - t0)
+        per = best / 3
+        tok_s_28 = round(T / (per * 28 / 8))
+        results[f"e2e_prefill8L_{tag}_ms"] = round(per * 1e3, 1)
+        results[f"e2e_prefill28L_{tag}_tok_s"] = tok_s_28
+        say(f"e2e 8L bf16 prefill [{tag}]: {per*1e3:.1f} ms -> {tok_s_28} tok/s @28L-extrap")
+        del params8
+
     print(json.dumps(results), flush=True)
 
 
