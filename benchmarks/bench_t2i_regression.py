@@ -105,9 +105,12 @@ def main():
     import mingunivision_tpu.models.bailing_moe as bm
 
     if args.mode == "capacity":
+        bm.MOE_GATHER_MAX_TOKENS = 16  # keep 24 rows in the prefill branch
         bm.MOE_CAPACITY_MIN_TOKENS = 0  # round-4 behavior: 24 rows take capacity
     elif args.mode == "stream":
         bm.MOE_GATHER_MAX_TOKENS = 24  # 24 rows take the dedup stream kernel
+    elif args.mode == "gmm":
+        bm.MOE_GATHER_MAX_TOKENS = 16  # round-3 behavior (now-default stream gated out)
 
     params, llm_cfg, mm = build()
     n = 1 if args.mode == "control" else 8

@@ -232,7 +232,17 @@ def moe_experts_dense(experts, x_flat, topk_idx, topk_w, num_experts: int):
     return out.astype(x_flat.dtype)
 
 
-MOE_GATHER_MAX_TOKENS = 16  # trace-time threshold: below this, gather beats dense
+# Trace-time threshold: at or below this many rows the DECODE-shape dispatch
+# (stream kernel with dedup-aggregation / dense / gather) runs; above it the
+# prefill dispatch (argsort-gmm / capacity). Round-5 probe
+# (benchmarks/bench_t2i_regression.py, 28L int4, 24 CFG rows): the dedup
+# stream kernel runs the batched-8 T2I step at 37.83 ms vs the argsort-gmm's
+# 62.27 (49.6 vs 30.1 img/min) — duplicate experts across CFG rows collapse to
+# one grid slot, so weight traffic is the ~64-expert minimum while the gmm
+# pays per-row-tile table sweeps. 48 covers the batched-T2I (24) and serving
+# (<=48 slots) regimes near the measured point; stream_supported's effective-
+# slot cap still gates unsupported shapes to dense.
+MOE_GATHER_MAX_TOKENS = 48
 # Capacity-dense dispatch only pays off when the (E, capacity, h) buffer is
 # mostly real rows. default_capacity floors at 128, so below ~512 tokens the
 # buffer is >2.7x padding and the kernel runs 64 full 128-row tiles for a
