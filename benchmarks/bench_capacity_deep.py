@@ -88,7 +88,7 @@ def main():
         # ---- stage: rank only
         def rank_only(x, idx):
             r, gs = expert_rank(idx.reshape(-1), E)
-            return (r + gs.sum()).astype(jnp.float32).reshape(1, 1) + x[:1, :1] * 0
+            return (r.sum() + gs.sum()).astype(jnp.float32).reshape(1, 1) + x[:1, :1] * 0
         t = chained(rank_only, (x, idx))
         results[f"rank_C{C}"] = round(t * 1e3, 3)
         say(f"rank: {t*1e3:.3f} ms")

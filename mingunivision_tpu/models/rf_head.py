@@ -173,7 +173,13 @@ def _time_grid(cfg: RFHeadConfig, time_shifting_factor: Optional[float]):
     return ts, dt
 
 
-FUSED_SAMPLER = False  # opt-in: whole-sample fused kernel (see rf_sample)
+# Whole-sample fused kernel (see rf_sample). DEFAULT ON since round 5: the
+# fixed chained bench (bench_rf_sampler, ADVICE r4 #4 — the round-4 "far
+# slower" reading was its broken measurement) shows fused 17.51 ms/sample vs
+# per-step 18.46 at the real int4 shape (block schedule, chunk 4096;
+# pipelined down-proj streaming measured SLOWER — the kernel is MXU-bound at
+# M=8 rows, not DMA-schedule-bound).
+FUSED_SAMPLER = True
 _FUSED_TRACES = 0  # incremented at trace time when the fused branch is taken
 
 
@@ -253,11 +259,8 @@ def rf_sample(
     # Fused whole-sampler kernel (ops/kernels/rf_sampler.py): every Euler step
     # in ONE pallas_call — no per-step pipeline ramp or XLA glue between weight
     # sweeps. Quantized-linear res_blocks on TPU only; the fori_loop below is
-    # the exact-math oracle and the bf16/NF4/CPU path. OPT-IN while the
-    # real-shape schedule is being tuned: on-device numerics match the oracle
-    # to 9e-6, but the v5e-measured whole-sample kernel currently runs far
-    # below the per-step rf_mlp_stack path at width 3072 (see BENCHMARKS
-    # "fused sampler"); flip FUSED_SAMPLER to True once it wins.
+    # the exact-math oracle and the bf16/NF4/CPU path. Default since round 5
+    # (1.054x over per-step, same-process chained A/B — BENCHMARKS "Round 5").
     if FUSED_SAMPLER and _params_on_tpu(params) and cfg_renorm_type in (None, "channel"):
         from mingunivision_tpu.ops.kernels.rf_sampler import (
             rf_sample_fused,

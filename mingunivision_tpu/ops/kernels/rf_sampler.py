@@ -522,7 +522,7 @@ def rf_sample_fused(
     cfg_rows: int,
     renorm_channel: bool,
     compute_dtype=jnp.bfloat16,
-    chunk: int = 2048,
+    chunk: int = 4096,  # round-5 sweep best: 1.087 ms/step vs 1.11-1.15 at 1024-2048/8192
     schedule: str = "block",  # int4 only: "block" (monolithic w3) | "pipelined"
     down_chunk: int = 1024,  # pipelined: packed w3 rows per down grid step
     interpret: bool = False,
