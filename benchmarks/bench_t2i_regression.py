@@ -60,12 +60,16 @@ def build(layers=28, bits=4, rf_bits=4):
     return params, llm_cfg, mm
 
 
-def run_t2i(params, llm_cfg, mm, n_images, tokens=256, iters=1):
+def run_t2i(params, llm_cfg, mm, n_images, tokens=256, iters=1, rf_steps=None):
+    import dataclasses
+
     from mingunivision_tpu.config import ImageGenConfig
     from mingunivision_tpu.engine.generate import generate_image_tokens
     from mingunivision_tpu.models.bailing_moe import LLMCache, embed_tokens
     from mingunivision_tpu.utils.profiling import force_sync
 
+    if rf_steps is not None:
+        mm = dataclasses.replace(mm, rf_head=dataclasses.replace(mm.rf_head, num_sampling_steps=rf_steps))
     dtype = jnp.bfloat16
     Smax = 512  # 64 ctx + 256 AR tokens; 1024 put the n8 config over the HBM line
     R = 3 * n_images
@@ -100,6 +104,8 @@ def run_t2i(params, llm_cfg, mm, n_images, tokens=256, iters=1):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["gmm", "capacity", "stream", "control"], required=True)
+    ap.add_argument("--rf-steps", type=int, default=None, help="override Euler steps (in-loop RF cost slope probe)")
+    ap.add_argument("--fused-rf", choices=["on", "off"], default=None, help="override FUSED_SAMPLER")
     args = ap.parse_args()
     assert jax.default_backend() == "tpu", jax.default_backend()
     import mingunivision_tpu.models.bailing_moe as bm
@@ -112,11 +118,16 @@ def main():
     elif args.mode == "gmm":
         bm.MOE_GATHER_MAX_TOKENS = 16  # round-3 behavior (now-default stream gated out)
 
+    if args.fused_rf is not None:
+        from mingunivision_tpu.models import rf_head as _rf
+
+        _rf.FUSED_SAMPLER = args.fused_rf == "on"
+
     params, llm_cfg, mm = build()
     n = 1 if args.mode == "control" else 8
-    ms, compile_s = run_t2i(params, llm_cfg, mm, n_images=n)
+    ms, compile_s = run_t2i(params, llm_cfg, mm, n_images=n, rf_steps=args.rf_steps)
     print(json.dumps({
-        "mode": args.mode, "n_images": n,
+        "mode": args.mode, "n_images": n, "rf_steps": args.rf_steps, "fused_rf": args.fused_rf,
         "ms_per_batch_step": round(ms, 2),
         "images_per_min": round(n * 60.0 / (ms * 256 / 1e3), 2),
         "compile_s": round(compile_s, 1),
