@@ -221,16 +221,19 @@ def _kernel_q4_s8(ids_ref, x_ref, q1_ref, s1_ref, q3_ref, s3_ref, q2_ref, s2_ref
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
-# Integer-dot kernel selection — measured NEGATIVE result on v5e for this
-# kernel: at decode slot counts (A=18) the stream dispatch is DMA/grid-latency
-# bound, and the integer-MXU path ties the convert path exactly (0.208 vs
-# 0.209 ms/layer, 28L int4), so both flags default OFF and decode keeps the
-# EXACT dequant kernels (no activation-quant noise). The kernels remain for
-# regimes where the weight convert IS the bottleneck — the RF head at B=3
-# measured 16-20% faster with the same technique (ops/kernels/rf_mlp, mode
-# 's8'), because it streams 432 MB/step vs the stream kernel's ~65 MB/layer.
-INT_DOT_STREAM = False
-INT_DOT_STREAM_INT8 = False
+# Integer-dot kernel selection. Round-3 measured a tie at A=18 slots (B=3
+# single-image T2I decode: 0.208 vs 0.209 ms/layer) and kept the exact
+# dequant kernels. Round-5 re-measured at SERVING batch (B=16, dedup ~64
+# slots, paged 28L int4): s8 dots 27.49 ms/step = 582 tok/s vs convert
+# kernels 31.93 = 501 (+16%; B=8: 436 vs 362, +21%) — at larger M the VPU
+# byte-convert of every weight is the bottleneck the integer MXU removes.
+# Default ON since round 5: the tie regime loses nothing, the serving regime
+# gains 16-21%. Numerics: per-row-s8 activation quantization, the same
+# approximation class as the RF s8 kernel (quality bound in
+# tests/test_quality_gates.py); the exact dequant kernels remain one flag
+# away for golden/debug runs.
+INT_DOT_STREAM = True
+INT_DOT_STREAM_INT8 = True
 
 
 def _is_q(w, bits: int) -> bool:

@@ -195,17 +195,23 @@ class TestMoEStreamInt8:
         w = jax.nn.softmax(jnp.asarray(rng.standard_normal((N, k)), jnp.float32), -1)
         assert stream_supported(quant, x, idx)
         want = np.asarray(moe_experts_gather(quant, x, idx, w))
-        # default int4 decode path is the EXACT dequant kernel
-        got = np.asarray(moe_experts_stream(quant, x, idx, w, interpret=True))
-        np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
-        # the opt-in integer-dot kernel carries bounded activation-quant noise
+        # the EXACT dequant kernel (flag pinned: s8 int-dots are the serving
+        # default since round 5)
         import mingunivision_tpu.ops.kernels.moe_stream as _ms
 
-        _ms.INT_DOT_STREAM = True
+        _orig = (_ms.INT_DOT_STREAM, _ms.INT_DOT_STREAM_INT8)
+        _ms.INT_DOT_STREAM = _ms.INT_DOT_STREAM_INT8 = False
+        try:
+            got = np.asarray(moe_experts_stream(quant, x, idx, w, interpret=True))
+        finally:
+            _ms.INT_DOT_STREAM, _ms.INT_DOT_STREAM_INT8 = _orig
+        np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+        # the integer-dot kernel carries bounded activation-quant noise
+        _ms.INT_DOT_STREAM = _ms.INT_DOT_STREAM_INT8 = True
         try:
             noisy = np.asarray(moe_experts_stream(quant, x, idx, w, interpret=True))
         finally:
-            _ms.INT_DOT_STREAM = False
+            _ms.INT_DOT_STREAM, _ms.INT_DOT_STREAM_INT8 = _orig
         rel = np.linalg.norm(noisy - want) / (np.linalg.norm(want) + 1e-12)
         # ~4% at this tiny d=256 (3 chained s8-quantized matmuls; relative
         # noise shrinks ~1/sqrt(d) at the real width 2048)
@@ -242,17 +248,23 @@ class TestMoEStreamInt8:
         w = jax.nn.softmax(jnp.asarray(rng.standard_normal((N, k)), jnp.float32), -1)
         assert stream_supported(quant, x, idx)
         want = np.asarray(moe_experts_gather(quant, x, idx, w))
-        # default int4 decode path is the EXACT dequant kernel
-        got = np.asarray(moe_experts_stream(quant, x, idx, w, interpret=True))
-        np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
-        # the opt-in integer-dot kernel carries bounded activation-quant noise
+        # the EXACT dequant kernel (flag pinned: s8 int-dots are the serving
+        # default since round 5)
         import mingunivision_tpu.ops.kernels.moe_stream as _ms
 
-        _ms.INT_DOT_STREAM = True
+        _orig = (_ms.INT_DOT_STREAM, _ms.INT_DOT_STREAM_INT8)
+        _ms.INT_DOT_STREAM = _ms.INT_DOT_STREAM_INT8 = False
+        try:
+            got = np.asarray(moe_experts_stream(quant, x, idx, w, interpret=True))
+        finally:
+            _ms.INT_DOT_STREAM, _ms.INT_DOT_STREAM_INT8 = _orig
+        np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+        # the integer-dot kernel carries bounded activation-quant noise
+        _ms.INT_DOT_STREAM = _ms.INT_DOT_STREAM_INT8 = True
         try:
             noisy = np.asarray(moe_experts_stream(quant, x, idx, w, interpret=True))
         finally:
-            _ms.INT_DOT_STREAM = False
+            _ms.INT_DOT_STREAM, _ms.INT_DOT_STREAM_INT8 = _orig
         rel = np.linalg.norm(noisy - want) / (np.linalg.norm(want) + 1e-12)
         # ~4% at this tiny d=256 (3 chained s8-quantized matmuls; relative
         # noise shrinks ~1/sqrt(d) at the real width 2048)
@@ -301,8 +313,20 @@ class TestMoEStreamStacked:
         li = 1
         sliced = {kk: QuantizedArray(v.q[li], v.s[li], 8) for kk, v in stacked.items()}
         want = np.asarray(moe_experts_gather(sliced, x, idx, w))
-        got = np.asarray(moe_experts_stream(stacked, x, idx, w, layer_idx=jnp.int32(li), interpret=True))
+        # pin the exact dequant kernel (s8 int-dots are the serving default)
+        import mingunivision_tpu.ops.kernels.moe_stream as _ms
+
+        _orig = (_ms.INT_DOT_STREAM, _ms.INT_DOT_STREAM_INT8)
+        _ms.INT_DOT_STREAM = _ms.INT_DOT_STREAM_INT8 = False
+        try:
+            got = np.asarray(moe_experts_stream(stacked, x, idx, w, layer_idx=jnp.int32(li), interpret=True))
+        finally:
+            _ms.INT_DOT_STREAM, _ms.INT_DOT_STREAM_INT8 = _orig
         np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+        # the s8 default on the stacked path: bounded activation-quant noise
+        got_s8 = np.asarray(moe_experts_stream(stacked, x, idx, w, layer_idx=jnp.int32(li), interpret=True))
+        rel = np.linalg.norm(got_s8 - want) / (np.linalg.norm(want) + 1e-12)
+        assert rel < 0.06, f"s8 stacked stream rel-L2 {rel:.4f}"
 
 
 class TestRFMLPStack:
