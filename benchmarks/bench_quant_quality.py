@@ -48,6 +48,14 @@ def main():
         help="which engines to run (28L bf16 does not fit one v5e's HBM — "
         "run the int4 pair at 28L and all three at --layers 6)",
     )
+    ap.add_argument(
+        "--save-dir",
+        default=None,
+        help="npz cache per tier: lets each tier run in its OWN process (the "
+        "bf16 base + quantize temps together overflow one chip's HBM even at "
+        "4 layers); tiers with an existing npz are loaded, not re-run, and "
+        "pairs compare across processes",
+    )
     ap.add_argument("--min-size", type=int, default=None,
                     help="quantize_tree min leaf size (default: library default; "
                          "--cpu-tiny forces 128 so tiny weights actually quantize)")
@@ -134,15 +142,25 @@ def main():
 
     t0 = time.time()
     results = {}
+    if args.save_dir:
+        os.makedirs(args.save_dir, exist_ok=True)
+        for name in ("bf16", "int4_linear", "int4_nf4"):
+            f = os.path.join(args.save_dir, f"{name}.npz")
+            if os.path.exists(f):
+                z = np.load(f)
+                results[name] = (z["sem"], z["img"])
+                print(json.dumps({"tier": name, "loaded": True}), flush=True)
     # Tiers are built LAZILY and freed after each run: full-width bf16 + two
     # int4 copies do not coexist in one v5e's 16 GB HBM (bf16 16B alone does
     # not fit at 28L — run with --layers <= 6 for the bf16 leg on one chip).
     for name, mk in (("bf16", lambda: base), ("int4_linear", lambda: tier("linear")), ("int4_nf4", lambda: tier("nf4"))):
-        if name not in args.tiers:
+        if name not in args.tiers or name in results:
             continue
         p = mk()
         results[name] = run(p)
         del p
+        if args.save_dir:
+            np.savez(os.path.join(args.save_dir, f"{name}.npz"), sem=results[name][0], img=results[name][1])
         print(json.dumps({"tier": name, "elapsed_s": round(time.time() - t0, 1)}), flush=True)
 
     def compare(a, b):
