@@ -241,8 +241,17 @@ class BailingMoeConfig(_JsonMixin):
     # tm == capacity means one kernel visit per expert, no megablox group-
     # boundary recompute) with a lax.cond fallback to the exact argsort-gmm on
     # overflow. factor scales capacity vs the mean expert load
-    # (default_capacity); 0 disables the capacity path entirely.
-    moe_prefill_capacity_factor: float = 1.33
+    # (default_capacity); 0 disables the capacity path entirely. 2.0 since
+    # round 5: at 1024 tok random routing, factor 1.33 (C=128) overflows to
+    # the fallback on a large share of steps (binomial max load ~96+3sigma
+    # crosses 128), while C=192's padding is cheap — measured e2e 8L bf16
+    # prefill 5219 tok/s (28L-extrap) vs 5067 @1.33 vs 5007 argsort-only
+    # (benchmarks/bench_prefill_deep.py). Only engages at
+    # B*T >= MOE_CAPACITY_MIN_TOKENS (512).
+    moe_prefill_capacity_factor: float = 2.0
+    # row-tile override for the fused argsort-gmm prefill kernel (0 = the
+    # measured defaults: 128 int4 / 256 otherwise)
+    moe_prefill_tm: int = 0
     # runtime-only: the jax Mesh for the shard_map decode path (excluded from
     # JSON / equality; api.py fills it in when constructed with a mesh)
     expert_mesh: Any = dataclasses.field(default=None, compare=False, repr=False)

@@ -395,12 +395,13 @@ def moe_block_apply(params, cfg: BailingMoeConfig, x, image_mask=None, audio_mas
                     )
                     y = moe_experts_capacity_gmm_exact(
                         tabs, x_flat, topk_idx, topk_w, cfg.num_experts, cap,
-                        tm_fallback=128 if is_int4 else 256,
+                        tm_fallback=getattr(cfg, "moe_prefill_tm", 0) or (128 if is_int4 else 256),
                         token_valid=token_valid.reshape(-1) if token_valid is not None else None,
                     )
                 else:
+                    tm = getattr(cfg, "moe_prefill_tm", 0) or (128 if is_int4 else 256)
                     y = moe_experts_swiglu_gmm(
-                        tabs, x_flat, topk_idx, topk_w, cfg.num_experts, tm=128 if is_int4 else 256
+                        tabs, x_flat, topk_idx, topk_w, cfg.num_experts, tm=tm
                     )
             else:
                 # custom_vjp wrapper: fused kernel fwd, megablox gmm/tgmm bwd —
