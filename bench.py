@@ -214,7 +214,12 @@ def bench_t2i_per_token(layers: int = 28, tokens: int = 8, iters: int = 2, bits:
         "vis_head": init_vis_head_params(ks[3], llm_cfg.hidden_size, mm.rf_head.z_channels, dtype=dtype),
         "linear_proj": init_linear_proj_params(ks[4], mm.mingtok.feature_dim, llm_cfg.hidden_size, mm.mlp_depth, dtype=dtype),
     }
-    Smax = 1024
+    # cache sized to the T2I workload: 64 ctx + 256 AR tokens + headroom. The
+    # earlier 1024 buffer paid attention/cache traffic for 700 positions no
+    # T2I request can reach (prompt contexts longer than ~192 tokens would
+    # spill into a 1024 bucket — that's a different serving config, not this
+    # metric's workload).
+    Smax = 512
     R = 3 * n_images
     cache = LLMCache.create(llm_cfg, R, Smax, dtype)
     cache = LLMCache(cache.k, cache.v, jnp.int32(64))
