@@ -117,6 +117,15 @@ def main():
 
     def tier(scheme):
         p = dict(base)
+        if args.save_dir and len(args.tiers) == 1:
+            # single-tier process: destructive leaf-streaming quantize — the
+            # non-destructive path's peak (bf16 base + full int4 copy + fp32
+            # temps) OOMs one chip even at 4 layers
+            from mingunivision_tpu.utils.quantize import quantize_tree_inplace
+
+            p["llm"] = quantize_tree_inplace(base["llm"], bits=4, scheme=scheme, **qkw)
+            p["rf_head"] = quantize_tree_inplace(base["rf_head"], bits=4, scheme=scheme, **qkw)
+            return p
         p["llm"] = quantize_tree(base["llm"], bits=4, scheme=scheme, **qkw)
         p["rf_head"] = quantize_tree(base["rf_head"], bits=4, scheme=scheme, **qkw)
         return p

@@ -243,6 +243,37 @@ def quantize_tree(params, bits: int = 8, min_size: int = _QUANT_MIN_SIZE, model_
     return jax.tree_util.tree_map_with_path(visit, params)
 
 
+def quantize_tree_inplace(params: dict, bits: int = 8, min_size: int = _QUANT_MIN_SIZE, model_shards: int = 1, scheme: str = "linear"):
+    """Destructive variant of `quantize_tree` for HBM-tight conversions: walks
+    the nested-dict tree REPLACING each leaf as it goes, so the bf16 original
+    of an already-quantized leaf is freed before the next leaf's quantize
+    temps allocate (peak = tree + ONE leaf's fp32 temps instead of tree +
+    full quantized copy). Same leaf policy as quantize_tree (the per-leaf
+    visit is shared via a single-leaf tree_map_with_path on a keyed subtree).
+
+    Mutates and returns `params` (dicts only — the param trees this library
+    builds are nested dicts of arrays)."""
+
+    def walk(d, parts):
+        for k in list(d.keys()):
+            v = d[k]
+            if isinstance(v, dict):
+                walk(v, parts + [str(k)])
+            else:
+                # single-leaf subtree keeps the full key path for the policy
+                sub = {str(k): v}
+                for i in range(len(parts) - 1, -1, -1):
+                    sub = {parts[i]: sub}
+                out = quantize_tree(sub, bits=bits, min_size=min_size, model_shards=model_shards, scheme=scheme)
+                for p in parts:
+                    out = out[p]
+                d[k] = out[str(k)]
+                del v, out, sub
+
+    walk(params, [])
+    return params
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def _gen_u8(key, shape):
     # jitted so the threefry u32 intermediates fuse into the store — the eager
