@@ -48,6 +48,11 @@ class MingUniVisionInfer:
         self.config = config or MingUniVisionConfig()
         self.runtime = runtime or RuntimeConfig()
         self.mesh = mesh
+        if not getattr(self.runtime, "moe_int_dots", True):
+            # restore the exact-dequant decode kernels (golden/debug tier)
+            import mingunivision_tpu.ops.kernels.moe_stream as _ms
+
+            _ms.INT_DOT_STREAM = _ms.INT_DOT_STREAM_INT8 = False
         if self.runtime.pixdec_matmul_precision is not None:
             from mingunivision_tpu.config import with_pixdec_precision
 

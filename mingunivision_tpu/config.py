@@ -396,6 +396,12 @@ class RuntimeConfig(_JsonMixin):
     # PSNR-vs-fp32 (vs 50.7 @ "high") — invisible in uint8 output (48.1 dB
     # quantizer floor). "bf16" = 95.9 img/s @ 50.3 dB, max-throughput opt-in.
     pixdec_matmul_precision: Optional[str] = None
+    # integer-MXU s8 dots in the decode stream MoE kernels (round-5 default:
+    # +16-21% serving throughput, bounded per-row activation-quant noise);
+    # False restores the exact-dequant kernels for golden/debug runs.
+    # Applied by api.MingUniVisionInfer at construction (module flags in
+    # ops/kernels/moe_stream are the source of truth for bare-library use).
+    moe_int_dots: bool = True
 
 
 def with_pixdec_precision(config: "MingUniVisionConfig", precision: str) -> "MingUniVisionConfig":
