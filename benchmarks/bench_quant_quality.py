@@ -85,14 +85,18 @@ def main():
         llm_cfg = BailingMoeConfig(num_hidden_layers=args.layers)
         mm = MingUniVisionConfig(llm=llm_cfg)
     dtype = jnp.bfloat16
-    ks = jax.random.split(jax.random.PRNGKey(args.seed), 5)
-    base = {
-        "llm": init_bailing_moe_params(ks[0], llm_cfg, dtype=dtype),
-        "mingtok": init_mingtok_params(ks[1], mm.mingtok, dtype=dtype),
-        "rf_head": init_rf_head_params(ks[2], mm.rf_head, dtype=dtype),
-        "vis_head": init_vis_head_params(ks[3], llm_cfg.hidden_size, mm.rf_head.z_channels, dtype=dtype),
-        "linear_proj": init_linear_proj_params(ks[4], mm.mingtok.feature_dim, llm_cfg.hidden_size, mm.mlp_depth, dtype=dtype),
-    }
+
+    def build_base():
+        ks = jax.random.split(jax.random.PRNGKey(args.seed), 5)
+        b = {
+            "llm": init_bailing_moe_params(ks[0], llm_cfg, dtype=dtype),
+            "mingtok": init_mingtok_params(ks[1], mm.mingtok, dtype=dtype),
+            "rf_head": init_rf_head_params(ks[2], mm.rf_head, dtype=dtype),
+            "vis_head": init_vis_head_params(ks[3], llm_cfg.hidden_size, mm.rf_head.z_channels, dtype=dtype),
+            "linear_proj": init_linear_proj_params(ks[4], mm.mingtok.feature_dim, llm_cfg.hidden_size, mm.mlp_depth, dtype=dtype),
+        }
+        b["rf_head"] = _denoise_zero_init(b["rf_head"], jax.random.PRNGKey(args.seed + 7))
+        return b
 
     # CRITICAL: init_rf_head_params is reference-faithful DiT ZERO-INIT
     # (AdaLN-zero gates + zero final layer), so a fresh RF head outputs an
@@ -111,21 +115,28 @@ def main():
         ]
         return jax.tree_util.tree_unflatten(treedef, out)
 
-    base["rf_head"] = _denoise_zero_init(base["rf_head"], jax.random.PRNGKey(args.seed + 7))
+    state = {"base": build_base(), "consumed": False}
+    base = state["base"]
 
     qkw = {} if args.min_size is None else {"min_size": args.min_size}
 
     def tier(scheme):
-        p = dict(base)
-        if args.save_dir and len(args.tiers) == 1:
-            # single-tier process: destructive leaf-streaming quantize — the
-            # non-destructive path's peak (bf16 base + full int4 copy + fp32
-            # temps) OOMs one chip even at 4 layers
+        if args.save_dir:
+            # destructive leaf-streaming quantize (the non-destructive path's
+            # peak — bf16 base + full int4 copy + fp32 temps — OOMs one chip
+            # even at 4 layers). base is seed-reproducible: rebuild it when a
+            # previous tier consumed it.
             from mingunivision_tpu.utils.quantize import quantize_tree_inplace
 
-            p["llm"] = quantize_tree_inplace(base["llm"], bits=4, scheme=scheme, **qkw)
-            p["rf_head"] = quantize_tree_inplace(base["rf_head"], bits=4, scheme=scheme, **qkw)
+            if state["consumed"]:
+                state["base"] = build_base()
+            b = state["base"]
+            state["consumed"] = True
+            p = dict(b)
+            p["llm"] = quantize_tree_inplace(b["llm"], bits=4, scheme=scheme, **qkw)
+            p["rf_head"] = quantize_tree_inplace(b["rf_head"], bits=4, scheme=scheme, **qkw)
             return p
+        p = dict(base)
         p["llm"] = quantize_tree(base["llm"], bits=4, scheme=scheme, **qkw)
         p["rf_head"] = quantize_tree(base["rf_head"], bits=4, scheme=scheme, **qkw)
         return p
