@@ -254,21 +254,50 @@ def quantize_tree_inplace(params: dict, bits: int = 8, min_size: int = _QUANT_MI
     Mutates and returns `params` (dicts only — the param trees this library
     builds are nested dicts of arrays)."""
 
+    _SLICE_BYTES = 256 * 1024 * 1024  # quantize >256 MB leaves per leading slice
+
+    def one(k, v, parts):
+        # single-leaf subtree keeps the full key path for the policy
+        sub = {str(k): v}
+        for i in range(len(parts) - 1, -1, -1):
+            sub = {parts[i]: sub}
+        out = quantize_tree(sub, bits=bits, min_size=min_size, model_shards=model_shards, scheme=scheme)
+        for p in parts:
+            out = out[p]
+        return out[str(k)]
+
     def walk(d, parts):
         for k in list(d.keys()):
             v = d[k]
             if isinstance(v, dict):
                 walk(v, parts + [str(k)])
+                continue
+            nbytes = getattr(v, "nbytes", 0) or 0
+            if (
+                nbytes > _SLICE_BYTES
+                and getattr(v, "ndim", 0) >= 3
+                and v.shape[0] > 1
+            ):
+                # quantize per leading (depth-stack) slice: the fp32 temps of
+                # quantize_array are ~3x the leaf — whole-leaf conversion of a
+                # GB-scale stacked expert table on top of a near-full HBM OOMs.
+                # Scales reduce over contraction axes only, so slicing the
+                # leading axis is numerically identical.
+                pieces = [one(k, v[i : i + 1], parts) for i in range(v.shape[0])]
+                if isinstance(pieces[0], QuantizedArray):
+                    d[k] = QuantizedArray(
+                        jnp.concatenate([p.q for p in pieces], axis=0),
+                        jnp.concatenate([p.s for p in pieces], axis=0),
+                        pieces[0].bits,
+                        pieces[0].groups,
+                        getattr(pieces[0], "scheme", "linear"),
+                    )
+                else:  # policy left it dense
+                    d[k] = v
+                del pieces, v
             else:
-                # single-leaf subtree keeps the full key path for the policy
-                sub = {str(k): v}
-                for i in range(len(parts) - 1, -1, -1):
-                    sub = {parts[i]: sub}
-                out = quantize_tree(sub, bits=bits, min_size=min_size, model_shards=model_shards, scheme=scheme)
-                for p in parts:
-                    out = out[p]
-                d[k] = out[str(k)]
-                del v, out, sub
+                d[k] = one(k, v, parts)
+                del v
 
     walk(params, [])
     return params
