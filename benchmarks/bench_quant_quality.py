@@ -41,6 +41,13 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu-tiny", action="store_true", help="tiny CPU smoke config")
     ap.add_argument(
+        "--cpu",
+        action="store_true",
+        help="force the CPU backend at REAL width (all engines share one "
+        "backend; used for the NF4 tier, whose XLA-dequant decode graph "
+        "reproducibly crashes the axon TPU worker)",
+    )
+    ap.add_argument(
         "--tiers",
         nargs="+",
         default=["bf16", "int4_linear", "int4_nf4"],
@@ -75,6 +82,8 @@ def main():
     from mingunivision_tpu.models.rf_head import init_rf_head_params, init_vis_head_params
     from mingunivision_tpu.utils.quantize import quantize_tree
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     if args.cpu_tiny:
         jax.config.update("jax_platforms", "cpu")
         llm_cfg = tiny_llm_config()
