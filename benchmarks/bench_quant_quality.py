@@ -26,12 +26,25 @@ import time
 
 sys.path.insert(0, ".")
 
+# Platform selection must beat the axon sitecustomize: set the env BEFORE
+# importing jax (conftest.py pattern) — a post-import config update alone
+# left a --cpu run on the TPU backend once (it claimed the chip and wedged a
+# concurrent TPU client).
+if "--cpu" in sys.argv or "--cpu-tiny" in sys.argv:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-os.makedirs("/tmp/jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+if "--cpu" in sys.argv or "--cpu-tiny" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+    from __graft_entry__ import _setup_compile_cache
+
+    _setup_compile_cache()  # host-fingerprinted CPU cache dir (CLAUDE.md)
+else:
+    os.makedirs("/tmp/jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
 
 def main():
@@ -68,6 +81,12 @@ def main():
                          "--cpu-tiny forces 128 so tiny weights actually quantize)")
     args = ap.parse_args()
 
+    # Force the platform BEFORE importing the package: the import chain can
+    # initialize the backend (observed: a --cpu run claimed the axon TPU and
+    # wedged a concurrent TPU client), after which jax_platforms is ignored.
+    if args.cpu or args.cpu_tiny:
+        jax.config.update("jax_platforms", "cpu")
+
     from mingunivision_tpu.config import (
         BailingMoeConfig,
         ImageGenConfig,
@@ -82,10 +101,9 @@ def main():
     from mingunivision_tpu.models.rf_head import init_rf_head_params, init_vis_head_params
     from mingunivision_tpu.utils.quantize import quantize_tree
 
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
+    if args.cpu or args.cpu_tiny:
+        assert jax.default_backend() == "cpu", jax.default_backend()
     if args.cpu_tiny:
-        jax.config.update("jax_platforms", "cpu")
         llm_cfg = tiny_llm_config()
         mm = MingUniVisionConfig(mingtok=tiny_mingtok_config(), llm=llm_cfg, rf_head=tiny_rf_config(), mlp_depth=2)
         if args.min_size is None:
@@ -93,7 +111,10 @@ def main():
     else:
         llm_cfg = BailingMoeConfig(num_hidden_layers=args.layers)
         mm = MingUniVisionConfig(llm=llm_cfg)
-    dtype = jnp.bfloat16
+    # CPU legs run fp32: this host's XLA:CPU DotThunk rejects bf16 x bf16 -> f32
+    # dots outright, and the table isolates QUANTIZATION error (quantized tiers
+    # are compared against the same-process base tier either way).
+    dtype = jnp.float32 if (args.cpu or args.cpu_tiny) else jnp.bfloat16
 
     def build_base():
         ks = jax.random.split(jax.random.PRNGKey(args.seed), 5)
@@ -170,6 +191,17 @@ def main():
         return sem, img
 
     t0 = time.time()
+    print(
+        json.dumps(
+            {
+                "backend": jax.default_backend(),
+                "base_dtype": jnp.dtype(dtype).name,
+                "layers": llm_cfg.num_hidden_layers,
+                "tokens": args.tokens,
+            }
+        ),
+        flush=True,
+    )
     results = {}
     if args.save_dir:
         os.makedirs(args.save_dir, exist_ok=True)
