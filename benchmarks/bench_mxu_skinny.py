@@ -40,26 +40,33 @@ def say(*a):
     print(*a, flush=True)
 
 
-def chained(f, args, reps=4, iters=3):
+def chained(f, args, reps=16, iters=3):
+    """Per-rep DEVICE time by differencing: the axon per-call overhead on this
+    host is ~25 ms and pipelines with device work (measured time is roughly
+    max(overhead, reps*work)), so a single-reps reading is floor-limited.
+    Run the chain at reps and 2*reps; work = (t2 - t1) / reps cancels any
+    constant per-call cost."""
     from mingunivision_tpu.utils.profiling import force_sync
 
-    @jax.jit
-    def run(*args):
-        acc = jnp.float32(0)
-        x = args[0]
-        for _ in range(reps):
-            y = f(x, *args[1:])
-            acc = acc + jnp.sum(y).astype(jnp.float32)
-            x = x + (acc * 1e-20).astype(x.dtype)
-        return acc
+    def build(n):
+        @jax.jit
+        def run(*args):
+            acc = jnp.float32(0)
+            x = args[0]
+            for _ in range(n):
+                y = f(x, *args[1:])
+                acc = acc + jnp.sum(y).astype(jnp.float32)
+                x = x + (acc * 1e-20).astype(x.dtype)
+            return acc
+        return run
 
-    force_sync(run(*args))
-    best = float("inf")
+    r1, r2 = build(reps), build(2 * reps)
+    force_sync(r1(*args)); force_sync(r2(*args))
+    b1 = b2 = float("inf")
     for _ in range(iters):
-        t0 = time.perf_counter()
-        force_sync(run(*args))
-        best = min(best, time.perf_counter() - t0)
-    return best / reps
+        t0 = time.perf_counter(); force_sync(r1(*args)); b1 = min(b1, time.perf_counter() - t0)
+        t0 = time.perf_counter(); force_sync(r2(*args)); b2 = min(b2, time.perf_counter() - t0)
+    return max(b2 - b1, 1e-9) / reps
 
 
 def main():

@@ -366,15 +366,20 @@ def moe_block_apply(params, cfg: BailingMoeConfig, x, image_mask=None, audio_mas
         from mingunivision_tpu.utils.quantize import QuantizedArray
 
         tabs = sliced_experts()
+        # stacked passthrough for the fused prefill kernels: the scan-sliced
+        # per-layer copy of the tables (~1.1 GB bf16) costs ~2.5 ms/layer on
+        # v5e; the kernels block-index (layer, expert) directly instead
+        ktabs = experts_stacked if experts_stacked is not None else params["experts"]
+        klidx = layer_idx if experts_stacked is not None else None
         sharded = cfg.expert_tables_sharded  # Pallas opaque to GSPMD: stay dense
         # fused swiglu-gmm: one schedule reads each routed expert's w1/w3/w2
         # once per row-tile. v5e measured per layer vs previous defaults:
         # bf16 5.67/8.88 ms @1024/4096 tok (megablox 6.80/13.47); int8
         # dequant-fused 7.03/8.99 (masked-dense 10.19/30.99); int4
         # plane-aware chunked 5.48/9.45 (masked-dense 11.06/33.96).
-        is_quant = isinstance(tabs["gate_proj"], QuantizedArray)
-        is_int4 = is_quant and tabs["gate_proj"].bits == 4
-        if on_tpu and not sharded and swiglu_gmm_supported(tabs, x_flat):
+        is_quant = isinstance(probe["gate_proj"], QuantizedArray)
+        is_int4 = is_quant and probe["gate_proj"].bits == 4
+        if on_tpu and not sharded and swiglu_gmm_supported(probe, x_flat):
             if is_quant or not cfg.moe_differentiable:
                 # inference tiers. Default: capacity-dense scatter + UNIFORM-
                 # groups fused kernel (tm == capacity -> exactly one kernel
@@ -394,14 +399,15 @@ def moe_block_apply(params, cfg: BailingMoeConfig, x, image_mask=None, audio_mas
                         B * T, cfg.num_experts_per_tok, cfg.num_experts, factor=cap_factor
                     )
                     y = moe_experts_capacity_gmm_exact(
-                        tabs, x_flat, topk_idx, topk_w, cfg.num_experts, cap,
+                        ktabs, x_flat, topk_idx, topk_w, cfg.num_experts, cap,
                         tm_fallback=getattr(cfg, "moe_prefill_tm", 0) or (128 if is_int4 else 256),
                         token_valid=token_valid.reshape(-1) if token_valid is not None else None,
+                        layer_idx=klidx,
                     )
                 else:
                     tm = getattr(cfg, "moe_prefill_tm", 0) or (128 if is_int4 else 256)
                     y = moe_experts_swiglu_gmm(
-                        tabs, x_flat, topk_idx, topk_w, cfg.num_experts, tm=tm
+                        ktabs, x_flat, topk_idx, topk_w, cfg.num_experts, tm=tm, layer_idx=klidx
                     )
             else:
                 # custom_vjp wrapper: fused kernel fwd, megablox gmm/tgmm bwd —

@@ -160,6 +160,7 @@ def moe_experts_capacity_gmm(
     s8=None,
     interpret: bool = False,
     build: str = "gather",
+    layer_idx=None,
 ):
     """Capacity-dense dispatch through the FUSED SwiGLU grouped-matmul kernel
     with UNIFORM groups: scatter assignments into an (E, capacity, h) buffer,
@@ -223,6 +224,7 @@ def moe_experts_capacity_gmm(
             tm=tm,
             interpret=interpret,
             s8=s8,
+            layer_idx=layer_idx,
         )
     else:
         y = swiglu_gmm(
@@ -233,6 +235,7 @@ def moe_experts_capacity_gmm(
             group_sizes,
             tm=tm,
             interpret=interpret,
+            layer_idx=layer_idx,
         )
 
     ys = jnp.take(y, jnp.minimum(dst, E * C - 1), axis=0)
@@ -254,6 +257,7 @@ def moe_experts_capacity_gmm_exact(
     s8=None,
     interpret: bool = False,
     token_valid=None,
+    layer_idx=None,
 ):
     """Capacity-gmm guarded by an exactness cond: on overflow (any expert load
     > capacity) run the exact argsort-gmm dispatch instead. Both branches trace
@@ -283,10 +287,10 @@ def moe_experts_capacity_gmm_exact(
     return lax.cond(
         fits,
         lambda ex, x, _ti, _tw, ti, tw: moe_experts_capacity_gmm(
-            ex, x, ti, tw, num_experts, capacity, s8=s8, interpret=interpret
+            ex, x, ti, tw, num_experts, capacity, s8=s8, interpret=interpret, layer_idx=layer_idx
         ),
         lambda ex, x, ti, tw, _ti, _tw: moe_experts_swiglu_gmm(
-            ex, x, ti, tw, num_experts, tm=tm_fallback, s8=s8, interpret=interpret
+            ex, x, ti, tw, num_experts, tm=tm_fallback, s8=s8, interpret=interpret, layer_idx=layer_idx
         ),
         experts,
         x_flat,

@@ -71,6 +71,7 @@ def _kernel(
     group_offsets_ref,
     group_ids_ref,
     m_tile_ids_ref,
+    lay_ref,  # (1,) layer index — consumed by the weight index maps only
     x_ref,
     w1_ref,
     w3_ref,
@@ -185,6 +186,7 @@ def _kernel_q8_chunked(
     group_offsets_ref,
     group_ids_ref,
     m_tile_ids_ref,
+    lay_ref,
     x_ref,
     q1_ref,
     s1_ref,
@@ -235,6 +237,7 @@ def _kernel_q8_chunked_s8(
     group_offsets_ref,
     group_ids_ref,
     m_tile_ids_ref,
+    lay_ref,
     x_ref,
     q1_ref,
     s1_ref,
@@ -293,9 +296,15 @@ def _kernel_q8_chunked_s8(
         o_ref[...] = lax.select(mask, y, o_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
 
 
-def _swiglu_gmm_q8(xs, w1, w3, w2, group_sizes, *, tm, chunk, interpret, s8=False):
+def _swiglu_gmm_q8(xs, w1, w3, w2, group_sizes, *, tm, chunk, interpret, s8=False, layer_idx=None):
     A, h = xs.shape
-    E, _, m = w1.q.shape
+    q1, lay = _norm_stack(w1.q, layer_idx)
+    s1, _ = _norm_stack(w1.s, layer_idx)
+    q3, _ = _norm_stack(w3.q, layer_idx)
+    s3, _ = _norm_stack(w3.s, layer_idx)
+    q2, _ = _norm_stack(w2.q, layer_idx)
+    s2, _ = _norm_stack(w2.s, layer_idx)
+    _, E, _, m = q1.shape
     if chunk == 0:
         chunk = _pick_chunk(m, h, 1)
     num_chunks = m // chunk
@@ -322,17 +331,17 @@ def _swiglu_gmm_q8(xs, w1, w3, w2, group_sizes, *, tm, chunk, interpret, s8=Fals
         kernel,
         out_shape=jax.ShapeDtypeStruct((A, h), xs.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             in_specs=[
-                pl.BlockSpec((tm, h), lambda t, c, go, gi, mt: (mt[t], 0)),
-                pl.BlockSpec((1, h, chunk), lambda t, c, go, gi, mt: (gi[t], 0, c)),
-                pl.BlockSpec((1, 1, chunk), lambda t, c, go, gi, mt: (gi[t], 0, c)),
-                pl.BlockSpec((1, h, chunk), lambda t, c, go, gi, mt: (gi[t], 0, c)),
-                pl.BlockSpec((1, 1, chunk), lambda t, c, go, gi, mt: (gi[t], 0, c)),
-                pl.BlockSpec((1, chunk, h), lambda t, c, go, gi, mt: (gi[t], c, 0)),
-                pl.BlockSpec((1, 1, h), lambda t, c, go, gi, mt: (gi[t], 0, 0)),
+                pl.BlockSpec((tm, h), lambda t, c, go, gi, mt, la: (mt[t], 0)),
+                pl.BlockSpec((1, 1, h, chunk), lambda t, c, go, gi, mt, la: (la[0], gi[t], 0, c)),
+                pl.BlockSpec((1, 1, 1, chunk), lambda t, c, go, gi, mt, la: (la[0], gi[t], 0, c)),
+                pl.BlockSpec((1, 1, h, chunk), lambda t, c, go, gi, mt, la: (la[0], gi[t], 0, c)),
+                pl.BlockSpec((1, 1, 1, chunk), lambda t, c, go, gi, mt, la: (la[0], gi[t], 0, c)),
+                pl.BlockSpec((1, 1, chunk, h), lambda t, c, go, gi, mt, la: (la[0], gi[t], c, 0)),
+                pl.BlockSpec((1, 1, 1, h), lambda t, c, go, gi, mt, la: (la[0], gi[t], 0, 0)),
             ],
-            out_specs=pl.BlockSpec((tm, h), lambda t, c, go, gi, mt: (mt[t], 0)),
+            out_specs=pl.BlockSpec((tm, h), lambda t, c, go, gi, mt, la: (mt[t], 0)),
             grid=(num_active_tiles, num_chunks),
             scratch_shapes=scratch,
         ),
@@ -341,7 +350,7 @@ def _swiglu_gmm_q8(xs, w1, w3, w2, group_sizes, *, tm, chunk, interpret, s8=Fals
             vmem_limit_bytes=VMEM_LIMIT,
         ),
         interpret=interpret,
-    )(group_offsets, group_ids, m_tile_ids, xs, w1.q, w1.s, w3.q, w3.s, w2.q, w2.s)
+    )(group_offsets, group_ids, m_tile_ids, lay, xs, q1, s1, q3, s3, q2, s2)
 
 
 def _kernel_q4_chunked(
@@ -352,6 +361,7 @@ def _kernel_q4_chunked(
     _pb_blk_ref,  # consumed by the q2b index map
     plane_a_ref,
     plane_b_ref,
+    lay_ref,
     x_ref,
     q1_ref,
     s1_ref,
@@ -427,6 +437,7 @@ def _kernel_q4_chunked_s8(
     _pb_blk_ref,
     plane_a_ref,
     plane_b_ref,
+    lay_ref,
     x_ref,
     q1_ref,
     s1_ref,
@@ -516,9 +527,15 @@ def _kernel_q4_chunked_s8(
         o_ref[...] = lax.select(mask, y, o_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
 
 
-def _swiglu_gmm_q4_chunked(xs, w1, w3, w2, group_sizes, *, tm, interpret, s8=False):
+def _swiglu_gmm_q4_chunked(xs, w1, w3, w2, group_sizes, *, tm, interpret, s8=False, layer_idx=None):
     A, h = xs.shape
-    E, d_half, m = w1.q.shape
+    q1, lay = _norm_stack(w1.q, layer_idx)
+    s1, _ = _norm_stack(w1.s, layer_idx)
+    q3, _ = _norm_stack(w3.q, layer_idx)
+    s3, _ = _norm_stack(w3.s, layer_idx)
+    q2, _ = _norm_stack(w2.q, layer_idx)
+    s2, _ = _norm_stack(w2.s, layer_idx)
+    _, E, d_half, m = q1.shape
     m_half = m // 2
     chunk = 128  # gate/up column chunk (lane-aligned)
     seg = chunk // 2  # down-proj rows fetched per view
@@ -565,18 +582,18 @@ def _swiglu_gmm_q4_chunked(xs, w1, w3, w2, group_sizes, *, tm, interpret, s8=Fal
         kernel,
         out_shape=jax.ShapeDtypeStruct((A, h), xs.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=7,
+            num_scalar_prefetch=8,
             in_specs=[
-                pl.BlockSpec((tm, h), lambda t, c, go, gi, mt, pa, pb, fa, fb: (mt[t], 0)),
-                pl.BlockSpec((1, d_half, chunk), lambda t, c, go, gi, mt, pa, pb, fa, fb: (gi[t], 0, c)),
-                pl.BlockSpec((1, 1, chunk), lambda t, c, go, gi, mt, pa, pb, fa, fb: (gi[t], 0, c)),
-                pl.BlockSpec((1, d_half, chunk), lambda t, c, go, gi, mt, pa, pb, fa, fb: (gi[t], 0, c)),
-                pl.BlockSpec((1, 1, chunk), lambda t, c, go, gi, mt, pa, pb, fa, fb: (gi[t], 0, c)),
-                pl.BlockSpec((1, seg, h), lambda t, c, go, gi, mt, pa, pb, fa, fb: (gi[t], pa[c], 0)),
-                pl.BlockSpec((1, seg, h), lambda t, c, go, gi, mt, pa, pb, fa, fb: (gi[t], pb[c], 0)),
-                pl.BlockSpec((1, 1, h), lambda t, c, go, gi, mt, pa, pb, fa, fb: (gi[t], 0, 0)),
+                pl.BlockSpec((tm, h), lambda t, c, go, gi, mt, pa, pb, fa, fb, la: (mt[t], 0)),
+                pl.BlockSpec((1, 1, d_half, chunk), lambda t, c, go, gi, mt, pa, pb, fa, fb, la: (la[0], gi[t], 0, c)),
+                pl.BlockSpec((1, 1, 1, chunk), lambda t, c, go, gi, mt, pa, pb, fa, fb, la: (la[0], gi[t], 0, c)),
+                pl.BlockSpec((1, 1, d_half, chunk), lambda t, c, go, gi, mt, pa, pb, fa, fb, la: (la[0], gi[t], 0, c)),
+                pl.BlockSpec((1, 1, 1, chunk), lambda t, c, go, gi, mt, pa, pb, fa, fb, la: (la[0], gi[t], 0, c)),
+                pl.BlockSpec((1, 1, seg, h), lambda t, c, go, gi, mt, pa, pb, fa, fb, la: (la[0], gi[t], pa[c], 0)),
+                pl.BlockSpec((1, 1, seg, h), lambda t, c, go, gi, mt, pa, pb, fa, fb, la: (la[0], gi[t], pb[c], 0)),
+                pl.BlockSpec((1, 1, 1, h), lambda t, c, go, gi, mt, pa, pb, fa, fb, la: (la[0], gi[t], 0, 0)),
             ],
-            out_specs=pl.BlockSpec((tm, h), lambda t, c, go, gi, mt, pa, pb, fa, fb: (mt[t], 0)),
+            out_specs=pl.BlockSpec((tm, h), lambda t, c, go, gi, mt, pa, pb, fa, fb, la: (mt[t], 0)),
             grid=(num_active_tiles, num_chunks),
             scratch_shapes=scratch,
         ),
@@ -593,14 +610,15 @@ def _swiglu_gmm_q4_chunked(xs, w1, w3, w2, group_sizes, *, tm, interpret, s8=Fal
         pb_blk_j,
         jnp.asarray(plane_a),
         jnp.asarray(plane_b),
+        lay,
         xs,
-        w1.q,
-        w1.s,
-        w3.q,
-        w3.s,
-        w2.q,
-        w2.q,
-        w2.s,
+        q1,
+        s1,
+        q3,
+        s3,
+        q2,
+        q2,
+        s2,
     )
 
 
@@ -625,6 +643,7 @@ def swiglu_gmm_quant(
     interpret: bool = False,
     int4_chunked: bool = True,
     s8: bool | None = None,
+    layer_idx=None,
 ):
     """Quantized fused grouped SwiGLU. w1/w3/w2: QuantizedArray tables in the
     decode-kernel layout (int8: q (E, h, m)/(E, m, h); int4 split-halves packed
@@ -637,12 +656,25 @@ def swiglu_gmm_quant(
     if w1.bits == 8:
         use_s8 = INT_DOT_PREFILL_INT8 if s8 is None else s8
         return _swiglu_gmm_q8(
-            xs, w1, w3, w2, group_sizes, tm=tm, chunk=chunk, interpret=interpret, s8=use_s8
+            xs, w1, w3, w2, group_sizes, tm=tm, chunk=chunk, interpret=interpret, s8=use_s8,
+            layer_idx=layer_idx,
         )
     if w1.bits == 4 and int4_chunked:
         use_s8 = INT_DOT_PREFILL_INT4 if s8 is None else s8
         return _swiglu_gmm_q4_chunked(
-            xs, w1, w3, w2, group_sizes, tm=tm, interpret=interpret, s8=use_s8
+            xs, w1, w3, w2, group_sizes, tm=tm, interpret=interpret, s8=use_s8,
+            layer_idx=layer_idx,
+        )
+    if layer_idx is not None and w1.q.ndim == 4:
+        # rare full-expert-block fallback: take the per-layer slice (pays the
+        # copy; the chunked defaults above stream the stacked table directly)
+        from mingunivision_tpu.utils.quantize import QuantizedArray
+
+        w1, w3, w2 = (
+            jax.tree_util.tree_map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, layer_idx, keepdims=False), w
+            )
+            for w in (w1, w3, w2)
         )
     A, h = xs.shape
     bits = w1.bits
@@ -690,6 +722,21 @@ def swiglu_gmm_quant(
     return out
 
 
+def _norm_stack(q, layer_idx):
+    """Normalize a weight table to depth-stacked (L, ...) + a (1,) layer scalar.
+
+    Rank-3 tables get a FREE leading-1 reshape; rank-4 (depth-stacked) tables
+    pass through with lay = [layer_idx]. Passing the stacked table + layer
+    scalar into the BlockSpec index maps (lay[0], gi[t], ...) is what avoids
+    the ~2-2.5 ms/layer copy XLA emits when a scan-sliced (dynamic_index)
+    operand feeds a pallas_call — the same trick moe_stream.py uses for decode
+    (measured round 5: 6.0 -> ~3.5 ms/layer e2e bf16 prefill)."""
+    if q.ndim == 3:
+        return q[None], jnp.zeros((1,), jnp.int32)
+    assert layer_idx is not None, "stacked (L, E, ...) table needs layer_idx"
+    return q, jnp.asarray(layer_idx, jnp.int32).reshape(1)
+
+
 def swiglu_gmm(
     xs,
     w1,
@@ -700,16 +747,21 @@ def swiglu_gmm(
     tm: int = 512,
     chunk: int = 0,
     interpret: bool = False,
+    layer_idx=None,
 ):
     """Fused grouped SwiGLU: per group i over expert-sorted rows,
     (silu(x@w1[i]) * (x@w3[i])) @ w2[i].
 
-    xs: (A, h) expert-sorted rows, A % tm == 0; w1/w3: (E, h, m); w2: (E, m, h);
+    xs: (A, h) expert-sorted rows, A % tm == 0; w1/w3: (E, h, m) or depth-
+    stacked (L, E, h, m) with `layer_idx`; w2: (E, m, h) / (L, E, m, h);
     group_sizes: (E,) int32 summing to A. chunk: m-chunk width (0 = pick the
     largest 128-multiple divisor of m <= 512). Returns (A, h) in xs.dtype.
     """
     A, h = xs.shape
-    E, _, m = w1.shape
+    w1, lay = _norm_stack(w1, layer_idx)
+    w3, _ = _norm_stack(w3, layer_idx)
+    w2, _ = _norm_stack(w2, layer_idx)
+    _, E, _, m = w1.shape
     assert A % tm == 0, (A, tm)
     if chunk == 0:
         chunk = _pick_chunk(m, h, xs.dtype.itemsize)
@@ -731,14 +783,14 @@ def swiglu_gmm(
         kernel,
         out_shape=jax.ShapeDtypeStruct((A, h), xs.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             in_specs=[
-                pl.BlockSpec((tm, h), lambda t, c, go, gi, mt: (mt[t], 0)),
-                pl.BlockSpec((1, h, chunk), lambda t, c, go, gi, mt: (gi[t], 0, c)),
-                pl.BlockSpec((1, h, chunk), lambda t, c, go, gi, mt: (gi[t], 0, c)),
-                pl.BlockSpec((1, chunk, h), lambda t, c, go, gi, mt: (gi[t], c, 0)),
+                pl.BlockSpec((tm, h), lambda t, c, go, gi, mt, la: (mt[t], 0)),
+                pl.BlockSpec((1, 1, h, chunk), lambda t, c, go, gi, mt, la: (la[0], gi[t], 0, c)),
+                pl.BlockSpec((1, 1, h, chunk), lambda t, c, go, gi, mt, la: (la[0], gi[t], 0, c)),
+                pl.BlockSpec((1, 1, chunk, h), lambda t, c, go, gi, mt, la: (la[0], gi[t], c, 0)),
             ],
-            out_specs=pl.BlockSpec((tm, h), lambda t, c, go, gi, mt: (mt[t], 0)),
+            out_specs=pl.BlockSpec((tm, h), lambda t, c, go, gi, mt, la: (mt[t], 0)),
             grid=(num_active_tiles, num_chunks),
             scratch_shapes=[pltpu.VMEM((tm, h), jnp.float32)],
         ),
@@ -747,7 +799,7 @@ def swiglu_gmm(
             vmem_limit_bytes=VMEM_LIMIT,
         ),
         interpret=interpret,
-    )(group_offsets, group_ids, m_tile_ids, xs, w1, w3, w2)
+    )(group_offsets, group_ids, m_tile_ids, lay, xs, w1, w3, w2)
     return out
 
 
@@ -758,7 +810,7 @@ def swiglu_gmm_supported(experts, x_flat) -> bool:
         return False
     ws = (experts.get("gate_proj"), experts.get("up_proj"), experts.get("down_proj"))
     if all(isinstance(w, jnp.ndarray) for w in ws):
-        E, h, m = ws[0].shape
+        h, m = ws[0].shape[-2], ws[0].shape[-1]  # (E, h, m) or stacked (L, E, h, m)
         return h % 128 == 0 and m % 128 == 0
     if any(isinstance(w, QuantizedArray) and getattr(w, "scheme", "linear") != "linear" for w in ws):
         return False  # NF4 codebook tables ride the XLA dequant paths
@@ -767,7 +819,7 @@ def swiglu_gmm_supported(experts, x_flat) -> bool:
             if bits == 4 and any(getattr(w, "groups", 1) != 1 for w in ws):
                 return False  # shard-locally packed: only valid inside shard_map
             q1 = ws[0].q
-            E, dq, m = q1.shape
+            dq, m = q1.shape[-2], q1.shape[-1]  # leading dims: (E,) or (L, E)
             h = dq * (2 if bits == 4 else 1)
             # int4 half planes slice the sublane dim: d/2 and m/2 need 8-alignment
             ok4 = bits != 4 or (dq % 8 == 0 and (m // 2) % 8 == 0 and m % 2 == 0)
@@ -785,6 +837,7 @@ def moe_experts_swiglu_gmm(
     tm: int = 256,
     interpret: bool = False,
     s8: bool | None = None,
+    layer_idx=None,
 ):
     """Drop-in MoE prefill dispatch (same contract as moe_gmm.moe_experts_gmm)
     using the fused SwiGLU grouped matmul."""
@@ -812,6 +865,7 @@ def moe_experts_swiglu_gmm(
             tm=tm,
             interpret=interpret,
             s8=s8,
+            layer_idx=layer_idx,
         )[:A]
     else:
         ys = swiglu_gmm(
@@ -822,6 +876,7 @@ def moe_experts_swiglu_gmm(
             group_sizes,
             tm=tm,
             interpret=interpret,
+            layer_idx=layer_idx,
         )[:A]
 
     # gather-unsort + weighted sum (scatter-add with duplicates serializes)
