@@ -170,6 +170,44 @@ def main():
         del params8, xt
         jax.clear_caches()
 
+    # ---- e2e 8L int4 prefill (serving tier), stacked tables
+    from mingunivision_tpu.utils.quantize import quantize_tree
+
+    cfg8 = BailingMoeConfig(num_hidden_layers=8)
+    params8 = init_bailing_moe_params(jax.random.PRNGKey(1), cfg8, dtype=jnp.bfloat16)
+    params8 = jax.jit(lambda p: quantize_tree(p, bits=4))(params8)
+    xt = jax.jit(lambda k: jax.random.normal(k, (1, T, cfg8.hidden_size), jnp.bfloat16))(key)
+    mask = jnp.ones((1, T), bool)
+
+    def build_q(n):
+        @jax.jit
+        def pf(p, xx):
+            acc = jnp.float32(0)
+            for _ in range(n):
+                cache = LLMCache.create(cfg8, 1, T, jnp.bfloat16)
+                h, _ = bailing_forward(p, cfg8, xx, cache, mask)
+                acc = acc + jnp.sum(h[:, -1]).astype(jnp.float32)
+                xx = xx + (acc * 1e-20).astype(xx.dtype)
+            return acc
+
+        return pf
+
+    r1, r2 = build_q(3), build_q(6)
+    force_sync(r1(params8, xt))
+    force_sync(r2(params8, xt))
+    b1 = b2 = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        force_sync(r1(params8, xt))
+        b1 = min(b1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        force_sync(r2(params8, xt))
+        b2 = min(b2, time.perf_counter() - t0)
+    per = (b2 - b1) / 3
+    results["e2e_prefill8L_int4_ms"] = round(per * 1e3, 2)
+    results["e2e_prefill28L_int4_tok_s"] = round(T / (per * 28 / 8))
+    say(f"e2e 8L int4 prefill: {per*1e3:.2f} ms -> {results['e2e_prefill28L_int4_tok_s']} tok/s @28L-extrap")
+
     print(json.dumps(results), flush=True)
 
 
