@@ -64,25 +64,48 @@ def bench_mingtok_recon(batch: int = 8, iters: int = 3, warmup: int = 1, pixdec_
 
 def bench_prefill_int4(T: int = 2048) -> float:
     """Full 28-layer int4 prefill tok/s (fused grouped-SwiGLU dispatch,
-    ops/kernels/moe_swiglu_gmm.py) — serving admission / T2I context seeding."""
+    ops/kernels/moe_swiglu_gmm.py) — serving admission / T2I context seeding.
+
+    DIFFERENCED chained timing (round 5b): per-call RTT on the current host is
+    ~26 ms and pipelines with device work, so (t(2R)-t(R))/R is the only
+    per-call-cost-free estimator; bench_fn's identical-args loop both includes
+    RTT and can let queued work escape its final sync."""
     from mingunivision_tpu.config import BailingMoeConfig
     from mingunivision_tpu.models.bailing_moe import LLMCache, bailing_forward, init_bailing_moe_params
-    from mingunivision_tpu.utils.profiling import bench_fn
+    from mingunivision_tpu.utils.profiling import force_sync
     from mingunivision_tpu.utils.quantize import random_quantized_like
 
     cfg = BailingMoeConfig(num_hidden_layers=28)
     shapes = jax.eval_shape(lambda k: init_bailing_moe_params(k, cfg, dtype=jnp.bfloat16), jax.random.PRNGKey(0))
     params = random_quantized_like(jax.random.PRNGKey(3), shapes, bits=4)
-    cache = LLMCache.create(cfg, 1, T, jnp.bfloat16)
-    mask = jnp.ones((1, T), bool)
     x = jax.random.normal(jax.random.PRNGKey(2), (1, T, cfg.hidden_size), jnp.bfloat16)
+    mask = jnp.ones((1, T), bool)
 
-    @jax.jit
-    def prefill(p, x, cache, mask):
-        return bailing_forward(p, cfg, x, cache, mask)[0]
+    def build(n):
+        @jax.jit
+        def pf(p, xx):
+            acc = jnp.float32(0)
+            for _ in range(n):
+                cache = LLMCache.create(cfg, 1, T, jnp.bfloat16)
+                h, _ = bailing_forward(p, cfg, xx, cache, mask)
+                acc = acc + jnp.sum(h[:, -1]).astype(jnp.float32)
+                xx = xx + (acc * 1e-20).astype(xx.dtype)
+            return acc
 
-    prefill(params, x, cache, mask)
-    t = bench_fn(lambda: prefill(params, x, cache, mask), iters=3, warmup=1)
+        return pf
+
+    r1, r2 = build(2), build(4)
+    force_sync(r1(params, x))
+    force_sync(r2(params, x))
+    b1 = b2 = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        force_sync(r1(params, x))
+        b1 = min(b1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        force_sync(r2(params, x))
+        b2 = min(b2, time.perf_counter() - t0)
+    t = max(b2 - b1, 1e-9) / 2
     return round(T / t)
 
 
