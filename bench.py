@@ -206,7 +206,23 @@ def bench_understanding(layers: int = 28, bits: int = 4, decode_tokens: int = 12
     return round(total_ms, 1), round(prefill_ms, 1), round(decode_tok_s, 1), round(prefill_unchained_ms, 1)
 
 
-def bench_t2i_per_token(layers: int = 28, tokens: int = 8, iters: int = 2, bits: int = 8, rf_bits: int = 8, n_images: int = 1):
+def _maybe_quant_semdec(mt, semdec_bits: int):
+    """Optional quantized semantic decoder for the full-quantized T2I tier
+    (round 5b: int8 semdec saves ~0.3 ms/token of the ~1.0 ms in-loop semdec
+    weight stream; recorded as an extra tier until the quality bench bounds
+    its feature error)."""
+    if semdec_bits >= 16:
+        return mt
+    from mingunivision_tpu.utils.quantize import quantize_tree
+
+    mt = dict(mt)
+    mt["semantic_decoder"] = jax.jit(lambda p: quantize_tree(p, bits=semdec_bits))(
+        mt["semantic_decoder"]
+    )
+    return mt
+
+
+def bench_t2i_per_token(layers: int = 28, tokens: int = 8, iters: int = 2, bits: int = 8, rf_bits: int = 8, n_images: int = 1, semdec_bits: int = 16):
     """Full-size T2I AR loop per-token cost (fits 28 layers on one v5e chip);
     n_images > 1 measures the BLOCK-major batched loop (3*n CFG rows, guided —
     tests/test_cfg_parity.py pins parity with the single-image path). Returns
@@ -233,16 +249,16 @@ def bench_t2i_per_token(layers: int = 28, tokens: int = 8, iters: int = 2, bits:
             else init_bailing_moe_params(ks[0], llm_cfg, dtype=dtype)
         ),
         "rf_head": random_quantized_like(ks[2], rf_shapes, bits=rf_bits) if bits < 16 else init_rf_head_params(ks[2], mm.rf_head, dtype=dtype),
-        "mingtok": init_mingtok_params(ks[1], mm.mingtok, dtype=dtype),
+        "mingtok": _maybe_quant_semdec(init_mingtok_params(ks[1], mm.mingtok, dtype=dtype), semdec_bits),
         "vis_head": init_vis_head_params(ks[3], llm_cfg.hidden_size, mm.rf_head.z_channels, dtype=dtype),
         "linear_proj": init_linear_proj_params(ks[4], mm.mingtok.feature_dim, llm_cfg.hidden_size, mm.mlp_depth, dtype=dtype),
     }
-    # cache sized to the T2I workload: 64 ctx + 256 AR tokens + headroom. The
-    # earlier 1024 buffer paid attention/cache traffic for 700 positions no
-    # T2I request can reach (prompt contexts longer than ~192 tokens would
-    # spill into a 1024 bucket — that's a different serving config, not this
-    # metric's workload).
-    Smax = 512
+    # cache sized to the T2I workload: 64 ctx + 256 AR tokens = 320 positions
+    # -> the 384 bucket (r5b: the 512 bucket cost ~0.8 ms/token of KV-cache
+    # attention traffic; prompt contexts longer than ~128 tokens spill into a
+    # larger bucket — that's a different serving config, not this metric's
+    # workload).
+    Smax = 384
     R = 3 * n_images
     cache = LLMCache.create(llm_cfg, R, Smax, dtype)
     cache = LLMCache(cache.k, cache.v, jnp.int32(64))
@@ -355,6 +371,13 @@ if __name__ == "__main__":
                 extra["t2i_batched_n8_images_per_min"] = round(8 * 60.0 / (msb * 256 / 1e3), 2)
             except Exception as e:  # noqa: BLE001
                 extra["t2i_batched_error"] = str(e)[:160]
+            # full-quantized extra tier: + int8 semantic decoder (feature-error
+            # bound pending in the quality bench; headline tier stays bf16-semdec)
+            try:
+                ms8 = bench_t2i_per_token(layers=layers, bits=bits, rf_bits=rf_bits, tokens=256, iters=1, semdec_bits=8)
+                extra["t2i_int8semdec_images_per_min"] = round(60.0 / (ms8 * 256 / 1e3), 2)
+            except Exception as e:  # noqa: BLE001
+                extra["t2i_int8semdec_error"] = str(e)[:160]
             break
         except Exception as e:  # noqa: BLE001 — secondary metric must not kill the primary
             extra["t2i_error"] = str(e)[:160]
