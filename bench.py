@@ -371,6 +371,13 @@ if __name__ == "__main__":
                 extra["t2i_batched_n8_images_per_min"] = round(8 * 60.0 / (msb * 256 / 1e3), 2)
             except Exception as e:  # noqa: BLE001
                 extra["t2i_batched_error"] = str(e)[:160]
+            # 16 concurrent = the one-chip HBM ceiling (24 OOMs); weight-read
+            # amortization scales 13.5 -> 60 -> 92.5 img/min at 1/8/16
+            try:
+                msb16 = bench_t2i_per_token(layers=layers, bits=bits, rf_bits=rf_bits, tokens=256, iters=1, n_images=16)
+                extra["t2i_batched_n16_images_per_min"] = round(16 * 60.0 / (msb16 * 256 / 1e3), 2)
+            except Exception as e:  # noqa: BLE001
+                extra["t2i_batched_n16_error"] = str(e)[:160]
             # full-quantized extra tier: + int8 semantic decoder (feature-error
             # bound pending in the quality bench; headline tier stays bf16-semdec)
             try:
