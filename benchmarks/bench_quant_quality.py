@@ -76,6 +76,16 @@ def main():
         "4 layers); tiers with an existing npz are loaded, not re-run, and "
         "pairs compare across processes",
     )
+    ap.add_argument(
+        "--materialize-dequant",
+        action="store_true",
+        help="after quantizing, replace each QuantizedArray leaf with its "
+        "dequantized fp array and run the BASE engine on those weights. "
+        "Numerically this is the same function the (CPU/XLA) quantized engine "
+        "computes — x @ dequant(W) with dequant(quantize(W)) weights — so the "
+        "quality pairs are unchanged, but the NF4 leg drops its per-use "
+        "16-entry-codebook gather (5x runtime on the 1-core host)",
+    )
     ap.add_argument("--min-size", type=int, default=None,
                     help="quantize_tree min leaf size (default: library default; "
                          "--cpu-tiny forces 128 so tiny weights actually quantize)")
@@ -150,6 +160,16 @@ def main():
 
     qkw = {} if args.min_size is None else {"min_size": args.min_size}
 
+    def materialize(tree):
+        from mingunivision_tpu.utils.quantize import QuantizedArray, dequant_weight
+
+        def leaf(x):
+            if isinstance(x, QuantizedArray):
+                return dequant_weight(x, jnp.float32 if args.cpu or args.cpu_tiny else jnp.bfloat16)
+            return x
+
+        return jax.tree_util.tree_map(leaf, tree, is_leaf=lambda x: isinstance(x, QuantizedArray))
+
     def tier(scheme):
         if args.save_dir:
             # destructive leaf-streaming quantize (the non-destructive path's
@@ -165,10 +185,16 @@ def main():
             p = dict(b)
             p["llm"] = quantize_tree_inplace(b["llm"], bits=4, scheme=scheme, **qkw)
             p["rf_head"] = quantize_tree_inplace(b["rf_head"], bits=4, scheme=scheme, **qkw)
+            if args.materialize_dequant:
+                p["llm"] = materialize(p["llm"])
+                p["rf_head"] = materialize(p["rf_head"])
             return p
         p = dict(base)
         p["llm"] = quantize_tree(base["llm"], bits=4, scheme=scheme, **qkw)
         p["rf_head"] = quantize_tree(base["rf_head"], bits=4, scheme=scheme, **qkw)
+        if args.materialize_dequant:
+            p["llm"] = materialize(p["llm"])
+            p["rf_head"] = materialize(p["rf_head"])
         return p
 
     igen = ImageGenConfig(num_image_tokens=args.tokens)
